@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2), merged from
+the per-module registries in ``etl_mapwarper_spark.operators``.
+``oracle_sql()`` — DuckDB-equivalent SQL for each query where the
+semantics are SQL-expressible; ops without an entry get the driver's
+rows-only check (custom stateful streaming, fixture-backed mapwarper
+transforms).
 """
 
 from __future__ import annotations
@@ -14,25 +16,43 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registries():
+    from etl_mapwarper_spark.operators import relational
+
+    modules = [relational]
+    for name in ("dedup", "similarity", "textops", "mapwarper_queries", "multimodal"):
+        try:
+            mod = __import__(
+                f"etl_mapwarper_spark.operators.{name}", fromlist=[name]
+            )
+            modules.append(mod)
+        except ImportError:
+            pass
+    try:
+        from etl_mapwarper_spark.streaming import queries as streaming_queries
+
+        modules.append(streaming_queries)
+    except ImportError:
+        pass
+    return modules
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from etl_mapwarper_spark.operators.relational import q05_region_revenue
+
+    return q05_region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _registries():
+        merged.update(mod.QUERIES)
+    return merged
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    merged: dict[str, str] = {}
+    for mod in _registries():
+        merged.update(mod.ORACLE)
+    return merged

@@ -127,8 +127,28 @@ SCHEMAS: dict[str, T.StructType] = {
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+# events.ts is physically TIMESTAMP(NANOS) in parquet; Spark lacks a ns
+# timestamp type, so we scan it as int64 (nanosAsLong) and truncate to
+# µs — identical to DuckDB's ns→µs conversion, keeping oracle parity.
+_EVENTS_PHYSICAL = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.LongType())
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table; parquet scan with declared-schema contract."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.schema(_EVENTS_PHYSICAL)
+            .parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .select(*[f.name for f in SCHEMAS["events"].fields])
+        )
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
