@@ -1,0 +1,497 @@
+"""Deduplication operators over the ``documents`` table (north-star).
+
+Five dedup families, all engine-portable (md5-based hashing so the
+DuckDB oracle computes bit-identical values):
+
+- exact hash dedup (``dd_exact_hash``)
+- normalization-fingerprint dedup (``dd_fingerprint``)
+- n-gram Jaccard near-dup via shingle inverted index (``dd_ngram_jaccard``)
+- MinHash + LSH banding (``dd_minhash_lsh``)
+- SimHash signatures + banded Hamming pairs (``dd_simhash``, ``dd_simhash_pairs``)
+- embedding-cosine near-dup (``dd_embedding_neardup``)
+
+Scale design (100 TB):
+- The shingle inverted-index join shuffles on the shingle key — at
+  scale, frequent shingles are the skew hazard; production variant
+  drops shingles with document-frequency above a cap (stop-shingles)
+  before the join, which only *adds* recall loss for boilerplate.
+  MinHash-LSH (band join) is the scale path: candidate volume is
+  controlled by band count, not corpus size.
+- All hashing is md5 (deterministic, seed-stable across engines and
+  runs) rather than Spark's murmur3 `hash()`, which DuckDB can't
+  reproduce.
+- Pair generation always enforces d1 < d2 so each pair exists once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, tokens, word_shingles
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+N_SEEDS = 12  # minhash permutations
+N_BANDS = 3  # → 4 seeds per band
+JACCARD_THRESHOLD = 0.8
+
+# Shared CTE for the oracle side: distinct word 3-gram shingles.
+_SH_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on full text. Map-side partial agg; the
+# shuffle carries one row per distinct hash.
+# ---------------------------------------------------------------------------
+
+
+def dd_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_register(
+    "dd_exact_hash",
+    dd_exact_hash,
+    """
+    SELECT md5(text) AS fp,
+           min(doc_id) AS keeper_doc_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint dedup: normalize (lowercase, strip non-alphanumerics)
+# before hashing — catches whitespace/punctuation-only variants.
+# ---------------------------------------------------------------------------
+
+
+def dd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(doc_fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_register(
+    "dd_fingerprint",
+    dd_fingerprint,
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+           min(doc_id) AS keeper_doc_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: shingle inverted index self-join → common
+# shingle counts per pair → exact Jaccard ≥ 0.8.
+# ---------------------------------------------------------------------------
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("c") / (F.col("s1.n") + F.col("s2.n") - F.col("c")), 4
+            ),
+        )
+        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jacc")
+    )
+
+
+_register(
+    "dd_ngram_jaccard",
+    dd_ngram_jaccard,
+    _SH_CTE
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(c * 1.0 / (s1.n + s2.n - c), 4) AS jacc
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= 0.8
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: per-doc signature of N_SEEDS min-hashes (md5-keyed
+# "permutations"), banded into N_BANDS keys; docs sharing a band key
+# are candidates, then exact Jaccard verifies. The band join is the
+# scale path: candidates per band are O(bucket occupancy), independent
+# of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    seeds = F.array([F.lit(s) for s in range(N_SEEDS)])
+    minhashes = (
+        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+                )
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        minhashes.withColumn("band", F.expr(f"seed div {N_SEEDS // N_BANDS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    # exact verification of candidates
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("cd1"), F.col("b.doc_id").alias("cd2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        candidates.join(
+            common,
+            (F.col("d1") == F.col("cd1")) & (F.col("d2") == F.col("cd2")),
+        )
+        .join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .withColumn(
+            "jacc",
+            F.round(
+                F.col("c") / (F.col("s1.n") + F.col("s2.n") - F.col("c")), 4
+            ),
+        )
+        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jacc")
+    )
+
+
+_register(
+    "dd_minhash_lsh",
+    dd_minhash_lsh,
+    _SH_CTE
+    + f"""
+    , m AS (
+      SELECT doc_id, seeds.seed,
+             min(md5(seeds.seed::VARCHAR || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range({N_SEEDS})) AS seed) seeds
+      GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, seed // {N_SEEDS // N_BANDS} AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+      FROM m GROUP BY 1, 2
+    ), candidates AS (
+      SELECT DISTINCT ba.doc_id AS d1, bb.doc_id AS d2
+      FROM bands ba JOIN bands bb
+        ON ba.band = bb.band AND ba.band_key = bb.band_key
+       AND ba.doc_id < bb.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS cd1, b.doc_id AS cd2, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 4) AS jacc
+    FROM candidates
+    JOIN common ON d1 = cd1 AND d2 = cd2
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= {JACCARD_THRESHOLD}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature from md5 bits of distinct tokens.
+# bit_j(token) = bit j of md5(token); signature bit j = majority vote.
+# Pure integer arithmetic (no engine-specific bit ops) for parity.
+# ---------------------------------------------------------------------------
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
+    with_bits = (
+        toks.select("doc_id", "tok", j)
+        .withColumn("hexd", F.expr("substring(md5(tok), (j div 4) + 1, 1)"))
+        .withColumn("val", F.expr("locate(hexd, '0123456789abcdef') - 1"))
+        .withColumn(
+            "bit",
+            F.expr(
+                "(val div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
+            ),
+        )
+        .withColumn("contrib", F.col("bit") * 2 - 1)
+    )
+    return (
+        with_bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bitchar", F.when(F.col("s") > 0, "1").otherwise("0"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "bitchar"))),
+                    lambda x: x["bitchar"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+_register(
+    "dd_simhash",
+    dd_simhash,
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, tok, js.j,
+             (strpos('0123456789abcdef',
+                     substring(md5(tok), (js.j // 4) + 1, 1)) - 1) AS val
+      FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    ), contribs AS (
+      SELECT doc_id, j,
+             sum(((val // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM contribs
+    GROUP BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: band the 64-bit signature into 4 chunks of 16
+# bits; pairs sharing any chunk are candidates (a pair with Hamming
+# distance ≤ 3 must share at least one of 4 chunks — pigeonhole);
+# verify exact Hamming ≤ 3.
+# ---------------------------------------------------------------------------
+
+
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dd_simhash(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn("chunk_val", F.expr("substring(simhash, chunk * 16 + 1, 16)"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(s1, i, 1) = substring(s2, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("d1", "d2", "hamming")
+    )
+
+
+_register(
+    "dd_simhash_pairs",
+    dd_simhash_pairs,
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, tok, js.j,
+             (strpos('0123456789abcdef',
+                     substring(md5(tok), (js.j // 4) + 1, 1)) - 1) AS val
+      FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    ), contribs AS (
+      SELECT doc_id, j,
+             sum(((val // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+      FROM bits GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      FROM contribs GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash, cs.chunk,
+             substring(simhash, cs.chunk * 16 + 1, 16) AS chunk_val
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS chunk) cs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                      a.simhash AS s1, b.simhash AS s2
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN s1[i] = s2[i] THEN 0 ELSE 1 END))::BIGINT AS hamming
+    FROM cand
+    WHERE list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN s1[i] = s2[i] THEN 0 ELSE 1 END)) <= 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: all pairs with cosine ≥ 0.45.
+# Correctness-first formulation is the quadratic self-join (fine at
+# test SF; the oracle is the same quadratic). The scale path is
+# SRP-LSH bucketing (operators/similarity.py) which bounds candidates.
+# ---------------------------------------------------------------------------
+
+
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            "cos",
+        )
+    )
+
+
+_register(
+    "dd_embedding_neardup",
+    dd_embedding_neardup,
+    """
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
+    """,
+)

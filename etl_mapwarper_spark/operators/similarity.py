@@ -1,0 +1,246 @@
+"""Similarity search over the ``embeddings`` table (north-star).
+
+- ``sim_bruteforce_topk`` — exact cosine top-k for probe vectors; the
+  correctness baseline. Dot products run JVM-side via higher-order
+  functions (zip_with/aggregate) — no Python round-trip.
+- ``sim_srp_lsh_topk`` — sign-random-projection LSH variant with
+  axis-aligned hyperplanes (bucket = sign pattern of selected dims):
+  candidates limited to the probe's bucket, then exact re-rank. This
+  is the 100 TB path: bucket cardinality bounds the candidate set, and
+  the bucket join is a plain equi-join (shuffle on bucket key).
+- ``sim_label_centroids`` — element-wise mean vector per label and
+  probe→centroid ranking: the coarse-quantizer step of an IVF index.
+
+All arithmetic is double-precision with identical operation order to
+the DuckDB oracle; cosines are rounded to 6 decimals for hash-stable
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+PROBE_IDS = [0, 1, 2]
+TOP_K = 5
+# Axis-aligned "hyperplanes" for SRP-LSH: sign bits of these dims
+# (1-based positions into the 64-dim embedding).
+SRP_DIMS = [1, 9, 17, 25]
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def _probes(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id").isin(PROBE_IDS))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact top-k: broadcast the (tiny) probe set against the
+# full corpus — one narrow pass over embeddings, top-k via window.
+# ---------------------------------------------------------------------------
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    probes = _probes(emb).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = (
+        emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("pv"), F.col("v")), 6)
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "cos", "rank")
+    )
+
+
+_register(
+    "sim_bruteforce_topk",
+    sim_bruteforce_topk,
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+      WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id,
+             round(list_cosine_similarity(p.pv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings e JOIN probes p ON e.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, cos, rank FROM (
+      SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH top-k: bucket both corpus and probes by the sign pattern of
+# SRP_DIMS; candidates are same-bucket vectors only, then exact cosine
+# re-rank. Recall < 1 by construction (documented); at scale, multi-
+# probe (flipping one bit) trades compute for recall.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_expr(col: str) -> F.Column:
+    bits = [
+        F.when(F.element_at(F.col(col), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in SRP_DIMS
+    ]
+    return F.concat(*bits)
+
+
+def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    probes = _probes(emb).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("bucket").alias("pbucket"),
+    )
+    scored = (
+        emb.join(
+            broadcast(probes),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("pv"), F.col("v")), 6)
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "bucket", "cos", "rank")
+    )
+
+
+_SRP_BUCKET_SQL = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN embedding[{d}] >= 0 THEN '1' ELSE '0' END" for d in SRP_DIMS
+    )
+    + ")"
+)
+
+_register(
+    "sim_srp_lsh_topk",
+    sim_srp_lsh_topk,
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv, bucket AS pbucket
+      FROM bucketed WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id, e.bucket,
+             round(list_cosine_similarity(p.pv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+      FROM bucketed e JOIN probes p
+        ON e.bucket = p.pbucket AND e.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, bucket, cos, rank FROM (
+      SELECT probe_id, vec_id, bucket, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer: element-wise mean embedding per label, then
+# rank centroids per probe. The explode-on-dimension shape keeps the
+# mean computation a plain groupBy (map-side partial agg), which is
+# how a 100 TB centroid build stays a single shuffle of (label, dim)
+# partial sums.
+# ---------------------------------------------------------------------------
+
+
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(to_double_array(F.col("embedding"))).alias("dim", "x"),
+    )
+    centroids = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    probes = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isin(PROBE_IDS)
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        to_double_array(F.col("embedding")).alias("pv"),
+    )
+    scored = centroids.crossJoin(broadcast(probes)).withColumn(
+        "cos", F.round(cosine_similarity(F.col("pv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("label"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "label", "cos", "rank")
+    )
+
+
+_register(
+    "sim_label_centroids",
+    sim_label_centroids,
+    """
+    WITH dims AS (
+      SELECT vec_id, label, ds.dim, embedding[ds.dim + 1]::DOUBLE AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS dim) ds
+    ), centroid_dims AS (
+      SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2
+    ), centroids AS (
+      SELECT label, list(c ORDER BY dim) AS cv FROM centroid_dims GROUP BY label
+    ), probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings
+      WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT p.probe_id, c.label,
+             round(list_cosine_similarity(p.pv, c.cv), 6) AS cos
+      FROM centroids c CROSS JOIN probes p
+    )
+    SELECT probe_id, label, cos, rank FROM (
+      SELECT probe_id, label, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, label ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)

@@ -1,0 +1,257 @@
+"""Text-analysis operators over ``documents`` (north-star).
+
+- token statistics per language
+- per-document quality scoring (length / punctuation / stopword mix)
+- heuristic language ID (stopword-profile argmax) with accuracy vs the
+  labeled ``lang`` column
+- global n-gram (bigram) frequency profile
+
+All pure column expressions — split / higher-order array functions /
+regexp — fully JVM-side and codegen'd; the hot path has no UDFs. Each
+formula is mirrored verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    STOPWORDS,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# Tiny per-language marker-word profiles for the heuristic classifier.
+# (On the synthetic corpus all languages share one vocabulary, so
+# accuracy ≈ chance — the operator is the deliverable, measured
+# honestly against the label column.)
+LANG_MARKERS = {
+    "en": ["the", "a", "fast", "big"],
+    "de": ["der", "die", "und", "batch"],
+    "fr": ["le", "la", "et", "scan"],
+    "es": ["el", "la", "y", "slow"],
+    "zh": ["de", "shi", "he", "join"],
+}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Token statistics per language.
+# ---------------------------------------------------------------------------
+
+
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count(F.col("text"))
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+        )
+    )
+
+
+_register(
+    "tx_token_stats",
+    tx_token_stats,
+    """
+    SELECT lang,
+           count(*)                                    AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT   AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           max(len(string_split(text, ' ')))::INT      AS max_tokens,
+           min(len(string_split(text, ' ')))::INT      AS min_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality score: blend of token count, mean word length,
+# stopword ratio, and punctuation ratio — the standard cheap pre-filter
+# for LLM training corpora. Narrow (no shuffle at all).
+# ---------------------------------------------------------------------------
+
+
+def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_tok = F.size(t)
+    mean_wlen = (F.length(F.col("text")) - (n_tok - 1)).cast("double") / n_tok
+    sw = stopword_ratio(t)
+    pr = punct_ratio(F.col("text"))
+    score = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - pr) * 0.3
+        + F.least(sw * 5.0, F.lit(1.0)) * 0.2
+        + F.when((mean_wlen >= 3.0) & (mean_wlen <= 8.0), 0.1).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_register(
+    "tx_quality_scores",
+    tx_quality_scores,
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, n_tok,
+             (length(text) - (n_tok - 1)) * 1.0 / n_tok AS mean_wlen,
+             len(list_filter(t, w -> w IN {_STOP_SQL})) * 1.0 / n_tok AS sw,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS pr
+      FROM base
+    )
+    SELECT doc_id,
+           n_tok::INT                AS n_tokens,
+           round(mean_wlen, 6)       AS mean_word_len,
+           round(sw, 6)              AS stopword_ratio,
+           round(pr, 6)              AS punct_ratio,
+           round(least(n_tok / 100.0, 1.0) * 0.4
+                 + (1.0 - pr) * 0.3
+                 + least(sw * 5.0, 1.0) * 0.2
+                 + CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 8.0
+                        THEN 0.1 ELSE 0.0 END, 6) AS quality_score
+    FROM feats
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language ID: count marker-word hits per language, argmax
+# with deterministic tiebreak (score desc, language code asc), then
+# report confusion counts against the label.
+# ---------------------------------------------------------------------------
+
+
+def tx_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    codes = sorted(LANG_MARKERS)
+    scores = {
+        code: F.size(F.filter(t, lambda w: w.isin(*LANG_MARKERS[code])))
+        for code in codes
+    }
+    best = F.greatest(*scores.values())
+    # argmax with deterministic tiebreak: codes checked in ascending
+    # order, so ties go to the lexicographically smallest language.
+    predicted = F.lit(None).cast("string")
+    for code in reversed(codes):
+        predicted = F.when(scores[code] == best, code).otherwise(predicted)
+    return (
+        docs.withColumn("predicted_lang", predicted)
+        .groupBy(F.col("lang").alias("true_lang"), F.col("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_oracle_sql() -> str:
+    codes = sorted(LANG_MARKERS)
+    score_cols = []
+    for code in codes:
+        in_list = "(" + ", ".join(f"'{m}'" for m in LANG_MARKERS[code]) + ")"
+        score_cols.append(
+            f"len(list_filter(t, w -> w IN {in_list})) AS s_{code}"
+        )
+    best = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{c} = best THEN '{c}'" for c in codes
+    ) + " END"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, {", ".join(score_cols)} FROM base
+    ), pick AS (
+      SELECT doc_id, lang, {best} AS best,
+             {case} AS predicted_lang
+      FROM scored
+    )
+    SELECT lang AS true_lang, predicted_lang, count(*) AS n
+    FROM pick
+    GROUP BY 1, 2
+    """
+
+
+_register("tx_langid_confusion", tx_langid_confusion, _langid_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
+# Global bigram profile: top 20 word bigrams with deterministic
+# tiebreak. Shuffle carries (bigram, partial count) — map-side combine
+# keeps it proportional to vocabulary², not corpus size.
+# ---------------------------------------------------------------------------
+
+
+def tx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i.cast("int")),
+                F.element_at(t, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+_register(
+    "tx_top_bigrams",
+    tx_top_bigrams,
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
