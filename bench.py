@@ -1,0 +1,77 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are executed with the noop sink so every output column is
+fully evaluated (a bare .count() would let Catalyst prune the
+projections being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_mapwarper_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E402
+
+# Headline set: relational core (scan-agg, multi-join, window, as-of),
+# dedup (exact, minhash-LSH, inverted-index jaccard, simhash),
+# similarity (brute-force + LSH), text analysis, mapwarper transform.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_region_revenue",
+    "q06_customer_order_stats",
+    "q09_top3_orders_per_customer",
+    "q14_distinct_parts_per_flag",
+    "q19_events_json",
+    "q21_user_sessions",
+    "q22_asof_last_order",
+    "dd_exact_hash",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "sim_bruteforce_topk",
+    "sim_srp_lsh_topk",
+    "tx_quality_scores",
+    "mw_map_objects",
+    "mw_map_logs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

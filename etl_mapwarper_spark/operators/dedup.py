@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..functions.text import doc_fingerprint, tokens, word_shingles
 from ..functions.vectors import cosine_similarity, to_double_array
@@ -132,7 +133,9 @@ _register(
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    # persist: the shingle set feeds three subtrees (sizes + both join
+    # sides); without it Spark re-derives the explode per consumer.
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,10 +197,15 @@ _register(
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).persist()
     seeds = F.array([F.lit(s) for s in range(N_SEEDS)])
-    minhashes = (
-        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+    # md5(seed|shingle) is doc-independent: hash each DISTINCT shingle
+    # once (vocabulary-sized), broadcast, and join back — at corpus
+    # scale this turns |corpus|×N_SEEDS md5 calls into |vocab|×N_SEEDS.
+    shingle_hashes = (
+        sh.select("shingle")
+        .distinct()
+        .select("shingle", F.explode(seeds).alias("seed"))
         .withColumn(
             "h",
             F.md5(
@@ -206,6 +214,9 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+    )
+    minhashes = (
+        sh.join(broadcast(shingle_hashes), "shingle")
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("mh"))
     )
@@ -238,29 +249,27 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification of candidates
+    # exact verification restricted to candidate pairs: broadcast the
+    # (small) candidate set against the shingle index twice — the
+    # common-shingle count is computed ONLY for candidates, never for
+    # all overlapping pairs (which is the quadratic trap at scale).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(
+        a.join(broadcast(candidates), F.col("a.doc_id") == F.col("d1"))
+        .join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("b.doc_id") == F.col("d2"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("cd1"), F.col("b.doc_id").alias("cd2")
-        )
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     return (
-        candidates.join(
-            common,
-            (F.col("d1") == F.col("cd1")) & (F.col("d2") == F.col("cd2")),
-        )
-        .join(s1, F.col("d1") == F.col("s1.doc_id"))
+        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
         .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .withColumn(
             "jacc",
@@ -320,32 +329,42 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j")
-    with_bits = (
-        toks.select("doc_id", "tok", j)
-        .withColumn("hexd", F.expr("substring(md5(tok), (j div 4) + 1, 1)"))
-        .withColumn("val", F.expr("locate(hexd, '0123456789abcdef') - 1"))
+    # 64-bit contribution vector per DISTINCT token (vocabulary-sized,
+    # broadcast) — avoids exploding corpus×64 rows; per-doc signature
+    # is then an element-wise array sum (zip_with) in one groupBy.
+    tok_bits = (
+        toks.select("tok")
+        .distinct()
         .withColumn(
-            "bit",
+            "bits",
             F.expr(
-                "(val div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
+                "transform(sequence(0, 63), j -> "
+                "(((locate(substring(md5(tok), (j div 4) + 1, 1), '0123456789abcdef') - 1)"
+                " div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1)"
             ),
         )
-        .withColumn("contrib", F.col("bit") * 2 - 1)
+        .select("tok", "bits")
     )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     return (
-        with_bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bitchar", F.when(F.col("s") > 0, "1").otherwise("0"))
+        toks.join(broadcast(tok_bits), "tok")
         .groupBy("doc_id")
         .agg(
+            F.aggregate(
+                F.collect_list("bits"),
+                zeros,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("sums")
+        )
+        .select(
+            "doc_id",
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "bitchar"))),
-                    lambda x: x["bitchar"],
+                    F.col("sums"),
+                    lambda s: F.when(s > 0, "1").otherwise("0"),
                 ),
                 "",
-            ).alias("simhash")
+            ).alias("simhash"),
         )
     )
 
