@@ -20,7 +20,14 @@ def _registries():
     from etl_mapwarper_spark.operators import relational
 
     modules = [relational]
-    for name in ("dedup", "similarity", "textops", "mapwarper_queries", "multimodal"):
+    for name in (
+        "dedup",
+        "similarity",
+        "textops",
+        "mapwarper_queries",
+        "ingestion",
+        "multimodal",
+    ):
         try:
             mod = __import__(
                 f"etl_mapwarper_spark.operators.{name}", fromlist=[name]

@@ -1,0 +1,196 @@
+"""Ingestion queries — the paginated-REST scan machinery exercised
+end-to-end under the correctness gate.
+
+The HTTP layer is injected (``RestSourceConfig.fetcher``), so these
+queries run the REAL scan path — page planning, token bucket, retry
+wrapper, result records, JVM-side ``from_json`` item explode — against
+a deterministic in-process API whose contents DuckDB can reproduce
+with ``range()``. The reference's two scan modes are both covered:
+
+- ``src_rest_scan``       count-first fan-out   (mapwarper.js:183-199)
+- ``src_rest_short_page`` short-page loop       (mapwarper.js:112-149)
+- ``src_rest_errors``     error-as-record       (mapwarper.js:122-129)
+- ``src_ndjson_roundtrip`` NDJSON sink→source   (mapwarper.js:152-166, :423-428)
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.ndjson import read_ndjson, write_ndjson
+from ..sources.paginated_rest import (
+    FetchResult,
+    RestSourceConfig,
+    fetch_count,
+    page_errors,
+    page_items,
+    scan_pages,
+    scan_until_short_page,
+)
+from ..sources.tables import SCHEMAS, load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake API (module-level → picklable for executors).
+# ---------------------------------------------------------------------------
+
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def fake_api_fetch(url: str, timeout_s: float) -> FetchResult:
+    """Pure function of the URL: ``total`` items, ``per_page`` per page.
+
+    item i = (i, 'item-<i>', i*0.25); pages past the end are empty —
+    exactly the shape the short-page loop terminates on. ``?fail=<p>``
+    makes page p return an HTTP 500 result record.
+    """
+    q = parse_qs(urlparse(url).query)
+    total = int(q.get("total", ["1234"])[0])
+    per_page = int(q.get("per_page", ["250"])[0])
+    page = int(q.get("page", ["1"])[0])
+    if "fail" in q and int(q["fail"][0]) == page:
+        return FetchResult(500, None, "HTTP 500: injected failure")
+    lo = (page - 1) * per_page
+    hi = min(lo + per_page, total)
+    items = [
+        {"id": i, "name": f"item-{i}", "value": i * 0.25}
+        for i in range(lo, hi)
+    ]
+    return FetchResult(
+        200, json.dumps({"total_entries": total, "items": items})
+    )
+
+
+def _config(total: int, per_page: int, fail: int | None = None) -> RestSourceConfig:
+    fail_q = f"&fail={fail}" if fail is not None else ""
+    return RestSourceConfig(
+        url_template=(
+            "fake://api/items.json?total=%d&per_page={per_page}&page={page}%s"
+            % (total, fail_q)
+        ),
+        per_page=per_page,
+        requests_per_second=1e9,  # no politeness delay against a fake
+        max_concurrency=8,
+        retries=0,
+        fetcher=fake_api_fetch,
+    )
+
+
+# --- count-first fan-out (1234 items, 100/page → 13 pages) -----------------
+
+
+def src_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _config(total=1234, per_page=100)
+    total = fetch_count(cfg)
+    num_pages = -(-total // cfg.per_page)
+    pages = scan_pages(spark, cfg, num_pages)
+    return page_items(pages, ITEM_SCHEMA).select("id", "name", "value")
+
+
+_register(
+    "src_rest_scan",
+    src_rest_scan,
+    """
+    SELECT i AS id, 'item-' || i AS name, i * 0.25 AS value
+    FROM range(0, 1234) t(i)
+    """,
+)
+
+
+# --- short-page termination (971 items → 10 pages, last short) -------------
+
+
+def src_rest_short_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _config(total=971, per_page=100)
+    pages = scan_until_short_page(spark, cfg, wave_size=4)
+    return page_items(pages, ITEM_SCHEMA).select("id", "name", "value")
+
+
+_register(
+    "src_rest_short_page",
+    src_rest_short_page,
+    """
+    SELECT i AS id, 'item-' || i AS name, i * 0.25 AS value
+    FROM range(0, 971) t(i)
+    """,
+)
+
+
+# --- error-as-record quarantine (page 3 of 5 injected to fail) -------------
+
+
+def src_rest_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = _config(total=500, per_page=100, fail=3)
+    pages = scan_pages(spark, cfg, 5)
+    good = page_items(pages, ITEM_SCHEMA).groupBy().agg(
+        F.count(F.lit(1)).alias("ok_items")
+    )
+    bad = page_errors(pages).groupBy().agg(
+        F.count(F.lit(1)).alias("failed_pages"),
+        F.min("status").alias("min_status"),
+    )
+    return good.crossJoin(bad)
+
+
+_register(
+    "src_rest_errors",
+    src_rest_errors,
+    # 5 planned pages of 100; page 3 quarantined → 400 ok items.
+    "SELECT 400::BIGINT AS ok_items, 1::BIGINT AS failed_pages, 500 AS min_status",
+)
+
+
+# --- NDJSON sink → source round-trip ----------------------------------------
+
+
+def src_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="ndjson_rt_") + "/documents"
+    write_ndjson(docs, path)
+    back = read_ndjson(
+        spark,
+        path,
+        T.StructType([f for f in SCHEMAS["documents"].fields if f.name != "text"]),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+_register(
+    "src_ndjson_roundtrip",
+    src_ndjson_roundtrip,
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)

@@ -691,7 +691,7 @@ _register(
     ), sessions AS (
       SELECT user_id, ts,
              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
