@@ -26,6 +26,7 @@ def _registries():
         "textops",
         "mapwarper_queries",
         "ingestion",
+        "enrichment",
         "multimodal",
     ):
         try:

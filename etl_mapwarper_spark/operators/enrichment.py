@@ -1,0 +1,369 @@
+"""Mask→GeoJSON enrichment — the reference's one genuinely hard
+operator (#20 in SURVEY.md §2): pixel-space mask polygon + ground
+control points (GCPs) → georeferenced GeoJSON polygon.
+
+Reference behavior (citations into /root/reference/mapwarper.js):
+- ``getMask`` (:79-110) calls mask-to-geojson (GDAL under the hood) for
+  maps whose ``mask_status ∈ {masked, masking}`` (:81); success attaches
+  ``maskGeometry``/``gcps``/``mask``, failure attaches ``maskError``
+  (:90) — error-as-data, the map stays in the stream.
+- The transform family is GDAL's GCP polynomial warp, order selected by
+  ``transform_options`` (:86).
+
+Spark-first design:
+- The polynomial fit/apply is genuinely non-relational → one Arrow-
+  batched ``pandas_udf`` (``gcp_transform_udf``) that least-squares
+  fits pixel→world per row (numpy) and returns a **result struct**
+  ``{ok, coordinates, error}`` — executors never raise on bad data.
+- The masked-only gate is an explicit ``filter`` + ``unionByName`` so
+  Catalyst cannot reorder the expensive Python stage in front of the
+  cheap predicate; unmasked rows never reach Python at all.
+- ``attach_map_layers`` replaces the reference's N+1 per-map HTTP
+  lookup (:57-77) with a real aggregate+broadcast join: fetch the
+  membership table ONCE, ``collect_list`` per map, broadcast (bounded
+  by |layers|, tiny next to |maps| at scale).
+
+Polynomial orders: 1 (affine, 6 coefficients — GDAL ``-order 1``) and
+2 (quadratic, 12 coefficients — ``-order 2``); both need the same
+least-squares machinery, requiring ≥3 / ≥6 GCPs respectively.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast, pandas_udf
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField(
+            "coordinates",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_MIN_GCPS = {1: 3, 2: 6}
+
+
+def _design(px: np.ndarray, py: np.ndarray, order: int) -> np.ndarray:
+    if order == 1:
+        return np.column_stack([px, py, np.ones_like(px)])
+    return np.column_stack(
+        [px, py, px * px, py * py, px * py, np.ones_like(px)]
+    )
+
+
+def fit_gcp_polynomial(
+    gcps: Iterable[Iterable[float]], order: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Least-squares pixel→world fit from GCP rows ``[px, py, lat, lon]``.
+
+    Returns (lon_coef, lat_coef) for the design (order 1: [px,py,1]).
+    GCP component order matches the reference's mapwarper API rows
+    (x, y, lat, lon).
+    """
+    g = np.asarray(list(gcps), dtype=np.float64)
+    need = _MIN_GCPS[order]
+    if g.ndim != 2 or g.shape[0] < need or g.shape[1] != 4:
+        raise ValueError(
+            f"need >= {need} GCPs of [px,py,lat,lon] for order {order}, "
+            f"got shape {getattr(g, 'shape', None)}"
+        )
+    X = _design(g[:, 0], g[:, 1], order)
+    lon_coef, *_ = np.linalg.lstsq(X, g[:, 3], rcond=None)
+    lat_coef, *_ = np.linalg.lstsq(X, g[:, 2], rcond=None)
+    return lon_coef, lat_coef
+
+
+def _transform_one(mask, gcps, order: int):
+    if mask is None or len(mask) == 0:
+        return (False, None, "empty mask")
+    if gcps is None:
+        return (False, None, "no GCPs")
+    try:
+        lon_c, lat_c = fit_gcp_polynomial(gcps, order)
+        ring = np.asarray([list(p) for p in mask], dtype=np.float64)
+        X = _design(ring[:, 0], ring[:, 1], order)
+        lon = X @ lon_c
+        lat = X @ lat_c
+        if not (np.isfinite(lon).all() and np.isfinite(lat).all()):
+            return (False, None, "non-finite transform result")
+        coords = [[[float(x), float(y)] for x, y in zip(lon, lat)]]
+        return (True, coords, None)
+    except (ValueError, np.linalg.LinAlgError) as e:
+        return (False, None, f"{type(e).__name__}: {e}")
+
+
+def make_gcp_transform_udf(order: int = 1):
+    """Result-struct pandas UDF: (mask ring, gcps) → {ok, coordinates, error}."""
+
+    @pandas_udf(RESULT_SCHEMA)
+    def gcp_transform(mask: pd.Series, gcps: pd.Series) -> pd.DataFrame:
+        rows = [_transform_one(m, g, order) for m, g in zip(mask, gcps)]
+        return pd.DataFrame(rows, columns=["ok", "coordinates", "error"])
+
+    return gcp_transform
+
+
+def enrich_masks(
+    maps: DataFrame,
+    mask_col: str = "mask",
+    gcps_col: str = "gcps",
+    order: int = 1,
+) -> DataFrame:
+    """Conditional enrichment with the reference's gating (:81).
+
+    Only ``mask_status ∈ {masked, masking}`` rows pass through Python;
+    the rest are unioned back untouched with null enrichment columns.
+    Success → ``maskGeometry`` polygon struct; failure → ``maskError``
+    string (:90) — downstream validation rule #6 picks it up.
+    """
+    udf = make_gcp_transform_udf(order)
+    gate = F.col("mask_status").isin("masked", "masking")
+    masked = maps.filter(gate)
+    unmasked = maps.filter(~gate | F.col("mask_status").isNull())
+    res = F.col("_gcp_result")
+    enriched = (
+        masked.withColumn("_gcp_result", udf(F.col(mask_col), F.col(gcps_col)))
+        .withColumn(
+            "maskGeometry",
+            F.when(
+                res["ok"],
+                F.struct(
+                    F.lit("Polygon").alias("type"),
+                    res["coordinates"].alias("coordinates"),
+                ),
+            ),
+        )
+        .withColumn("maskError", F.when(~res["ok"], res["error"]))
+        .drop("_gcp_result")
+    )
+    geom_type = enriched.schema["maskGeometry"].dataType
+    return enriched.unionByName(
+        unmasked.withColumn(
+            "maskGeometry", F.lit(None).cast(geom_type)
+        ).withColumn("maskError", F.lit(None).cast("string"))
+    )
+
+
+def attach_map_layers(
+    maps: DataFrame,
+    map_layers: DataFrame,
+    map_id: str = "id",
+    layers_map_id: str = "map_id",
+    layer_id: str = "layer_id",
+) -> DataFrame:
+    """Left join maps to aggregated layer membership (replaces :57-77).
+
+    The aggregated membership side is broadcast: it is bounded by the
+    number of (map, layer) pairs — dimension-sized next to a 100 TB
+    fact scan — so the maps side never shuffles.
+    """
+    grouped = map_layers.groupBy(F.col(layers_map_id).alias("_ml_map_id")).agg(
+        F.sort_array(F.collect_set(F.col(layer_id))).alias("layerIds")
+    )
+    return (
+        maps.join(
+            broadcast(grouped),
+            maps[map_id] == grouped["_ml_map_id"],
+            "left",
+        )
+        .drop("_ml_map_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-gated queries. The fixture GCPs lie EXACTLY on an affine map
+# (world = a·px + c, e·py + f), so the least-squares fit recovers the
+# coefficients to ~1e-12 and DuckDB can reproduce the transformed ring
+# with direct arithmetic; round(·, 6) absorbs the solver noise (values
+# are multiples of 1e-5/1e-4 — never near a rounding midpoint).
+# ---------------------------------------------------------------------------
+
+_TOO_FEW_GCPS_MSG = (
+    "ValueError: need >= 3 GCPs of [px,py,lat,lon] for order 1, "
+    "got shape (2, 4)"
+)
+
+
+def synthetic_masked_maps(spark, sf_dir: str) -> DataFrame:
+    """Pixel-space mask + exact-affine GCP fixture keyed by p_partkey<150.
+
+    k%10==0 → unmasked (gated out of Python); k%17==0 → only 2 GCPs
+    (error record); everything else transforms cleanly.
+    """
+    from ..sources.tables import load_table
+
+    k = F.col("p_partkey")
+    kd = k.cast("double")
+    a = (k % 3 + 1).cast("double") * F.lit(0.0001)
+    e = (k % 2 + 2).cast("double") * F.lit(0.00005)
+    c = F.lit(-74.0) + kd * F.lit(0.001)
+    f0 = F.lit(40.7) + kd * F.lit(0.0005)
+    w = (k % 50 + 100).cast("double")
+    h = (k % 40 + 80).cast("double")
+
+    def gcp(px: float, py: float) -> Column:
+        return F.array(
+            F.lit(px),
+            F.lit(py),
+            e * F.lit(py) + f0,  # lat
+            a * F.lit(px) + c,  # lon
+        )
+
+    full_gcps = F.array(gcp(0.0, 0.0), gcp(200.0, 0.0), gcp(0.0, 200.0), gcp(200.0, 200.0))
+    short_gcps = F.array(gcp(0.0, 0.0), gcp(200.0, 0.0))
+    zero = F.lit(0.0)
+    ring = F.array(
+        F.array(zero, zero),
+        F.array(w, zero),
+        F.array(w, h),
+        F.array(zero, h),
+        F.array(zero, zero),
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(k < 150)
+        .select(
+            k.cast("long").alias("id"),
+            F.when(k % 10 == 0, "unmasked").otherwise("masked").alias("mask_status"),
+            ring.alias("mask"),
+            F.when(k % 17 == 0, short_gcps).otherwise(full_gcps).alias("gcps"),
+        )
+    )
+
+
+def mw_gcp_transform(spark, sf_dir: str) -> DataFrame:
+    maps = synthetic_masked_maps(spark, sf_dir)
+    enriched = enrich_masks(maps)
+    ring0 = F.element_at(F.col("maskGeometry")["coordinates"], 1)
+    return (
+        enriched.filter(F.col("maskGeometry").isNotNull())
+        .select("id", F.posexplode(ring0).alias("idx", "pt"))
+        .select(
+            "id",
+            "idx",
+            F.round(F.element_at("pt", 1), 6).alias("lon"),
+            F.round(F.element_at("pt", 2), 6).alias("lat"),
+        )
+    )
+
+
+_register(
+    "mw_gcp_transform",
+    mw_gcp_transform,
+    """
+    WITH keys AS (
+      SELECT p_partkey AS k FROM part
+      WHERE p_partkey < 150 AND p_partkey % 10 <> 0 AND p_partkey % 17 <> 0
+    ), pts AS (
+      SELECT k, i.i::INT AS idx,
+        CASE i.i WHEN 1 THEN (100 + k % 50) WHEN 2 THEN (100 + k % 50) ELSE 0 END AS px,
+        CASE i.i WHEN 2 THEN (80 + k % 40) WHEN 3 THEN (80 + k % 40) ELSE 0 END AS py
+      FROM keys CROSS JOIN (SELECT unnest(range(0, 5)) AS i) i
+    )
+    SELECT k::BIGINT AS id, idx,
+      round((k % 3 + 1) * CAST(0.0001 AS DOUBLE) * px
+            + (CAST(-74.0 AS DOUBLE) + k * CAST(0.001 AS DOUBLE)), 6) AS lon,
+      round((k % 2 + 2) * CAST(0.00005 AS DOUBLE) * py
+            + (CAST(40.7 AS DOUBLE) + k * CAST(0.0005 AS DOUBLE)), 6) AS lat
+    FROM pts
+    """,
+)
+
+
+def mw_gcp_errors(spark, sf_dir: str) -> DataFrame:
+    maps = synthetic_masked_maps(spark, sf_dir)
+    return (
+        enrich_masks(maps)
+        .filter(F.col("maskError").isNotNull())
+        .select("id", F.col("maskError"))
+    )
+
+
+_register(
+    "mw_gcp_errors",
+    mw_gcp_errors,
+    f"""
+    SELECT p_partkey::BIGINT AS id,
+           '{_TOO_FEW_GCPS_MSG}' AS maskError
+    FROM part
+    WHERE p_partkey < 150 AND p_partkey % 10 <> 0 AND p_partkey % 17 = 0
+    """,
+)
+
+
+def mw_map_layers_join(spark, sf_dir: str) -> DataFrame:
+    """Real join replacing the reference's N+1 per-map layer lookup."""
+    from ..sources.tables import load_table
+
+    k = F.col("p_partkey")
+    maps = (
+        load_table(spark, sf_dir, "part")
+        .filter(k < 150)
+        .select(k.cast("long").alias("id"))
+    )
+    membership = (
+        load_table(spark, sf_dir, "part")
+        .filter((k < 150) & (k % 43 != 0))
+        .select(
+            k.cast("long").alias("map_id"),
+            F.explode(
+                F.array(
+                    (k % 25).cast("long"),
+                    ((k * 3) % 25).cast("long"),
+                    ((k * 7) % 25).cast("long"),
+                )
+            ).alias("layer_id"),
+        )
+    )
+    joined = attach_map_layers(maps, membership)
+    ids = F.col("layerIds")
+    return joined.select(
+        "id",
+        F.when(ids.isNotNull(), F.size(ids)).otherwise(F.lit(0)).alias("n_layers"),
+        F.when(ids.isNotNull(), F.concat_ws(",", ids.cast("array<string>"))).alias(
+            "layer_csv"
+        ),
+    )
+
+
+_register(
+    "mw_map_layers_join",
+    mw_map_layers_join,
+    """
+    WITH maps AS (
+      SELECT p_partkey::BIGINT AS id FROM part WHERE p_partkey < 150
+    ), member AS (
+      SELECT p_partkey::BIGINT AS map_id,
+             list_sort(list_distinct([
+               (p_partkey % 25)::BIGINT,
+               ((p_partkey * 3) % 25)::BIGINT,
+               ((p_partkey * 7) % 25)::BIGINT
+             ])) AS layer_ids
+      FROM part WHERE p_partkey < 150 AND p_partkey % 43 <> 0
+    )
+    SELECT id,
+           coalesce(len(layer_ids), 0)::INT AS n_layers,
+           array_to_string(layer_ids, ',') AS layer_csv
+    FROM maps LEFT JOIN member ON id = map_id
+    """,
+)

@@ -1,0 +1,119 @@
+"""Unit tests for the GCP mask-enrichment operator (reference #20,
+mapwarper.js:79-110): polynomial fit math, result-struct error
+handling, masked-only gating, and the map-layers broadcast join."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_mapwarper_spark.operators.enrichment import (  # noqa: E402
+    attach_map_layers,
+    enrich_masks,
+    fit_gcp_polynomial,
+)
+
+
+def _affine_gcps(a, b, c, d, e, f, pts):
+    """GCP rows [px,py,lat,lon] for lon=a·px+b·py+c, lat=d·px+e·py+f."""
+    return [
+        [float(px), float(py), d * px + e * py + f, a * px + b * py + c]
+        for px, py in pts
+    ]
+
+
+def test_affine_fit_with_shear_recovers_exactly():
+    a, b, c, d, e, f = 1e-4, 2e-5, -74.0, -1e-5, 5e-5, 40.7
+    gcps = _affine_gcps(a, b, c, d, e, f, [(0, 0), (500, 0), (0, 400), (500, 400)])
+    lon_c, lat_c = fit_gcp_polynomial(gcps, order=1)
+    assert np.allclose(lon_c, [a, b, c], atol=1e-9)
+    assert np.allclose(lat_c, [d, e, f], atol=1e-9)
+
+
+def test_order2_fit_recovers_quadratic():
+    # lon = 1e-8·px² + 1e-4·px - 74 ; lat = 5e-5·py + 40.7
+    pts = [(x, y) for x in (0, 100, 200, 300) for y in (0, 150, 300)]
+    gcps = [
+        [px, py, 5e-5 * py + 40.7, 1e-8 * px * px + 1e-4 * px - 74.0]
+        for px, py in pts
+    ]
+    lon_c, lat_c = fit_gcp_polynomial(gcps, order=2)
+    # design: [px, py, px², py², px·py, 1]
+    assert np.allclose(lon_c, [1e-4, 0, 1e-8, 0, 0, -74.0], atol=1e-9)
+    assert np.allclose(lat_c, [0, 5e-5, 0, 0, 0, 40.7], atol=1e-9)
+
+
+def test_too_few_gcps_raises_value_error():
+    with pytest.raises(ValueError, match="need >= 3 GCPs"):
+        fit_gcp_polynomial([[0, 0, 40.7, -74.0]], order=1)
+    with pytest.raises(ValueError, match="need >= 6 GCPs"):
+        fit_gcp_polynomial(
+            _affine_gcps(1, 0, 0, 0, 1, 0, [(0, 0), (1, 0), (0, 1)]), order=2
+        )
+
+
+@pytest.fixture(scope="module")
+def maps_df(spark):
+    gcps = _affine_gcps(
+        1e-4, 0, -74.0, 0, 5e-5, 40.7, [(0, 0), (200, 0), (0, 200), (200, 200)]
+    )
+    ring = [[0.0, 0.0], [100.0, 0.0], [100.0, 80.0], [0.0, 80.0], [0.0, 0.0]]
+    rows = [
+        (1, "masked", ring, gcps),
+        (2, "masking", ring, gcps),
+        (3, "unmasked", ring, gcps),  # gated out of Python
+        (4, "masked", ring, gcps[:2]),  # too few GCPs -> error record
+        (5, "masked", [], gcps),  # empty mask -> error record
+        (6, None, ring, gcps),  # null status treated as unmasked
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id INT, mask_status STRING, mask ARRAY<ARRAY<DOUBLE>>, "
+        "gcps ARRAY<ARRAY<DOUBLE>>",
+    )
+
+
+def test_enrich_masks_success_and_gating(spark, maps_df):
+    out = {r.id: r for r in enrich_masks(maps_df).collect()}
+    for i in (1, 2):
+        geom = out[i].maskGeometry
+        assert geom.type == "Polygon" and out[i].maskError is None
+        lon, lat = geom.coordinates[0][2]  # pixel (100, 80)
+        assert lon == pytest.approx(-74.0 + 1e-4 * 100, abs=1e-9)
+        assert lat == pytest.approx(40.7 + 5e-5 * 80, abs=1e-9)
+    for i in (3, 6):  # never entered Python: both columns null
+        assert out[i].maskGeometry is None and out[i].maskError is None
+    assert "need >= 3 GCPs" in out[4].maskError
+    assert out[4].maskGeometry is None
+    assert out[5].maskError == "empty mask"
+
+
+def test_enrich_masks_never_throws_on_garbage(spark):
+    df = spark.createDataFrame(
+        [(1, "masked", [[0.0], [1.0]], [[1.0, 2.0]])],
+        "id INT, mask_status STRING, mask ARRAY<ARRAY<DOUBLE>>, "
+        "gcps ARRAY<ARRAY<DOUBLE>>",
+    )
+    rows = enrich_masks(df).collect()  # must not raise
+    assert rows[0].maskError is not None
+
+
+def test_attach_map_layers_left_join_and_broadcast(spark):
+    maps = spark.createDataFrame([(1,), (2,), (3,)], "id INT")
+    member = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 12)], "map_id INT, layer_id INT"
+    )
+    out = attach_map_layers(maps, member)
+    got = {r.id: r.layerIds for r in out.collect()}
+    assert got[1] == [10, 11]  # deduped + sorted
+    assert got[2] == [12]
+    assert got[3] is None  # left join keeps layer-less maps
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
