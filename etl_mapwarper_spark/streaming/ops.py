@@ -1,0 +1,161 @@
+"""Streaming transformations over the ``events`` schema.
+
+Every function here is a pure DataFrame→DataFrame transformation that
+works on a *streaming* DataFrame (and, where Spark allows, on a batch
+one — handy for differential testing). Runners that attach sources and
+sinks live in ``runner.py``/``queries.py``.
+
+Late-data policy (documented per SURVEY.md §7): watermark-drop. An
+event older than ``max(event_time) - delay`` at the time its
+micro-batch is processed is discarded by the stateful operators below;
+the watermark column is the only lateness contract. At 100 TB-scale
+ingest this bounds state size: window state is evicted as the
+watermark passes, so state ∝ (delay / window) × |keys|, independent of
+stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", delay: str = "1 hour"
+) -> DataFrame:
+    """Per event-type counts/sums in fixed event-time windows."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Overlapping windows: each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", delay: str = "1 hour"
+) -> DataFrame:
+    """Per-user session aggregation with a data-driven close (gap).
+
+    ``session_window`` end = last event ts + gap; the streaming
+    equivalent of the batch sessionization in q21_user_sessions.
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: Iterable[str] = ("event_id",), delay: str = "1 hour"
+) -> DataFrame:
+    """Drop duplicate events arriving within the watermark horizon.
+
+    State holds only keys newer than the watermark — bounded, unlike a
+    global ``dropDuplicates`` whose state grows with the stream.
+    """
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+# --- custom stateful operator: running per-user totals ---------------------
+
+USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _user_totals_fn(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 6)],
+        }
+    )
+
+
+def stateful_user_totals(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Running per-user (count, sum) via ``applyInPandasWithState``.
+
+    Emits one row per (user, micro-batch) carrying the running totals —
+    the arbitrary-stateful-operator escape hatch for semantics windows
+    can't express (the state schema is explicit and bounded per key).
+
+    Late-data policy: unlike built-in windowed aggregations, Spark does
+    NOT watermark-filter the input of arbitrary stateful operators —
+    the watermark only drives state timeouts. This op therefore counts
+    every arriving row, late or not (verified in tests); an operator
+    needing watermark-drop must track event time in its own state.
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_totals_fn,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,149 @@
+"""Driver-gate queries for the streaming surface.
+
+Each query replays ``events`` as a finite file-source stream
+(``availableNow``) through a real streaming plan — event-time windows,
+watermarks, within-watermark dedup, ``applyInPandasWithState`` — and
+returns the settled result as a batch DataFrame. Aggregations run in
+complete mode, whose final result equals batch semantics by
+construction, so every query here is value-checked against DuckDB
+rather than rows-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ops
+from .runner import read_events_stream, run_foreach_batch, run_to_memory
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(ops.tumbling_counts(ev), output_mode="complete")
+
+
+_register(
+    "st_tumbling_counts",
+    st_tumbling_counts,
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(ops.sliding_counts(ev), output_mode="complete")
+
+
+_register(
+    "st_sliding_counts",
+    st_sliding_counts,
+    # each event belongs to 2 two-hour windows sliding by 1 hour
+    """
+    SELECT date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS window_start,
+           count(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) o(o)
+    GROUP BY 1
+    """,
+)
+
+
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(ops.session_windows(ev), output_mode="complete")
+
+
+_register(
+    "st_session_windows",
+    st_session_windows,
+    # gap-based sessionization; session_window end = last ts + gap.
+    # New session when the gap is >= 30 min (window end is exclusive).
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                              )::BIGINT AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+
+
+def st_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate every event (self-union), dedup within watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(read_events_stream(spark, sf_dir))
+    deduped = run_to_memory(
+        ops.dedup_within_watermark(doubled, keys=["event_id"]),
+        output_mode="append",
+    )
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+_register(
+    "st_dedup_watermark",
+    st_dedup_watermark,
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+
+
+def st_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op via foreachBatch; one update row per user
+    per micro-batch — the full events file is a single file-source
+    batch, so the settled output is one running-total row per user."""
+    ev = read_events_stream(spark, sf_dir)
+    updates: list[pd.DataFrame] = []
+
+    def collect_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        updates.append(batch_df.toPandas())
+
+    run_foreach_batch(
+        ops.stateful_user_totals(ev), collect_batch, output_mode="update"
+    )
+    all_updates = pd.concat(updates, ignore_index=True)
+    # keep the LAST update per user (running totals are monotone in n)
+    settled = (
+        all_updates.sort_values("n_events").groupby("user_id").tail(1)
+    )
+    return spark.createDataFrame(settled, schema=ops.USER_TOTALS_SCHEMA)
+
+
+_register(
+    "st_user_totals",
+    st_user_totals,
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)

@@ -1,0 +1,72 @@
+"""Stream runners: file source → transformation → sink.
+
+``run_to_memory`` drives a streaming transformation over the events
+parquet with ``trigger(availableNow=True)`` and returns the resulting
+batch DataFrame from the in-memory sink — how the driver-gate queries
+(queries.py) execute a finite replay of the stream.
+
+Output-mode contract for oracle parity: aggregations run in
+``complete`` mode, where Structured Streaming's final result provably
+equals the batch computation regardless of micro-batch boundaries
+(watermarks never evict state in complete mode). Append/update modes
+are exercised in tests, where watermark-drop behavior is the thing
+under test rather than a correctness hazard.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import SCHEMAS
+from ..sources import tables as _tables
+
+_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (ns ts → µs, like batch)."""
+    return (
+        spark.readStream.schema(_tables._EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select(*[f.name for f in SCHEMAS["events"].fields])
+    )
+
+
+def run_to_memory(
+    transformed: DataFrame,
+    output_mode: str = "complete",
+    name_prefix: str = "stq",
+) -> DataFrame:
+    """Run a finite availableNow pass into a memory sink; return table."""
+    name = f"{name_prefix}_{next(_counter)}"
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return transformed.sparkSession.table(name)
+
+
+def run_foreach_batch(
+    transformed: DataFrame,
+    batch_fn,
+    output_mode: str = "update",
+) -> None:
+    """foreachBatch sink: hand each micro-batch DataFrame to batch_fn."""
+    q = (
+        transformed.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()

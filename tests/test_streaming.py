@@ -1,0 +1,161 @@
+"""Streaming behavior tests that the oracle gate can't express:
+watermark-drop of late data (append mode), state carried across
+micro-batches in applyInPandasWithState, and the foreachBatch sink.
+
+Three-file fixtures with controlled modification times force a
+deterministic micro-batch order (file source processes oldest first
+with maxFilesPerTrigger=1). Note Spark's eviction timing: a window is
+emitted/evicted at the END of the batch in which the watermark passes
+it, so a late row only gets dropped if it arrives in a LATER batch
+than the one that evicted its window — hence the buffer batch (file b)
+between the watermark-advancing batch and the late arrival."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_mapwarper_spark.streaming import ops  # noqa: E402
+from etl_mapwarper_spark.streaming.runner import run_foreach_batch  # noqa: E402
+
+T0 = pd.Timestamp("2024-01-01 00:00:00")
+SCHEMA_DDL = "ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+
+
+def _write(path: str, rows: list[tuple[pd.Timestamp, int, float]], mtime: float):
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    os.utime(path, (mtime, mtime))
+
+
+@pytest.fixture()
+def three_batch_dir(tmp_path):
+    """Batch a: on-time rows + a far-future row (watermark → T0+4h,
+    T0-window evicted at end of NEXT batch's predecessor — see module
+    docstring). Batch b: buffer. Batch c: one LATE row + one on-time."""
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    now = time.time()
+    _write(
+        f"{d}/a_batch1.parquet",
+        [
+            (T0 + pd.Timedelta(minutes=5), 1, 1.0),
+            (T0 + pd.Timedelta(minutes=10), 1, 2.0),
+            (T0 + pd.Timedelta(hours=5), 2, 3.0),  # watermark -> T0+4h
+        ],
+        mtime=now - 90,
+    )
+    _write(
+        f"{d}/b_batch2.parquet",
+        [(T0 + pd.Timedelta(hours=5, minutes=1), 2, 4.0)],
+        mtime=now - 60,
+    )
+    _write(
+        f"{d}/c_batch3.parquet",
+        [
+            (T0 + pd.Timedelta(minutes=20), 1, 100.0),  # LATE: << watermark
+            (T0 + pd.Timedelta(hours=5, minutes=2), 2, 5.0),
+        ],
+        mtime=now - 30,
+    )
+    return d
+
+
+def _stream(spark, d):
+    return (
+        spark.readStream.schema(SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, three_batch_dir):
+    ev = _stream(spark, three_batch_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("ws"), "n", "sv")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = {r.ws: r for r in spark.table("late_test").collect()}
+    # T0 window was evicted once the watermark passed T0+30min; the
+    # batch-3 late row (T0+20min, value 100) was DROPPED, not merged
+    # and not re-emitted as a duplicate window.
+    t0_key = T0.to_pydatetime()
+    assert t0_key in rows
+    assert rows[t0_key].n == 2
+    assert rows[t0_key].sv == pytest.approx(3.0)  # 1.0 + 2.0, not 103.0
+
+
+def test_stateful_totals_accumulate_across_batches(spark, three_batch_dir):
+    ev = _stream(spark, three_batch_dir)
+    updates: list[pd.DataFrame] = []
+    run_foreach_batch(
+        ops.stateful_user_totals(ev),
+        lambda df, _id: updates.append(df.toPandas()),
+        output_mode="update",
+    )
+    nonempty = [u for u in updates if len(u)]
+    assert len(nonempty) >= 3  # one update frame per data-bearing batch
+    final = (
+        pd.concat(nonempty, ignore_index=True)
+        .sort_values("n_events")
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    # user 2: one event per batch -> state carried across 3 batches.
+    assert final.loc[2, "n_events"] == 3
+    assert final.loc[2, "total_value"] == pytest.approx(12.0)
+    # user 1's batch-3 row is LATE but still reaches the function:
+    # unlike built-in windowed aggs, applyInPandasWithState leaves
+    # late-data policy to the operator author (the watermark only
+    # drives state timeouts). Documented in ops.stateful_user_totals.
+    assert final.loc[1, "n_events"] == 3
+    assert final.loc[1, "total_value"] == pytest.approx(103.0)
+
+
+def test_dedup_within_watermark_single_batch(spark, tmp_path):
+    d = str(tmp_path / "dd")
+    os.makedirs(d)
+    _write(
+        f"{d}/x.parquet",
+        [
+            (T0, 1, 1.0),
+            (T0, 1, 1.0),  # exact duplicate (same user, same ts)
+            (T0 + pd.Timedelta(minutes=1), 1, 1.0),
+        ],
+        mtime=time.time(),
+    )
+    ev = _stream(spark, d)
+    out = ops.dedup_within_watermark(ev, keys=["user_id", "ts"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert spark.table("dd_test").count() == 2
