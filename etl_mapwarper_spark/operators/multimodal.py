@@ -1,0 +1,288 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+Pattern (same result-struct discipline as the mask enrichment op,
+reference mapwarper.js:79-110): media rows are ``(media_id, kind,
+payload BINARY, meta STRUCT<width,height,channels,frames>)``; each
+processing stage is a ``mapInPandas`` UDF that consumes whole Arrow
+batches, never a row-at-a-time Python UDF.
+
+Real codecs (PIL/ffmpeg/librosa) are NOT in this container — the
+``decode_real`` entry point raises ``NotImplementedError`` behind an
+import-try, and the tested path uses a **deterministic fake codec**:
+payload byte ``i`` of media ``m`` is ``(m + i) % 256``, generated
+JVM-side (hex-string → ``unhex``), so every downstream stat is exact
+integer arithmetic DuckDB reproduces — the Spark-side plumbing
+(schemas, batch shapes, partitioning) is real and value-checked even
+though the codec is fake.
+
+Scale notes: payloads stay opaque bytes through shuffles (never
+exploded to per-pixel rows on the JVM side); per-stage parallelism is
+per-partition Arrow batches, so a 100 TB media corpus distributes by
+repartitioning on media_id with bounded batch memory
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+META_TYPE = "struct<width:int,height:int,channels:int,frames:int>"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+W, H = 8, 8  # fake image dims; video = FRAMES stacked images
+FRAMES = 4
+
+
+def decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """Real codec path — STUB. PIL/ffmpeg are not in this container."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg, not present in this "
+            "environment; use the deterministic fake codec (decode_fake)"
+        ) from e
+    raise NotImplementedError("real decode not implemented")
+
+
+def decode_fake(payload: bytes) -> np.ndarray:
+    """Deterministic fake codec: bytes ARE the pixels/samples."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def synthetic_media(
+    spark: SparkSession, sf_dir: str, kind: str = "image", limit: int = 200
+) -> DataFrame:
+    """Media fixture: payload byte i of media m = (m + i) % 256.
+
+    Generated fully JVM-side (hex string → unhex) so the binary
+    ingestion path is exercised without any Python in the lineage.
+    """
+    n_bytes = W * H * (FRAMES if kind == "video" else 1)
+    m = F.col("doc_id")
+    payload_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+            lambda i: F.lpad(F.lower(F.hex((m + i) % 256)), 2, "0"),
+        ),
+        "",
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(m < limit)
+        .select(
+            m.alias("media_id"),
+            F.lit(kind).alias("kind"),
+            F.unhex(payload_hex).alias("payload"),
+            F.struct(
+                F.lit(W).alias("width"),
+                F.lit(H).alias("height"),
+                F.lit(1).alias("channels"),
+                F.lit(FRAMES if kind == "video" else 1).alias("frames"),
+            ).alias("meta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stages
+# ---------------------------------------------------------------------------
+
+STATS_SCHEMA = (
+    "media_id bigint, n_bytes int, mean_px double, min_px int, max_px int"
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Feature-extract stage: per-image pixel stats from the payload."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [decode_fake(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": [len(a) for a in px],
+                    "mean_px": [float(a.mean()) for a in px],
+                    "min_px": [int(a.min()) for a in px],
+                    "max_px": [int(a.max()) for a in px],
+                }
+            )
+
+    return media.mapInPandas(stats, schema=STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id bigint, y int, x int, pooled double"
+
+
+def resize_avgpool(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize stage: factor×factor average pooling, flattened output.
+
+    Flattened (media_id, y, x, pooled) rows keep the result hashable
+    for the oracle gate; a production pipeline would re-encode to a
+    binary column instead of exploding.
+    """
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "y": [], "x": [], "pooled": []}
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = meta["width"], meta["height"]
+                img = decode_fake(payload)[: w * h].reshape(h, w).astype(np.float64)
+                ph, pw = h // factor, w // factor
+                pooled = img.reshape(ph, factor, pw, factor).mean(axis=(1, 3))
+                for y in range(ph):
+                    for x in range(pw):
+                        out["media_id"].append(mid)
+                        out["y"].append(y)
+                        out["x"].append(x)
+                        out["pooled"].append(float(pooled[y, x]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(pool, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_sum bigint"
+
+
+def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video stage: sample every ``every``-th frame, emit a checksum."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_sum": []}
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, n = meta["width"], meta["height"], meta["frames"]
+                raw = decode_fake(payload)
+                fsize = w * h
+                for fi in range(0, n, every):
+                    frame = raw[fi * fsize : (fi + 1) * fsize]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["frame_sum"].append(int(frame.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-gated queries. Payload byte i of media m is (m+i)%256, so all
+# stats are closed-form integer arithmetic in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_stats(synthetic_media(spark, sf_dir)).select(
+        "media_id", "n_bytes", F.round("mean_px", 6).alias("mean_px"),
+        "min_px", "max_px"
+    )
+
+
+_register(
+    "mm_image_stats",
+    mm_image_stats,
+    f"""
+    SELECT doc_id AS media_id,
+           {W * H} AS n_bytes,
+           round(avg((doc_id + i.i) % 256), 6) AS mean_px,
+           min((doc_id + i.i) % 256)::INT AS min_px,
+           max((doc_id + i.i) % 256)::INT AS max_px
+    FROM documents CROSS JOIN (SELECT unnest(range(0, {W * H})) AS i) i
+    WHERE doc_id < 200
+    GROUP BY doc_id
+    """,
+)
+
+
+def mm_resize_avgpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resize_avgpool(synthetic_media(spark, sf_dir))
+    return out.select(
+        "media_id", "y", "x", F.round("pooled", 6).alias("pooled")
+    )
+
+
+_register(
+    "mm_resize_avgpool",
+    mm_resize_avgpool,
+    # pool cell (y,x) averages bytes at rows 2y,2y+1 × cols 2x,2x+1;
+    # byte index = row*W + col.
+    f"""
+    WITH cells AS (
+      SELECT doc_id, y.y::INT AS y, x.x::INT AS x
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, {H // 2})) AS y) y
+      CROSS JOIN (SELECT unnest(range(0, {W // 2})) AS x) x
+      WHERE doc_id < 200
+    ), contrib AS (
+      SELECT doc_id, y, x,
+             (doc_id + ((2 * y + dy.dy) * {W} + (2 * x + dx.dx))) % 256 AS px
+      FROM cells
+      CROSS JOIN (VALUES (0), (1)) dy(dy)
+      CROSS JOIN (VALUES (0), (1)) dx(dx)
+    )
+    SELECT doc_id AS media_id, y, x, round(avg(px), 6) AS pooled
+    FROM contrib GROUP BY doc_id, y, x
+    """,
+)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir, kind="video")
+    return frame_sample(media, every=2)
+
+
+_register(
+    "mm_frame_sample",
+    mm_frame_sample,
+    f"""
+    SELECT doc_id AS media_id,
+           f.f::INT AS frame_idx,
+           sum((doc_id + (f.f * {W * H} + i.i)) % 256)::BIGINT AS frame_sum
+    FROM documents
+    CROSS JOIN (VALUES (0), (2)) f(f)
+    CROSS JOIN (SELECT unnest(range(0, {W * H})) AS i) i
+    WHERE doc_id < 200
+    GROUP BY doc_id, f.f
+    """,
+)
