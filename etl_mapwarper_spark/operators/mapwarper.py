@@ -55,130 +55,207 @@ def _register(name, fn, sql=None):
 N_MAPS = 150  # p_partkey < 150 exists at every SF
 N_LAYERS = 25  # nation keys 0..24
 
+# The fixtures are tiny by construction (150 / 25 rows at every SF).
+# They are built driver-side (plain Python arithmetic over the key
+# column collected from the driver's parquet tables, exactly
+# mirroring the oracle SQL's IEEE-double arithmetic in DuckDB),
+# written once per process to a temp parquet file, and read back with
+# spark.read.parquet. Two earlier shapes were pathological:
+# (a) building them as Spark when()-chain expressions made
+#     CollapseProject inline the chains into every downstream
+#     reference, exploding the optimizer tree (seconds of planning
+#     per query) and generating >9k-line codegen files that failed
+#     janino compilation ("not an rvalue") and fell back to
+#     interpretation;
+# (b) spark.createDataFrame(python_rows) plans a pickled-RDD scan
+#     that round-trips through a Python worker on EVERY job (~7s per
+#     materialization in this environment).
+# A parquet fixture file gives a plain JVM FileSourceScan — the same
+# shape real pipeline inputs have.
+_FIXTURE_CACHE: dict = {}
+
+
+def _fixture_df(spark, sf_dir: str, name: str, build_table) -> DataFrame:
+    key = (spark, sf_dir, name)
+    entry = _FIXTURE_CACHE.get(key)
+    if entry is not None:
+        return entry
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"mw_fixture_{name}_{abs(hash(sf_dir)) % (1 << 32)}_{os.getpid()}.parquet",
+    )
+    if not os.path.exists(path):
+        pq.write_table(build_table(), path)
+    df = spark.read.parquet(path).persist()
+    _FIXTURE_CACHE[key] = df
+    return df
+
 
 def synthetic_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """maps_enriched-shaped fixture rows keyed by p_partkey < 150."""
-    k = F.col("p_partkey")
-    ks = k.cast("string")
-    lon0 = F.lit(-74.0) + (k % 10).cast("double") * 0.01
-    lat0 = F.lit(40.7) + ((k * 7) % 10).cast("double") * 0.01
-    d = F.lit(0.01) + (k % 5).cast("double") * 0.001
+    return _fixture_df(spark, sf_dir, "maps", lambda: _maps_table(spark, sf_dir))
 
-    def pt(x: Column, y: Column) -> Column:
-        return F.array(x, y)
 
-    square = F.array(
-        F.array(
-            pt(lon0, lat0),
-            pt(lon0 + d, lat0),
-            pt(lon0 + d, lat0 + d),
-            pt(lon0, lat0 + d),
-            pt(lon0, lat0),
-        )
-    )
-    triangle = F.array(
-        F.array(pt(lon0, lat0), pt(lon0 + d, lat0), pt(lon0, lat0))
-    )
-    bowtie = F.array(
-        F.array(
-            pt(lon0, lat0),
-            pt(lon0 + d, lat0 + d),
-            pt(lon0 + d, lat0),
-            pt(lon0, lat0 + d),
-            pt(lon0, lat0),
-        )
-    )
-    bad_lon = F.lit(200.0) + (k % 5).cast("double")
-    invalid = F.array(
-        F.array(
-            pt(bad_lon, lat0),
-            pt(bad_lon + 1.0, lat0),
-            pt(bad_lon + 1.0, lat0 + d),
-            pt(bad_lon, lat0 + d),
-            pt(bad_lon, lat0),
-        )
-    )
+def _map_row(k: int) -> tuple:
+    ks = str(k)
+    lon0 = -74.0 + (k % 10) * 0.01
+    lat0 = 40.7 + ((k * 7) % 10) * 0.01
+    d = 0.01 + (k % 5) * 0.001
+    square = [
+        [lon0, lat0], [lon0 + d, lat0], [lon0 + d, lat0 + d],
+        [lon0, lat0 + d], [lon0, lat0],
+    ]
+    bad_lon = 200.0 + (k % 5)
     h = d / 4.0
-    with_hole = F.array(
-        F.element_at(square, 1),
-        F.array(
-            pt(lon0 + h, lat0 + h),
-            pt(lon0 + 2 * h, lat0 + h),
-            pt(lon0 + 2 * h, lat0 + 2 * h),
-            pt(lon0 + h, lat0 + 2 * h),
-            pt(lon0 + h, lat0 + h),
-        ),
-    )
-    coordinates = (
-        F.when(k % 41 == 0, F.lit(None).cast("array<array<array<double>>>"))
-        .when(k % 23 == 0, triangle)
-        .when(k % 29 == 0, bowtie)
-        .when(k % 31 == 0, invalid)
-        .when(k % 37 == 0, with_hole)
-        .otherwise(square)
-    )
-    geometry = F.when(
-        coordinates.isNotNull(),
-        F.struct(F.lit("Polygon").alias("type"), coordinates.alias("coordinates")),
-    )
-    gcps = F.array(
-        F.array(k.cast("double"), k.cast("double") + 0.5, F.lit(40.0) + k.cast("double") * 0.001, F.lit(-74.0) + k.cast("double") * 0.001),
-        F.array(k.cast("double") + 10.0, k.cast("double") + 10.5, F.lit(40.01) + k.cast("double") * 0.001, F.lit(-73.99) + k.cast("double") * 0.001),
-    )
+    if k % 41 == 0:
+        coords = None
+    elif k % 23 == 0:
+        coords = [[[lon0, lat0], [lon0 + d, lat0], [lon0, lat0]]]
+    elif k % 29 == 0:
+        coords = [[
+            [lon0, lat0], [lon0 + d, lat0 + d], [lon0 + d, lat0],
+            [lon0, lat0 + d], [lon0, lat0],
+        ]]
+    elif k % 31 == 0:
+        coords = [[
+            [bad_lon, lat0], [bad_lon + 1.0, lat0], [bad_lon + 1.0, lat0 + d],
+            [bad_lon, lat0 + d], [bad_lon, lat0],
+        ]]
+    elif k % 37 == 0:
+        coords = [
+            square,
+            [
+                [lon0 + h, lat0 + h], [lon0 + 2 * h, lat0 + h],
+                [lon0 + 2 * h, lat0 + 2 * h], [lon0 + h, lat0 + 2 * h],
+                [lon0 + h, lat0 + h],
+            ],
+        ]
+    else:
+        coords = [square]
+    if k % 49 == 0:
+        uuid = ""
+    elif k % 7 == 0:
+        uuid = None
+    elif k % 11 == 0:
+        uuid = "inset-" + ks
+    else:
+        uuid = "uuid-" + ks
     return (
-        load_table(spark, sf_dir, "part")
-        .filter(k < N_MAPS)
-        .select(
-            k.cast("long").alias("id"),
-            F.concat(F.lit("Map "), ks).alias("title"),
-            F.when(k % 9 != 0, F.concat(F.lit("Description of map "), ks)).alias("description"),
-            F.when(k % 27 != 0, F.concat(F.lit("img-"), ks)).alias("nypl_digital_id"),
-            F.when(k % 49 == 0, F.lit(""))
-            .when(k % 7 == 0, F.lit(None))
-            .otherwise(
-                F.when(k % 11 == 0, F.concat(F.lit("inset-"), ks)).otherwise(
-                    F.concat(F.lit("uuid-"), ks)
-                )
-            )
-            .alias("uuid"),
-            F.when(k % 11 == 0, F.concat(F.lit("uuid-parent-"), ks)).alias("parent_uuid"),
-            F.when(k % 17 != 0, F.lit("-74.0,40.7,-73.9,40.8")).alias("bbox"),
-            F.when(k % 13 == 0, F.lit("not_map")).otherwise(F.lit("is_map")).alias("map_type"),
-            F.when(k % 4 == 0, "warped")
-            .when(k % 4 == 1, "published")
-            .when(k % 4 == 2, "unwarped")
-            .otherwise("warped")
-            .alias("status"),
-            F.when(k % 3 == 0, "masked")
-            .when(k % 3 == 1, "masking")
-            .otherwise("unmasked")
-            .alias("mask_status"),
-            F.lit("affine").alias("transform_options"),
-            F.when(k % 4 != 0, (F.lit(1850) + k % 100).cast("string")).alias("depicts_year"),
-            F.when(k % 8 < 6, (F.lit(1900) + k % 50).cast("string")).alias("issue_year"),
-            F.when(k % 19 == 0, F.lit("mask-to-geojson failed: timeout")).alias("maskError"),
-            geometry.alias("maskGeometry"),
-            gcps.alias("gcps"),
-            F.when(
-                k % 43 != 0,
-                F.array((k % 25).cast("long"), ((k * 3) % 25).cast("long")),
-            ).alias("layerIds"),
-        )
+        k,
+        "Map " + ks,
+        "Description of map " + ks if k % 9 != 0 else None,
+        "img-" + ks if k % 27 != 0 else None,
+        uuid,
+        "uuid-parent-" + ks if k % 11 == 0 else None,
+        "-74.0,40.7,-73.9,40.8" if k % 17 != 0 else None,
+        "not_map" if k % 13 == 0 else "is_map",
+        ["warped", "published", "unwarped", "warped"][k % 4],
+        ["masked", "masking", "unmasked"][k % 3],
+        "affine",
+        str(1850 + k % 100) if k % 4 != 0 else None,
+        str(1900 + k % 50) if k % 8 < 6 else None,
+        "mask-to-geojson failed: timeout" if k % 19 == 0 else None,
+        ("Polygon", coords) if coords is not None else None,
+        [
+            [float(k), k + 0.5, 40.0 + k * 0.001, -74.0 + k * 0.001],
+            [k + 10.0, k + 10.5, 40.01 + k * 0.001, -73.99 + k * 0.001],
+        ],
+        [k % 25, (k * 3) % 25] if k % 43 != 0 else None,
     )
+
+
+def _maps_arrow_schema():
+    import pyarrow as pa
+
+    coords = pa.list_(pa.list_(pa.list_(pa.float64())))
+    return pa.schema(
+        [
+            ("id", pa.int64()),
+            ("title", pa.string()),
+            ("description", pa.string()),
+            ("nypl_digital_id", pa.string()),
+            ("uuid", pa.string()),
+            ("parent_uuid", pa.string()),
+            ("bbox", pa.string()),
+            ("map_type", pa.string()),
+            ("status", pa.string()),
+            ("mask_status", pa.string()),
+            ("transform_options", pa.string()),
+            ("depicts_year", pa.string()),
+            ("issue_year", pa.string()),
+            ("maskError", pa.string()),
+            (
+                "maskGeometry",
+                pa.struct([("type", pa.string()), ("coordinates", coords)]),
+            ),
+            ("gcps", pa.list_(pa.list_(pa.float64()))),
+            ("layerIds", pa.list_(pa.int64())),
+        ]
+    )
+
+
+def _maps_table(spark: SparkSession, sf_dir: str):
+    import pyarrow as pa
+
+    keys = [
+        r[0]
+        for r in load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < N_MAPS)
+        .select("p_partkey")
+        .collect()
+    ]
+    schema = _maps_arrow_schema()
+    names = [f.name for f in schema]
+    rows = []
+    for k in sorted(int(k) for k in keys):
+        row = dict(zip(names, _map_row(k)))
+        geom = row["maskGeometry"]
+        if geom is not None:
+            row["maskGeometry"] = {"type": geom[0], "coordinates": geom[1]}
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def synthetic_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """layers_raw-shaped fixture rows keyed by n_nationkey (0..24)."""
-    n = F.col("n_nationkey")
-    ns = n.cast("string")
-    return load_table(spark, sf_dir, "nation").select(
-        n.cast("long").alias("id"),
-        F.concat(F.lit("Layer "), ns).alias("name"),
-        F.when(n % 5 != 0, (F.lit(1860) + n).cast("string")).alias("depicts_year"),
-        F.when(n % 10 < 8, (F.lit(1910) + n).cast("string")).alias("issue_year"),
-        (F.col("n_regionkey") * 3 + n % 4).cast("int").alias("maps_count"),
-        F.when(n % 6 != 0, F.lit("-74.1,40.6,-73.8,40.9")).alias("bbox"),
+    return _fixture_df(spark, sf_dir, "layers", lambda: _layers_table(spark, sf_dir))
+
+
+def _layers_table(spark: SparkSession, sf_dir: str):
+    import pyarrow as pa
+
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .collect()
     )
+    schema = pa.schema(
+        [
+            ("id", pa.int64()),
+            ("name", pa.string()),
+            ("depicts_year", pa.string()),
+            ("issue_year", pa.string()),
+            ("maps_count", pa.int32()),
+            ("bbox", pa.string()),
+        ]
+    )
+    data = [
+        {
+            "id": n,
+            "name": "Layer " + str(n),
+            "depicts_year": str(1860 + n) if n % 5 != 0 else None,
+            "issue_year": str(1910 + n) if n % 10 < 8 else None,
+            "maps_count": r * 3 + n % 4,
+            "bbox": "-74.1,40.6,-73.8,40.9" if n % 6 != 0 else None,
+        }
+        for n, r in sorted((int(x[0]), int(x[1])) for x in rows)
+    ]
+    return pa.Table.from_pylist(data, schema=schema)
 
 
 # ---------------------------------------------------------------------------
