@@ -132,24 +132,49 @@ _register(
 # ---------------------------------------------------------------------------
 
 
-def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: the shingle set feeds three subtrees (sizes + both join
-    # sides); without it Spark re-derives the explode per consumer.
-    sh = _shingles(spark, sf_dir).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
+def dd_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via posting lists.
+
+    One shuffle builds per-shingle posting lists; candidate pairs are
+    generated map-side from each list (sorted, so d1 < d2 holds by
+    construction) and counted. This halves the shuffled volume vs. a
+    shingle self-join (which shuffles the inverted index twice) and
+    generates each co-occurrence exactly once.
+
+    ``df_cap``: optional stop-shingle cap — posting lists longer than
+    this are dropped before pair generation. At 100 TB a boilerplate
+    shingle appearing in m docs yields m(m-1)/2 pairs inside one task;
+    the cap bounds that straggler. None (default) keeps exact
+    semantics, which is what the DuckDB oracle checks.
+    """
+    sh = _shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # Per-doc distinct-shingle counts are a map-only projection of the
+    # source (no shuffle). Join strategy is left to AQE: at test SF it
+    # broadcasts this side from runtime stats; at corpus scale it is
+    # too big to broadcast and AQE keeps a shuffle join.
+    sizes = docs.select(
+        "doc_id", F.size(word_shingles(tokens(F.col("text")), 3)).alias("n")
     )
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if df_cap is not None:
+        posts = posts.filter(F.size("ds") <= df_cap)
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS d1, y AS d2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2")
+    common = pairs.groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("c"))
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     return (
@@ -197,44 +222,50 @@ _register(
 
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).persist()
-    seeds = F.array([F.lit(s) for s in range(N_SEEDS)])
-    # md5(seed|shingle) is doc-independent: hash each DISTINCT shingle
-    # once (vocabulary-sized), broadcast, and join back — at corpus
-    # scale this turns |corpus|×N_SEEDS md5 calls into |vocab|×N_SEEDS.
-    shingle_hashes = (
-        sh.select("shingle")
-        .distinct()
-        .select("shingle", F.explode(seeds).alias("seed"))
-        .withColumn(
-            "h",
-            F.md5(
-                F.concat(
-                    F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
-                )
-            ),
-        )
+    """MinHash-LSH near-dup pairs with exact set verification.
+
+    ONE shuffle of the shingle index produces, per doc, all N_SEEDS
+    min-hashes (wide columns, map-side partial min — no corpus×seeds
+    row explosion) AND the distinct-shingle set. Band keys derive from
+    the signature row; candidates come from the band self-join; exact
+    Jaccard is verified by joining the candidate pairs back to the
+    per-doc shingle sets and intersecting JVM-side (array_intersect).
+    The common-shingle work is spent ONLY on candidate pairs — never
+    on all overlapping pairs, which is the quadratic trap at scale.
+    """
+    sh = _shingles(spark, sf_dir)
+    per_band = N_SEEDS // N_BANDS
+    mh_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(N_SEEDS)
+    ]
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(*mh_cols, F.collect_set("shingle").alias("shset"))
+        .persist()
     )
-    minhashes = (
-        sh.join(broadcast(shingle_hashes), "shingle")
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    bands = (
-        minhashes.withColumn("band", F.expr(f"seed div {N_SEEDS // N_BANDS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                )
-            ).alias("band_key")
-        )
-    )
+    bands = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{s}")
+                                    for s in range(b * per_band, (b + 1) * per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     candidates = (
@@ -249,34 +280,14 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification restricted to candidate pairs: broadcast the
-    # (small) candidate set against the shingle index twice — the
-    # common-shingle count is computed ONLY for candidates, never for
-    # all overlapping pairs (which is the quadratic trap at scale).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(broadcast(candidates), F.col("a.doc_id") == F.col("d1"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("d2"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    ds1 = per_doc.select(F.col("doc_id").alias("d1"), F.col("shset").alias("set1"))
+    ds2 = per_doc.select(F.col("doc_id").alias("d2"), F.col("shset").alias("set2"))
+    c = F.size(F.array_intersect(F.col("set1"), F.col("set2")))
+    jacc = F.round(c / (F.size("set1") + F.size("set2") - c), 4)
     return (
-        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .withColumn(
-            "jacc",
-            F.round(
-                F.col("c") / (F.col("s1.n") + F.col("s2.n") - F.col("c")), 4
-            ),
-        )
+        candidates.join(ds1, "d1")
+        .join(ds2, "d2")
+        .withColumn("jacc", jacc)
         .filter(F.col("jacc") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jacc")
     )
