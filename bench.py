@@ -3,9 +3,20 @@
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Queries are executed with the noop sink so every output column is
-fully evaluated (a bare .count() would let Catalyst prune the
-projections being measured).
+Methodology (documented in BASELINE.md §bench):
+- Queries are executed with the noop sink so every output column is
+  fully evaluated (a bare .count() would let Catalyst prune the
+  projections being measured).
+- The session is warmed first (one trivial job + one trivial
+  pandas_udf job) so no query pays SparkSession/Python-worker
+  bring-up.
+- Each query runs twice; the headline per-query number is the MIN of
+  the two (steady-state). The first-run (cold) times are reported
+  alongside under "queries_cold". Rationale: cold times are dominated
+  by one-time janino codegen compilation (~1-8 s per distinct plan
+  shape), a fixed cost independent of data volume — steady-state is
+  the number that scales with SF and is comparable to the in-process
+  DuckDB oracle baseline.
 """
 
 from __future__ import annotations
@@ -49,24 +60,45 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
+    # Warm the session: first job pays scheduler/codegen bring-up, the
+    # pandas_udf job forks the Python worker daemon. Neither touches
+    # the benched queries.
+    spark.range(1000).selectExpr("sum(id) AS s").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    from pyspark.sql.functions import pandas_udf
+
+    ident = pandas_udf(lambda s: s, "long")
+    spark.range(100).select(ident("id").alias("x")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(sum(timings.values()), 3)
+        runs = []
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        steady[name] = round(min(runs), 3)
+    total = round(sum(steady.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wallclock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": steady,
+                "queries_cold": cold,
+                "total_cold": round(sum(cold.values()), 3),
+                "methodology": "noop sink; warmed session; min of 2 runs (cold run reported separately)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
