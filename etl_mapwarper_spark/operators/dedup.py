@@ -59,7 +59,7 @@ def _register(name, fn, sql=None):
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
@@ -73,7 +73,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return (
         docs.groupBy(F.md5(F.col("text")).alias("fp"))
         .agg(
@@ -103,7 +103,7 @@ _register(
 
 
 def dd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return (
         docs.groupBy(doc_fingerprint(F.col("text")).alias("fp"))
         .agg(
@@ -150,7 +150,7 @@ def dd_ngram_jaccard(
     semantics, which is what the DuckDB oracle checks.
     """
     sh = _shingles(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     # Per-doc distinct-shingle counts are a map-only projection of the
     # source (no shuffle). Join strategy is left to AQE: at test SF it
     # broadcasts this side from runtime stats; at corpus scale it is
@@ -336,7 +336,7 @@ _register(
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
@@ -497,7 +497,7 @@ _register(
 
 
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     a = emb.alias("a")

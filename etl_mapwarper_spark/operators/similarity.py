@@ -53,7 +53,7 @@ def _probes(emb: DataFrame) -> DataFrame:
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     probes = _probes(emb).select(
@@ -112,7 +112,7 @@ def _bucket_expr(col: str) -> F.Column:
 
 
 def sim_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id",
         to_double_array(F.col("embedding")).alias("v"),
         _bucket_expr("embedding").alias("bucket"),
@@ -183,7 +183,7 @@ _register(
 
 
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     dims = emb.select(
         "vec_id",
         "label",
@@ -200,7 +200,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    probes = load_table(spark, sf_dir, "embeddings").filter(
+    probes = load_table(spark, sf_dir, "embeddings", parallelize=True).filter(
         F.col("vec_id").isin(PROBE_IDS)
     ).select(
         F.col("vec_id").alias("probe_id"),

@@ -56,7 +56,7 @@ def _register(name, fn, sql=None):
 
 
 def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     n_tokens = token_count(F.col("text"))
     return (
         docs.withColumn("n_tokens", n_tokens)
@@ -95,7 +95,7 @@ _register(
 
 
 def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     t = tokens(F.col("text"))
     n_tok = F.size(t)
     mean_wlen = (F.length(F.col("text")) - (n_tok - 1)).cast("double") / n_tok
@@ -157,7 +157,7 @@ _register(
 
 
 def tx_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     t = tokens(F.col("text"))
     codes = sorted(LANG_MARKERS)
     scores = {
@@ -216,7 +216,7 @@ _register("tx_langid_confusion", tx_langid_confusion, _langid_oracle_sql())
 
 
 def tx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     t = tokens(F.col("text"))
     bigrams = F.when(
         F.size(t) >= 2,

@@ -138,18 +138,63 @@ _EVENTS_PHYSICAL = T.StructType(
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one catalog table; parquet scan with declared-schema contract."""
+# Below this input size a fact-table scan is almost certainly a single
+# parquet row group → a single Spark partition → every narrow op
+# (tokenize, shingle, vector math) runs on ONE core. A round-robin
+# repartition of ≤1 GiB costs a sub-second shuffle and unlocks full
+# parallelism. At real scale inputs have many row groups/files and
+# split naturally, so this never fires (and must not: repartitioning
+# 100 TB would be a catastrophic extra shuffle).
+_SMALL_INPUT_BYTES = 1 << 30
+
+
+def _input_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return _SMALL_INPUT_BYTES  # unknown (remote FS): leave as-is
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Read one catalog table; parquet scan with declared-schema contract.
+
+    ``parallelize``: spread small single-row-group fact tables across
+    the cluster. Opt-in per call site: worth one extra (sub-second)
+    shuffle ONLY when the downstream pipeline does heavy per-row work
+    (tokenize/shingle, vector math, nested-loop similarity joins).
+    Scan-then-aggregate relational queries keep the pristine scan —
+    an unconditional repartition costs a stage on every query while
+    benefiting only the CPU-bound ones.
+    """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
 
-        return (
+        df = (
             spark.read.schema(_EVENTS_PHYSICAL)
-            .parquet(f"{sf_dir}/{name}.parquet")
+            .parquet(path)
             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
             .select(*[f.name for f in SCHEMAS["events"].fields])
         )
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    if (
+        parallelize
+        and name not in BROADCAST_TABLES
+        and _input_bytes(path) < _SMALL_INPUT_BYTES
+    ):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
