@@ -25,6 +25,7 @@ def _registries():
         "similarity",
         "textops",
         "mapwarper_queries",
+        "pipeline_queries",
         "ingestion",
         "enrichment",
         "multimodal",

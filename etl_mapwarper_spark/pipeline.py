@@ -1,0 +1,263 @@
+"""Two-step ETL pipeline — the reference's public API surface.
+
+The reference module's ENTIRE public API is an ordered list of step
+functions, ``module.exports.steps = [download, transform]``
+(mapwarper.js:441-444), run by a framework that hands each step its
+output dir (``dirs.current``) and the previous step's output dir
+(``dirs.previous``; :152-153, :424). This module re-expresses that
+contract Spark-first:
+
+- a step is ``step(spark, config, dirs) -> dict[str, DataFrame]`` —
+  it writes its outputs under ``dirs.current`` and returns the
+  DataFrames it wrote (handy for tests and interactive use);
+- the inter-step handoff is **Parquet** (columnar, splittable,
+  prunable), not the reference's NDJSON (:152-153 ↔ :424) — NDJSON
+  remains available at the export boundary via ``export_ndjson``;
+- ``run_pipeline`` chains the steps exactly like the spacetime-etl
+  framework: step N+1's ``dirs.previous`` is step N's
+  ``dirs.current`` — which also gives step-level restartability, the
+  same property the reference gets from its directory convention.
+
+Step 1 — ``download`` (reference :151-219): paginated REST scans
+(count-first fan-out for maps :183-199, short-page loop for layers
+:112-149), error quarantine (:122-129), optional conditional
+mask→GeoJSON enrichment (:79-110) and optional map↔layer membership
+join (:57-77, replaced by a real aggregate+broadcast join).
+
+Step 2 — ``transform`` (reference :417-437): route records by type
+(:418-421), validation split into clean objects vs quarantine logs
+(:358-361), relation edge derivation (:333-346), layer projection
+(:399-415); writes ``objects``, ``relations``, ``logs`` sinks.
+
+Scale: every transform is a narrow column expression over the
+parquet checkpoint — one scan stage per input, no shuffle (only the
+optional membership join shuffles, and its aggregated side is
+broadcast). The REST scan's parallelism is bounded by the politeness
+budget, not the cluster size (see sources/paginated_rest.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .operators.enrichment import attach_map_layers, enrich_masks
+from .operators.mapwarper import (
+    map_logs,
+    map_objects,
+    map_relations,
+    transform_layers,
+)
+from .sources.ndjson import to_ndjson_lines
+from .sources.paginated_rest import (
+    RestSourceConfig,
+    fetch_count,
+    page_errors,
+    page_items,
+    scan_pages,
+    scan_until_short_page,
+)
+
+# Item schemas for the two REST streams (the reference reads these
+# fields off the API JSON; SURVEY.md §1.2-1.3). maskGeometry/gcps are
+# present when the API items arrive pre-enriched (or after the
+# enrichment stage fills them).
+MAP_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("nypl_digital_id", T.StringType()),
+        T.StructField("uuid", T.StringType()),
+        T.StructField("parent_uuid", T.StringType()),
+        T.StructField("bbox", T.StringType()),
+        T.StructField("map_type", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("mask_status", T.StringType()),
+        T.StructField("transform_options", T.StringType()),
+        T.StructField("depicts_year", T.StringType()),
+        T.StructField("issue_year", T.StringType()),
+        T.StructField("maskError", T.StringType()),
+        T.StructField(
+            "maskGeometry",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField(
+                        "coordinates",
+                        T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+                    ),
+                ]
+            ),
+        ),
+        T.StructField("gcps", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("layerIds", T.ArrayType(T.LongType())),
+    ]
+)
+
+LAYER_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("depicts_year", T.StringType()),
+        T.StructField("issue_year", T.StringType()),
+        T.StructField("maps_count", T.IntegerType()),
+        T.StructField("bbox", T.StringType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class PipelineDirs:
+    """Mirror of the framework's dirs (mapwarper.js:152-153, :424)."""
+
+    current: str
+    previous: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Pipeline parameters (the reference's ``config`` argument).
+
+    ``enrich``: run the GCP mask→GeoJSON stage on mask/gcps columns
+    (reference :79-110). Off when the API serves pre-enriched items.
+    ``map_layers_source``: optional membership stream config; when
+    set, ``download`` attaches ``layerIds`` via a real join instead
+    of the reference's N+1 lookups (``config.includeMapLayers``,
+    :172-181).
+    """
+
+    maps_source: RestSourceConfig
+    layers_source: RestSourceConfig
+    map_item_schema: T.StructType = field(default=MAP_ITEM_SCHEMA)
+    layer_item_schema: T.StructType = field(default=LAYER_ITEM_SCHEMA)
+    enrich: bool = False
+    transform_order: int = 1
+    map_layers_source: Optional[RestSourceConfig] = None
+    map_layers_item_schema: T.StructType = field(
+        default_factory=lambda: T.StructType(
+            [
+                T.StructField("map_id", T.LongType()),
+                T.StructField("layer_id", T.LongType()),
+            ]
+        )
+    )
+
+
+def _write(df: DataFrame, dirs: PipelineDirs, name: str) -> DataFrame:
+    df.write.mode("overwrite").parquet(os.path.join(dirs.current, name))
+    return df
+
+
+def download(
+    spark: SparkSession, config: PipelineConfig, dirs: PipelineDirs
+) -> dict[str, DataFrame]:
+    """Step 1 (reference :151-219): crawl maps + layers, quarantine
+    fetch errors, optionally enrich masks and attach layer membership;
+    checkpoint everything as parquet under ``dirs.current``."""
+    out: dict[str, DataFrame] = {}
+
+    # Layers branch (:155-166): short-page loop.
+    layer_pages = scan_until_short_page(spark, config.layers_source)
+    layers = page_items(layer_pages, config.layer_item_schema).drop("page")
+    out["layers"] = _write(layers, dirs, "layers")
+    out["layer_errors"] = _write(page_errors(layer_pages), dirs, "layer_errors")
+
+    # Maps branch (:183-212): count precheck then fan-out.
+    total = fetch_count(config.maps_source)
+    num_pages = -(-total // config.maps_source.per_page)
+    map_pages = scan_pages(spark, config.maps_source, num_pages)
+    maps = page_items(map_pages, config.map_item_schema).drop("page")
+    out["map_errors"] = _write(page_errors(map_pages), dirs, "map_errors")
+
+    if config.enrich:
+        maps = enrich_masks(maps, order=config.transform_order)
+
+    if config.map_layers_source is not None:
+        membership_pages = scan_until_short_page(
+            spark, config.map_layers_source
+        )
+        membership = page_items(
+            membership_pages, config.map_layers_item_schema
+        ).drop("page")
+        maps = attach_map_layers(maps.drop("layerIds"), membership)
+
+    out["maps"] = _write(maps, dirs, "maps")
+    return out
+
+
+def transform(
+    spark: SparkSession, config: PipelineConfig, dirs: PipelineDirs
+) -> dict[str, DataFrame]:
+    """Step 2 (reference :417-437): previous checkpoint → objects +
+    relations + logs sinks. The reference routes one mixed NDJSON
+    stream by ``line.type`` (:418-421, :429); the Spark-first shape
+    keeps one DataFrame per variant and unions the object outputs."""
+    assert dirs.previous is not None, "transform needs dirs.previous"
+    maps = spark.read.parquet(os.path.join(dirs.previous, "maps"))
+    layers = spark.read.parquet(os.path.join(dirs.previous, "layers"))
+
+    from pyspark.sql import functions as F
+
+    mo = map_objects(maps)
+    lo = transform_layers(layers)
+    # Map and layer objects have different nested `data` shapes (the
+    # reference's oneOf output schema, mapwarper.dataset.json:41-153);
+    # they stay one-DataFrame-per-variant, and the unified tagged
+    # stream serializes the variant payload to JSON at the boundary.
+    def _boundary(df: DataFrame) -> DataFrame:
+        cols = [
+            "id",
+            "type",
+            "name",
+            "validSince",
+            "validUntil",
+            F.to_json(F.col("data")).alias("data_json"),
+        ]
+        cols.append(
+            F.to_json(F.col("geometry")).alias("geometry_json")
+            if "geometry" in df.columns
+            else F.lit(None).cast("string").alias("geometry_json")
+        )
+        return df.select(*cols)
+
+    out = {
+        "map_objects": _write(mo, dirs, "map_objects"),
+        "layer_objects": _write(lo, dirs, "layer_objects"),
+        "objects": _write(
+            _boundary(mo).unionByName(_boundary(lo)), dirs, "objects"
+        ),
+        "relations": _write(map_relations(maps), dirs, "relations"),
+        "logs": _write(map_logs(maps), dirs, "logs"),
+    }
+    return out
+
+
+# The reference's public API (mapwarper.js:441-444).
+steps: list[Callable[..., dict[str, DataFrame]]] = [download, transform]
+
+
+def run_pipeline(
+    spark: SparkSession, config: PipelineConfig, workdir: str
+) -> dict[str, DataFrame]:
+    """Run all steps; step N+1 reads step N's directory (framework
+    semantics, :152-153 ↔ :424). Returns the union of step outputs."""
+    outputs: dict[str, DataFrame] = {}
+    previous: Optional[str] = None
+    for i, step in enumerate(steps):
+        current = os.path.join(workdir, f"step{i}_{step.__name__}")
+        os.makedirs(current, exist_ok=True)
+        outputs.update(
+            step(spark, config, PipelineDirs(current=current, previous=previous))
+        )
+        previous = current
+    return outputs
+
+
+def export_ndjson(df: DataFrame, path: str) -> None:
+    """Final-boundary NDJSON export (reference sink format, :164-165)."""
+    to_ndjson_lines(df).write.mode("overwrite").text(path)

@@ -261,3 +261,25 @@ def page_items(
 def page_errors(pages: DataFrame) -> DataFrame:
     """Quarantine stream: failed fetches as data (:122-129)."""
     return pages.filter(~F.col("ok")).select("page", "url", "status", "error")
+
+
+def _inject(url: str, timeout_s: float, inner: Fetcher, pages: tuple, status: int):
+    from urllib.parse import parse_qs, urlparse
+
+    page = int(parse_qs(urlparse(url).query).get("page", ["-1"])[0])
+    if page in pages:
+        return FetchResult(status, None, f"HTTP {status}: injected failure")
+    return inner(url, timeout_s)
+
+
+def with_injected_failures(
+    inner: Fetcher, pages: Iterable[int], status: int = 500
+) -> Fetcher:
+    """Fault-injection wrapper: the given pages fail with an HTTP
+    error result. Module-level (picklable) — usable from executors for
+    testing the error-quarantine path end-to-end."""
+    import functools
+
+    return functools.partial(
+        _inject, inner=inner, pages=tuple(pages), status=status
+    )

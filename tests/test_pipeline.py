@@ -1,0 +1,89 @@
+"""End-to-end tests for the two-step pipeline (pipeline.py).
+
+The pipeline must reproduce the standalone operators' outputs exactly
+(same fixture records served through the fake REST API, JSON
+round-trip, parquet checkpoints) and quarantine fetch errors as data.
+"""
+
+from __future__ import annotations
+
+from etl_mapwarper_spark.operators.mapwarper import (
+    map_objects,
+    synthetic_maps,
+)
+from etl_mapwarper_spark.operators.pipeline_queries import _config, _outputs
+from etl_mapwarper_spark.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+from etl_mapwarper_spark.sources.paginated_rest import RestSourceConfig
+
+from conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(map(repr, df.select(*cols).collect()))
+
+
+def test_pipeline_matches_operator_outputs(spark, tmp_path):
+    out = _outputs(spark, SF_DIR)
+    direct = map_objects(synthetic_maps(spark, SF_DIR))
+    cols = ["id", "name", "validSince", "validUntil", "data", "geometry"]
+    assert _rows(out["map_objects"], cols) == _rows(direct, cols)
+    # unified boundary stream holds every object exactly once
+    n_maps = direct.count()
+    n_layers = out["layer_objects"].count()
+    assert out["objects"].count() == n_maps + n_layers
+    # relation targets use the layer surrogate key
+    rel = out["relations"]
+    assert rel.filter(~rel.dst.startswith("layer-")).count() == 0
+
+
+def test_pipeline_outputs_are_checkpointed(spark, tmp_path):
+    """Step 2 reads ONLY step 1's directory — rerunning transform from
+    the checkpoint gives identical results without refetching."""
+    from etl_mapwarper_spark.pipeline import PipelineDirs, transform
+
+    cfg = _config(spark, SF_DIR)
+    wd = str(tmp_path / "pipe")
+    run_pipeline(spark, cfg, wd)
+    again = transform(
+        spark,
+        cfg,
+        PipelineDirs(current=str(tmp_path / "re"), previous=f"{wd}/step0_download"),
+    )
+    out = _outputs(spark, SF_DIR)
+    cols = ["id", "name", "validSince", "validUntil"]
+    assert _rows(again["map_objects"], cols) == _rows(out["map_objects"], cols)
+
+
+def test_download_quarantines_fetch_errors(spark, tmp_path):
+    """A failing page becomes error records; the step still completes
+    and good pages' items survive (reference mapwarper.js:122-129)."""
+    from etl_mapwarper_spark.sources.paginated_rest import (
+        with_injected_failures,
+    )
+
+    base = _config(spark, SF_DIR)
+    flaky_maps = RestSourceConfig(
+        url_template=base.maps_source.url_template,
+        per_page=base.maps_source.per_page,
+        requests_per_second=1e9,
+        backoff_s=0.0,
+        retries=1,
+        max_concurrency=4,
+        fetcher=with_injected_failures(base.maps_source.fetcher, [2]),
+    )
+    cfg = PipelineConfig(
+        maps_source=flaky_maps, layers_source=base.layers_source
+    )
+    from etl_mapwarper_spark.pipeline import PipelineDirs, download
+
+    out = download(
+        spark, cfg, PipelineDirs(current=str(tmp_path / "dl"), previous=None)
+    )
+    errs = out["map_errors"].collect()
+    assert [e.page for e in errs] == [2]
+    assert "HTTP 500" in errs[0].error
+    # pages 1 and 3 still landed their items
+    assert out["maps"].count() > 0
