@@ -868,3 +868,157 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q26 — full outer join of two aggregated sides (completes the join
+# family: inner q05, left q22, semi q08/q15, anti q07, full here).
+# Both sides are nation-level aggregates (≤ |nations| rows), so AQE
+# picks a broadcast join at any corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def q26_nation_balance_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.round(F.sum("c_acctbal"), 4).alias("cust_bal"))
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.round(F.sum("s_acctbal"), 4).alias("supp_bal"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("cust_bal"),
+            F.col("supp_bal"),
+        )
+    )
+
+
+_register(
+    "q26_nation_balance_full_outer",
+    q26_nation_balance_full_outer,
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, round(sum(c_acctbal), 4) AS cust_bal
+      FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk, round(sum(s_acctbal), 4) AS supp_bal
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey, cust_bal, supp_bal
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q27 — GROUPING SETS (completes the multi-dim agg family: rollup q12,
+# cube q13). Uses the native DataFrame.groupingSets API (Spark 4);
+# grouping_id() disambiguates the (NULL-able) grouping columns.
+# ---------------------------------------------------------------------------
+
+
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "total", "gid")
+    )
+
+
+_register(
+    "q27_grouping_sets",
+    q27_grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q28 — ranking-window family: rank, dense_rank, percent_rank, ntile,
+# lead (completes windows: row_number q09, running sum q10, lag q11).
+# One window spec → one shuffle + one sort for all five functions.
+# ---------------------------------------------------------------------------
+
+
+def q28_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lead("p_partkey", 1).over(w).alias("next_key"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+_register(
+    "q28_price_ranks",
+    q28_price_ranks,
+    """
+    SELECT * FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             round(percent_rank() OVER w, 6) AS prnk,
+             ntile(4)     OVER w AS quartile,
+             lead(p_partkey, 1) OVER w AS next_key
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey ASC)
+    ) WHERE rnk <= 5
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q29 — approximate distinct counting (HyperLogLog++). Sketches are
+# engine-specific, so there is deliberately NO oracle entry: the
+# driver's rows-only check applies. The exact q14 covers the same
+# shape with hash parity; this query is the at-scale variant (constant
+# memory per group vs count(DISTINCT)'s per-group hash sets).
+# ---------------------------------------------------------------------------
+
+
+def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_register("q29_approx_distinct", q29_approx_distinct)

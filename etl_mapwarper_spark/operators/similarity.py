@@ -244,3 +244,125 @@ _register(
     ) WHERE rank <= 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_topk — full IVF (inverted-file) ANN search, the at-scale
+# alternative to SRP-LSH: (1) coarse quantizer = per-label centroids;
+# (2) every corpus vector is assigned to its nearest centroid cell
+# (argmax cosine, label tiebreak); (3) each probe searches only its
+# nprobe=2 nearest cells; (4) exact cosine re-rank inside the probed
+# cells. At 100 TB the assignment is one broadcast-join pass (the
+# centroid list is tiny), the inverted lists are a partitioned table
+# keyed by cell, and probe-time work is bounded by nprobe × cell size
+# — independent of corpus size.
+# ---------------------------------------------------------------------------
+
+N_PROBE_CELLS = 2
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    dims = emb.select(
+        "label",
+        F.posexplode(to_double_array(F.col("embedding"))).alias("dim", "x"),
+    )
+    return (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    sc = (
+        emb.crossJoin(broadcast(_centroids(spark, sf_dir)))
+        .withColumn(
+            "acos", F.round(cosine_similarity(F.col("v"), F.col("cv")), 6)
+        )
+        .select("vec_id", "v", "label", "acos")
+        .persist()
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("label"))
+    assigned = (
+        sc.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", F.col("label").alias("cell"))
+    )
+    probe_cells = (
+        sc.filter(F.col("vec_id").isin(PROBE_IDS))
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= N_PROBE_CELLS)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("label").alias("cell"),
+        )
+    )
+    cands = (
+        probe_cells.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("pv"), F.col("v")), 6)
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "cell", "cos", "rank")
+    )
+
+
+_register(
+    "sim_ivf_topk",
+    sim_ivf_topk,
+    f"""
+    WITH dims AS (
+      SELECT label, ds.dim, embedding[ds.dim + 1]::DOUBLE AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS dim) ds
+    ), centroid_dims AS (
+      SELECT label, dim, avg(x) AS c FROM dims GROUP BY 1, 2
+    ), centroids AS (
+      SELECT label, list(c ORDER BY dim) AS cv FROM centroid_dims GROUP BY label
+    ), emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sc AS (
+      SELECT e.vec_id, e.v, c.label,
+             round(list_cosine_similarity(e.v, c.cv), 6) AS acos
+      FROM emb e CROSS JOIN centroids c
+    ), assigned AS (
+      SELECT vec_id, v, label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY acos DESC, label ASC) AS r
+        FROM sc
+      ) WHERE r = 1
+    ), probe_cells AS (
+      SELECT vec_id AS probe_id, v AS pv, label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY acos DESC, label ASC) AS r
+        FROM sc WHERE vec_id IN (0, 1, 2)
+      ) WHERE r <= {N_PROBE_CELLS}
+    ), cands AS (
+      SELECT p.probe_id, a.vec_id, a.cell,
+             round(list_cosine_similarity(p.pv, a.v), 6) AS cos
+      FROM probe_cells p JOIN assigned a
+        ON p.cell = a.cell AND a.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, cell, cos, rank FROM (
+      SELECT probe_id, vec_id, cell, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cands
+    ) WHERE rank <= {TOP_K}
+    """,
+)

@@ -255,3 +255,52 @@ _register(
     LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_tokens_udtf — Python UDTF surface (SURVEY.md §2.B, UDF/UDAF/UDTF
+# row): a user-defined TABLE function emitting one row per distinct
+# token with its in-document count, applied via LATERAL join. The
+# UDTF path is for 1→N record expansion that genuinely needs Python
+# (parsers, tokenizers); pure splits stay JVM-side (tx_token_stats).
+# ---------------------------------------------------------------------------
+
+
+def _token_counts_udtf_class():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, tok string, n int")
+    class TokenCounts:
+        def eval(self, doc_id, text):
+            from collections import Counter
+
+            for tok, n in Counter((text or "").split(" ")).items():
+                yield doc_id, tok, n
+
+    return TokenCounts
+
+
+def tx_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    docs.createOrReplaceTempView("_docs_for_udtf")
+    spark.udtf.register("token_counts", _token_counts_udtf_class())
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.tok, t.n
+        FROM _docs_for_udtf, LATERAL token_counts(doc_id, text) t
+        WHERE t.n >= 3
+        """
+    )
+
+
+_register(
+    "tx_tokens_udtf",
+    tx_tokens_udtf,
+    """
+    SELECT doc_id, tok, count(*)::INT AS n FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    GROUP BY doc_id, tok
+    HAVING count(*) >= 3
+    """,
+)
