@@ -28,20 +28,24 @@ def token_count(text: Column) -> Column:
 def word_shingles(toks: Column, n: int) -> Column:
     """Distinct word n-grams as space-joined strings.
 
-    Guarded so short documents yield an empty array (Spark's
-    ``sequence(1, 0)`` would otherwise produce a *descending* range).
+    Built as ``arrays_zip`` of n shifted ``slice``s so the lambda only
+    reads the zipped element. The naive form — ``transform(sequence(...),
+    i -> concat_ws(element_at(toks, i), ...))`` — re-evaluates the
+    ``toks`` expression (a ``split``) on every ``element_at`` call,
+    because higher-order-function lambdas are interpreted without
+    common-subexpression elimination: O(tokens²) per document, measured
+    at ~40 ms/doc vs <1 ms for this shape.
+
+    ``greatest(..., 0)`` guards short documents (slice length must be
+    non-negative), which then yield an empty shingle array.
     """
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, length) for j in range(n)])
+    return F.array_distinct(
+        F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+        )
+    )
 
 
 def stopword_ratio(toks: Column) -> Column:

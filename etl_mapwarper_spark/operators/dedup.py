@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from ..functions.text import doc_fingerprint, tokens, word_shingles
 from ..functions.vectors import cosine_similarity, to_double_array
@@ -148,43 +147,44 @@ def dd_ngram_jaccard(
     shingle appearing in m docs yields m(m-1)/2 pairs inside one task;
     the cap bounds that straggler. None (default) keeps exact
     semantics, which is what the DuckDB oracle checks.
+
+    The per-doc distinct-shingle count rides along inside the posting
+    list (struct<doc_id, n>), so each generated pair already carries
+    both set sizes and the Jaccard is computable straight off the
+    pair-count aggregation — no size-lookup joins, and the source is
+    scanned exactly once. The whole operator is scan → shingle groupBy
+    → pair groupBy: 3 shuffles, 0 joins.
     """
-    sh = _shingles(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    # Per-doc distinct-shingle counts are a map-only projection of the
-    # source (no shuffle). Join strategy is left to AQE: at test SF it
-    # broadcasts this side from runtime stats; at corpus scale it is
-    # too big to broadcast and AQE keeps a shuffle join.
-    sizes = docs.select(
-        "doc_id", F.size(word_shingles(tokens(F.col("text")), 3)).alias("n")
+    sh = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
+    ).select(
+        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("shingle")
     )
     posts = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     if df_cap is not None:
         posts = posts.filter(F.size("ds") <= df_cap)
+    # array_sort on struct orders by doc_id, so d1 < d2 by construction.
     pairs = posts.select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) -> "
                 "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "y -> struct(x AS d1, y AS d2))))"
+                "y -> struct(x.doc_id AS d1, x.n AS n1, "
+                "y.doc_id AS d2, y.n AS n2))))"
             )
         ).alias("p")
-    ).select("p.d1", "p.d2")
-    common = pairs.groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("c"))
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    ).select("p.d1", "p.n1", "p.d2", "p.n2")
     return (
-        common.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        pairs.groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("c"))
         .withColumn(
             "jacc",
-            F.round(
-                F.col("c") / (F.col("s1.n") + F.col("s2.n") - F.col("c")), 4
-            ),
+            F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 4),
         )
         .filter(F.col("jacc") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jacc")
@@ -336,45 +336,40 @@ _register(
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash as 64 partial-aggregable column sums.
+
+    Bit contributions are computed inline from md5 of each (distinct)
+    token occurrence, then summed per doc as 64 plain ``sum`` columns.
+    Map-side combine applies, so the shuffle carries exactly one
+    64-long row per doc regardless of document length — the shape that
+    survives 100 TB (the earlier vocabulary-broadcast variant needed a
+    corpus-wide distinct + a join; a whole-corpus vocabulary also stops
+    being broadcastable at scale).
+    """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    )
-    # 64-bit contribution vector per DISTINCT token (vocabulary-sized,
-    # broadcast) — avoids exploding corpus×64 rows; per-doc signature
-    # is then an element-wise array sum (zip_with) in one groupBy.
-    tok_bits = (
-        toks.select("tok")
-        .distinct()
-        .withColumn(
-            "bits",
+    ).withColumn("h", F.md5("tok"))
+    divs = [8, 4, 2, 1]
+    sums = [
+        F.sum(
             F.expr(
-                "transform(sequence(0, 63), j -> "
-                "(((locate(substring(md5(tok), (j div 4) + 1, 1), '0123456789abcdef') - 1)"
-                " div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1)"
-            ),
-        )
-        .select("tok", "bits")
-    )
-    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+                f"(((locate(substring(h, {j // 4 + 1}, 1), '0123456789abcdef') - 1)"
+                f" div {divs[j % 4]}) % 2) * 2 - 1"
+            )
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
     return (
-        toks.join(broadcast(tok_bits), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("bits"),
-                zeros,
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("sums")
-        )
+        toks.groupBy("doc_id")
+        .agg(*sums)
         .select(
             "doc_id",
-            F.array_join(
-                F.transform(
-                    F.col("sums"),
-                    lambda s: F.when(s > 0, "1").otherwise("0"),
-                ),
-                "",
+            F.concat(
+                *[
+                    F.when(F.col(f"s{j}") > 0, "1").otherwise("0")
+                    for j in range(64)
+                ]
             ).alias("simhash"),
         )
     )

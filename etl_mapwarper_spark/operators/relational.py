@@ -719,13 +719,19 @@ def q22_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(orders, ev.user_id == orders.o_custkey).filter(
         F.col("o_orderdate") <= F.col("ts")
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
+    # As-of = argmax over the joined candidates. max(struct(ts, key))
+    # is partial-aggregable (map-side combine), so the shuffle carries
+    # one row per event instead of the full event×order candidate set
+    # that a row_number window would sort — the dominant cost at scale.
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        j.groupBy("event_id", "user_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("last"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("last.o_orderkey").alias("o_orderkey"),
+            F.col("last.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 
