@@ -217,18 +217,15 @@ _register("tx_langid_confusion", tx_langid_confusion, _langid_oracle_sql())
 
 def tx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # arrays_zip of shifted slices, NOT element_at(t, i) in the lambda —
+    # the latter re-evaluates the split() per element (no CSE inside
+    # interpreted HOF lambdas), turning tokenization O(tokens²)/doc.
     t = tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(t, i.cast("int")),
-                F.element_at(t, (i + 1).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    length = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
