@@ -26,6 +26,7 @@ def _registries():
         "textops",
         "mapwarper_queries",
         "pipeline_queries",
+        "pandas_ops",
         "ingestion",
         "enrichment",
         "multimodal",

@@ -1028,3 +1028,126 @@ def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("q29_approx_distinct", q29_approx_distinct)
+
+
+# ---------------------------------------------------------------------------
+# q30 — pivot (rows → columns). Fixed pivot-value list, so Catalyst
+# plans ONE aggregation pass (no extra distinct-values job) and the
+# schema is stable at any corpus size; a pivot without explicit values
+# needs a whole extra scan just to learn the columns.
+# ---------------------------------------------------------------------------
+
+
+def q30_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+_register(
+    "q30_pivot_status",
+    q30_pivot_status,
+    """
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q31 — unpivot / melt (columns → rows). DataFrame.unpivot is a narrow
+# 1→k row expansion (no shuffle); the aggregation after it is the only
+# exchange.
+# ---------------------------------------------------------------------------
+
+
+def q31_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    melted = part.select(
+        "p_brand",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_brand", ["retailprice", "size"], "metric", "val")
+    return melted.groupBy("p_brand", "metric").agg(
+        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+    )
+
+
+_register(
+    "q31_unpivot_part_metrics",
+    q31_unpivot_part_metrics,
+    """
+    WITH melted AS (
+      SELECT p_brand, 'retailprice' AS metric, p_retailprice::DOUBLE AS val
+      FROM part
+      UNION ALL
+      SELECT p_brand, 'size' AS metric, p_size::DOUBLE AS val FROM part
+    )
+    SELECT p_brand, metric,
+           round(avg(val), 4) AS avg_val,
+           round(max(val), 4) AS max_val
+    FROM melted
+    GROUP BY p_brand, metric
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q32 — salted skew join. The big side gets a deterministic salt
+# (event_id % 8); the dimension side is exploded across all 8 salt
+# values; the equi-join runs on (key, salt), splitting any hot key's
+# rows across 8 reducers instead of one. Results are identical to the
+# unsalted join (the oracle IS the unsalted join). At 100 TB the salt
+# fan-out applies only to keys flagged hot by stats; AQE's skew-join
+# handles moderate skew, explicit salting handles the pathological
+# single-key case AQE can't split (one key > one task's memory).
+# ---------------------------------------------------------------------------
+
+N_SALT = 8
+
+
+def q32_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    salted_ev = ev.withColumn("salt", (F.col("event_id") % N_SALT).cast("int"))
+    salted_cust = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+    )
+    j = salted_ev.join(
+        broadcast(salted_cust),
+        (salted_ev.user_id == salted_cust.c_custkey)
+        & (salted_ev.salt == salted_cust.salt),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_register(
+    "q32_salted_skew_join",
+    q32_salted_skew_join,
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
