@@ -719,18 +719,29 @@ def q22_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(orders, ev.user_id == orders.o_custkey).filter(
         F.col("o_orderdate") <= F.col("ts")
     )
-    # As-of = argmax over the joined candidates. max(struct(ts, key))
-    # is partial-aggregable (map-side combine), so the shuffle carries
-    # one row per event instead of the full event×order candidate set
-    # that a row_number window would sort — the dominant cost at scale.
+    # As-of = argmax over the joined candidates, packed into ONE bigint
+    # (day number << 47 | orderkey) so the aggregate buffer is a
+    # primitive long and Spark plans a HashAggregate with map-side
+    # combine — max(struct(...)) would fall back to SortAggregate
+    # (struct buffers aren't UnsafeRow-mutable), paying a per-partition
+    # sort of the full event×order candidate set. The shuffle carries
+    # one row per event either way; hash-agg also skips the sort.
+    # Packing contract: order dates are midnight-aligned (true of order
+    # data by definition) and < year 2149 (16 bits of days);
+    # orderkey < 2^47.
+    packed = F.shiftleft(
+        F.expr("unix_seconds(o_orderdate) div 86400"), 47
+    ) + F.col("o_orderkey")
     return (
         j.groupBy("event_id", "user_id")
-        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("last"))
+        .agg(F.max(packed).alias("p"))
         .select(
             "event_id",
             "user_id",
-            F.col("last.o_orderkey").alias("o_orderkey"),
-            F.col("last.o_orderdate").alias("o_orderdate"),
+            F.col("p").bitwiseAND(F.lit((1 << 47) - 1)).alias("o_orderkey"),
+            F.timestamp_seconds(F.shiftright(F.col("p"), 47) * 86400).alias(
+                "o_orderdate"
+            ),
         )
     )
 

@@ -1,0 +1,118 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These tests pin the *plan shape*, not the results (oracle parity covers
+those): filters must reach the parquet scan, scans must prune columns,
+dimension joins must broadcast, the dedup pipeline must stay join-free,
+and no operator may fall back to row-at-a-time Python
+(``BatchEvalPython``) — Python is allowed only in Arrow-batched form
+(``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas`` /
+``AggregateInPandas``) and for the UDTF surface.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.conftest import SF_DIR  # noqa: E402
+
+ALL_QUERIES = entrymod.queries()
+
+# Streaming queries execute a stream when constructed; REST-source
+# queries spin up a mock HTTP server. Both are exercised by their own
+# tests — the plan audit sticks to pure batch plans.
+AUDITED = sorted(
+    k
+    for k in ALL_QUERIES
+    if not k.startswith(("st_", "src_rest"))
+)
+
+
+def plan_of(spark, name: str) -> str:
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_no_row_at_a_time_python(spark, name):
+    plan = plan_of(spark, name)
+    assert not re.search(r"\bBatchEvalPython\b", plan), (
+        f"{name}: row-at-a-time Python UDF in plan — use a pandas_udf"
+    )
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or re.search(
+        r"PushedFilters: \[.*l_shipdate", plan
+    ), "shipdate filter must reach the parquet scan"
+    # q01 needs 7 of lineitem's 11 columns; the scan must not read keys.
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_orderkey" not in read_schema, "column pruning failed"
+    assert "l_partkey" not in read_schema, "column pruning failed"
+
+
+def test_q03_dim_filter_pushdown(spark):
+    plan = plan_of(spark, "q03_top_revenue_orders")
+    assert re.search(r"EqualTo\(c_mktsegment,BUILDING\)", plan), (
+        "dimension filter must be pushed into the customer scan"
+    )
+
+
+def test_q05_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q05_region_revenue")
+    n_broadcast = len(re.findall(r"BroadcastHashJoin", plan))
+    assert n_broadcast >= 4, (
+        f"q05 must broadcast customer/supplier/nation/region, saw "
+        f"{n_broadcast} broadcast joins"
+    )
+    # the single fact-fact join (lineitem ⋈ orders) is the only
+    # shuffle join in the plan
+    n_shuffle_join = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
+    assert n_shuffle_join <= 1
+
+
+def test_dd_ngram_jaccard_is_join_free(spark):
+    plan = plan_of(spark, "dd_ngram_jaccard")
+    assert "join" not in plan.lower(), (
+        "jaccard must derive sizes from posting lists, not joins"
+    )
+
+
+def test_dd_simhash_single_shuffle(spark):
+    plan = plan_of(spark, "dd_simhash")
+    # one Exchange for the small-input repartition + one for the groupBy
+    # (formatted explain repeats node names in the detail section, so
+    # count the numbered detail entries, each unique per node)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 2, f"simhash grew extra shuffles: {n_exchange}"
+    assert "join" not in plan.lower()
+
+
+def test_q22_asof_uses_partial_agg_not_window(spark):
+    plan = plan_of(spark, "q22_asof_last_order")
+    assert "Window" not in plan, "as-of should aggregate, not sort a window"
+    # bigint-packed argmax keeps the buffer primitive → HashAggregate
+    # partial+final (max(struct) would fall back to SortAggregate)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "SortAggregate" not in plan
+
+
+def test_pandas_ops_are_arrow_batched(spark):
+    plan = plan_of(spark, "pd_zscore")
+    assert "FlatMapGroupsInPandas" in plan
+    plan = plan_of(spark, "pd_weighted_avg")
+    # node name is ArrowAggregatePython on Spark 4.1+, AggregateInPandas
+    # on earlier releases
+    assert "AggregateInPandas" in plan or "ArrowAggregatePython" in plan
