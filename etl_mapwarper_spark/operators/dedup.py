@@ -520,3 +520,58 @@ _register(
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.45
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (north star): Karp-Rabin polynomial
+# hash folded over the token stream — order-sensitive (unlike the bag
+# of shingles), so reordered documents get different fingerprints.
+# Pure fold (F.aggregate) over the token array: narrow, no shuffle
+# until the tiny group-by on the fingerprint.
+# ---------------------------------------------------------------------------
+
+_RH_BASE = 31
+_RH_MOD = 2147483647  # 2^31 − 1 (Mersenne prime)
+
+
+def dd_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # per-token value: first 8 md5 hex chars as an int (< 2^32, exact
+    # in long arithmetic: acc·31 + v < 2^36 stays well inside int64)
+    rh = F.aggregate(
+        tokens(F.col("text")),
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * _RH_BASE
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+        % _RH_MOD,
+    )
+    return (
+        docs.select("doc_id", rh.alias("rollhash"))
+        .groupBy("rollhash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_register(
+    "dd_rolling_hash",
+    dd_rolling_hash,
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ' '),
+                   tok -> TRY_CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT))),
+               (acc, x) -> (acc * {_RH_BASE} + x) % {_RH_MOD}) AS rollhash
+      FROM documents
+    )
+    SELECT rollhash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM fp
+    GROUP BY rollhash
+    """,
+)

@@ -194,3 +194,47 @@ _register(
     GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# CSV source/sink roundtrip (SURVEY.md §2.B scans row): write documents
+# to CSV (quoted — text contains commas), read back schema-first, and
+# aggregate. The oracle aggregates the original table, so the check
+# proves the roundtrip is lossless including quoting/escaping.
+# ---------------------------------------------------------------------------
+
+
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/documents"
+    docs.write.mode("overwrite").option("header", "false").csv(path)
+    back = (
+        spark.read.schema(
+            T.StructType(
+                [f for f in SCHEMAS["documents"].fields if f.name != "source"]
+            )
+        )
+        .option("header", "false")
+        .csv(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+        F.sum("n_chars").alias("total_n_chars"),
+    )
+
+
+_register(
+    "src_csv_roundtrip",
+    src_csv_roundtrip,
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(length(text))::BIGINT AS total_text_chars,
+           sum(n_chars)::BIGINT AS total_n_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)

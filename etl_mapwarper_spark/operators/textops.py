@@ -301,3 +301,43 @@ _register(
     HAVING count(*) >= 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting (north star: "whitespace + a BPE-ish
+# regex"): letter runs, digit runs, and single non-alphanumeric marks
+# as separate tokens — the pre-tokenization split GPT-style BPE
+# vocabularies assume. Pure regexp_extract_all, JVM-side; compared
+# per-language against the whitespace count.
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tx_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    n_ws = token_count(F.col("text"))
+    return (
+        docs.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe"),
+            F.round(F.avg("n_ws"), 4).alias("avg_ws"),
+        )
+    )
+
+
+_register(
+    "tx_bpe_tokens",
+    tx_bpe_tokens,
+    f"""
+    SELECT lang,
+           sum(len(regexp_extract_all(text, '{_BPE_RE}')))::BIGINT AS total_bpe,
+           round(avg(len(regexp_extract_all(text, '{_BPE_RE}'))), 4) AS avg_bpe,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_ws
+    FROM documents
+    GROUP BY lang
+    """,
+)

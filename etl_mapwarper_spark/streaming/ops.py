@@ -159,3 +159,31 @@ def stateful_user_totals(events: DataFrame, delay: str = "1 hour") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension
+    table, then window-aggregate per segment.
+
+    The static side is broadcast to every task of every micro-batch —
+    no stream-side shuffle for the join, the canonical shape for
+    dimension enrichment at ingest time. (A stream-stream join would
+    instead need watermarks on both sides and range conditions.)
+    """
+    from pyspark.sql.functions import broadcast
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(broadcast(customers), events.user_id == customers.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )

@@ -147,3 +147,29 @@ _register(
     FROM events GROUP BY user_id
     """,
 )
+
+
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return run_to_memory(
+        ops.stream_static_enrich(ev, cust), output_mode="complete"
+    )
+
+
+_register(
+    "st_stream_static_join",
+    st_stream_static_join,
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           c_mktsegment,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
