@@ -10,13 +10,14 @@ Methodology (documented in BASELINE.md §bench):
 - The session is warmed first (one trivial job + one trivial
   pandas_udf job) so no query pays SparkSession/Python-worker
   bring-up.
-- Each query runs twice; the headline per-query number is the MIN of
-  the two (steady-state). The first-run (cold) times are reported
+- Each query runs three times; the headline per-query number is the
+  MIN (steady-state). The first-run (cold) times are reported
   alongside under "queries_cold". Rationale: cold times are dominated
   by one-time janino codegen compilation (~1-8 s per distinct plan
   shape), a fixed cost independent of data volume — steady-state is
   the number that scales with SF and is comparable to the in-process
-  DuckDB oracle baseline.
+  DuckDB oracle baseline. Min-of-3 also bounds the host's transient
+  CPU-steal episodes (observed inflating identical runs 2-5×).
 """
 
 from __future__ import annotations
@@ -81,7 +82,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = queries[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
@@ -98,7 +99,7 @@ def main() -> None:
                 "queries": steady,
                 "queries_cold": cold,
                 "total_cold": round(sum(cold.values()), 3),
-                "methodology": "noop sink; warmed session; min of 2 runs (cold run reported separately)",
+                "methodology": "noop sink; warmed session; min of 3 runs (cold run reported separately)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
