@@ -1,0 +1,92 @@
+"""Property-based tests: text expressions vs pure-Python models.
+
+Hypothesis generates adversarial documents (empty strings, runs of
+spaces, unicode, single tokens) and we assert the Spark column
+expressions agree with an obviously-correct Python implementation.
+One Spark job per property (all examples in one DataFrame) keeps the
+suite fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_mapwarper_spark.functions.text import (  # noqa: E402
+    doc_fingerprint,
+    tokens,
+    word_shingles,
+)
+
+# Text alphabet exercises spaces (token boundaries), punctuation, and
+# non-ascii; DuckDB parity uses single-space split semantics, so the
+# Python model below must match exactly.
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po"),
+            whitelist_characters=" é光",
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def py_tokens(text: str) -> list[str]:
+    # single-space split, empty strings preserved (DuckDB string_split)
+    return text.split(" ")
+
+
+def py_shingles(text: str, n: int = 3) -> list[str]:
+    t = py_tokens(text)
+    seen: list[str] = []
+    for i in range(len(t) - n + 1):
+        s = " ".join(t[i : i + n])
+        if s not in seen:
+            seen.append(s)
+    return seen
+
+
+def py_fingerprint(text: str) -> str:
+    norm = "".join(c for c in text.lower() if c.isascii() and c.isalnum())
+    return hashlib.md5(norm.encode()).hexdigest()
+
+
+def _run(spark, texts, col):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r[0] for r in df.select(col).collect()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(TEXTS)
+def test_shingles_match_python_model(spark, texts):
+    got = _run(spark, texts, word_shingles(tokens(F.col("text")), 3))
+    assert got == [py_shingles(t) for t in texts]
+
+
+@settings(max_examples=20, deadline=None)
+@given(TEXTS)
+def test_token_split_matches_python_model(spark, texts):
+    got = _run(spark, texts, tokens(F.col("text")))
+    assert got == [py_tokens(t) for t in texts]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="aB3 ,.-_é", max_size=40), min_size=1, max_size=20
+    )
+)
+def test_fingerprint_matches_python_model(spark, texts):
+    # regex [^a-z0-9] strips non-ascii too — model mirrors that
+    got = _run(spark, texts, doc_fingerprint(F.col("text")))
+    assert got == [py_fingerprint(t) for t in texts]
