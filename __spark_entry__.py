@@ -21,6 +21,7 @@ def _registries():
 
     modules = [relational]
     for name in (
+        "relational_ext",
         "dedup",
         "similarity",
         "textops",

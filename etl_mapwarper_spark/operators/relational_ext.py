@@ -1,0 +1,335 @@
+"""Relational surface, extension set (SURVEY.md §2.B).
+
+Second batch of oracle-checked relational operators: correlated
+scalar subqueries (expressed decorrelated, the way they must run at
+scale), fact-to-fact EXISTS semi joins, exact percentiles, array
+aggregation, FILTER-clause conditional aggregation, RANGE-frame
+windows over a date axis, and ntile bucketing.
+
+Same conventions as ``relational.py``: dimension sides broadcast,
+floats rounded identically in Spark and oracle SQL, every output
+column aliased the same in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# q33 — correlated scalar subquery, decorrelated. "Parts priced above
+# their brand's average" is a correlated subquery in SQL; the scalable
+# plan is aggregate-then-join: one pass computes per-brand averages
+# (tiny — one row per brand), broadcast back onto the scan. The
+# correlated form would re-aggregate per outer row; the decorrelated
+# form is two scans and zero fact-side shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q33_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        part.join(broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg(F.col("p_retailprice") - F.col("brand_avg")), 4).alias(
+                "avg_premium"
+            ),
+        )
+    )
+
+
+_register(
+    "q33_above_brand_avg",
+    q33_above_brand_avg,
+    """
+    SELECT p_brand,
+           count(*) AS n_above,
+           round(avg(premium), 4) AS avg_premium
+    FROM (
+      SELECT p.p_brand,
+             p.p_retailprice
+               - (SELECT avg(p2.p_retailprice) FROM part p2
+                  WHERE p2.p_brand = p.p_brand) AS premium
+      FROM part p
+    )
+    WHERE premium > 0
+    GROUP BY p_brand
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q34 — EXISTS as a fact-to-fact LEFT SEMI join. Orders that have at
+# least one deeply-discounted bulk lineitem. The semi join shuffles
+# both facts on orderkey but carries only the join key plus the
+# grouping columns (semi join output = left columns only, and the
+# lineitem side is pre-filtered before the exchange). At 100 TB both
+# facts would be bucketed on orderkey and the exchange vanishes.
+# ---------------------------------------------------------------------------
+
+
+def q34_exists_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_discount") > 0.05) & (F.col("l_quantity") > 30)
+    )
+    hit = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+    )
+
+
+_register(
+    "q34_exists_discounted",
+    q34_exists_discounted,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_discount > 0.05 AND l.l_quantity > 30
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q35 — exact percentiles (median / p90). Spark's ``percentile`` is the
+# exact linear-interpolation aggregate (same definition as DuckDB's
+# quantile_cont), so values hash-match after rounding. Exact
+# percentiles need the full value multiset per group — fine for
+# bounded group counts; for 100 TB ungrouped percentiles the engine
+# surface also exposes approx_percentile (t-digest, mergeable
+# map-side) — correctness-gated here on the exact form only.
+# ---------------------------------------------------------------------------
+
+
+def q35_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+_register(
+    "q35_price_percentiles",
+    q35_price_percentiles,
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(min(l_extendedprice), 4) AS min_price,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q36 — array aggregation. collect_set is order-nondeterministic under
+# parallel merge, so the result is wrapped in sort_array to make it a
+# canonical value (same reason the oracle sorts its list). Arrays stay
+# JVM-side; the aggregate is mergeable map-side like any hash agg.
+# ---------------------------------------------------------------------------
+
+
+def q36_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
+        F.array_contains(
+            F.sort_array(F.collect_set("o_orderstatus")), "P"
+        ).alias("has_pending"),
+    )
+
+
+_register(
+    "q36_status_sets",
+    q36_status_sets,
+    """
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           count(DISTINCT o_orderstatus)::INT AS n_statuses,
+           list_contains(list(DISTINCT o_orderstatus), 'P') AS has_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q37 — conditional aggregation (SQL FILTER clause). One scan computes
+# every conditional aggregate simultaneously — the declarative
+# replacement for N filtered scans. All map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+def q37_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+            F.round(
+                F.sum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))), 2
+            ).alias("sum_positive"),
+            F.count_if(F.col("c_mktsegment") == "BUILDING").alias("n_building"),
+        )
+    )
+
+
+_register(
+    "q37_conditional_agg",
+    q37_conditional_agg,
+    """
+    SELECT n_name,
+           count(*) AS n_customers,
+           count(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+           round(sum(c_acctbal) FILTER (WHERE c_acctbal > 0), 2) AS sum_positive,
+           count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_building
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q38 — RANGE-frame window over a date axis: 7-day trailing average of
+# daily revenue. The frame is a true range frame on an integer day
+# ordinal (not ROWS — days can be missing, and a row frame would
+# silently widen the window across gaps). Daily rollup first, so the
+# window input is one row per day regardless of fact cardinality.
+# Money is summed as exact integer cents: double summation order
+# differs between engines and flips round(x, 2) at the half-cent
+# boundary; integer sums are order-independent, and the final
+# cents→dollars division of identical integers is bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def q38_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn("d", F.to_date("o_orderdate"))
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev_cents"))
+        .withColumn(
+            "day_ord", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("day_ord").rangeBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("timestamp").alias("d"),
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.round(
+            F.sum("rev_cents").over(w)
+            / (F.count("rev_cents").over(w) * 100.0),
+            4,
+        ).alias("mavg_7d"),
+    )
+
+
+_register(
+    "q38_moving_avg_7d",
+    q38_moving_avg_7d,
+    """
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS d,
+             sum(round(o_totalprice * 100, 0)::BIGINT) AS rev_cents,
+             datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS day_ord
+      FROM orders
+      GROUP BY 1, 3
+    )
+    SELECT d::TIMESTAMP AS d,
+           rev_cents / 100.0 AS revenue,
+           round(sum(rev_cents) OVER w / (count(rev_cents) OVER w * 100.0),
+                 4) AS mavg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q39 — ntile bucketing. Deterministic only under a total order, so the
+# sort key includes the unique c_custkey tiebreak in both engines.
+# A global ntile is a single-partition window sort — acceptable for
+# decile summaries (output is 10 rows); at 100 TB the same result
+# comes from approx quantile cut-points + a narrow bucket-assign pass,
+# which is how q25_acctbal_bands is built.
+# ---------------------------------------------------------------------------
+
+
+def q39_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+_register(
+    "q39_ntile_deciles",
+    q39_ntile_deciles,
+    """
+    SELECT decile,
+           count(*) AS n,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    GROUP BY decile
+    """,
+)
