@@ -341,3 +341,79 @@ _register(
     GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_tfidf_top_terms — TF-IDF keyword extraction per language.
+# tf(lang, term) = term occurrences across the language's docs;
+# idf(term) = ln(n_docs / doc_freq). One explode feeds BOTH aggregates
+# (per-(term,doc) counts roll up to doc-frequency AND language tf), so
+# the corpus is tokenized exactly once. The idf side is
+# vocabulary-sized (not corpus-sized) — broadcast onto the tf side,
+# so the only data-proportional shuffle is the explode→count agg.
+# Ranking uses the ROUNDED score with a term tiebreak so ordering is
+# identical across engines despite ulp-level ln() differences.
+# ---------------------------------------------------------------------------
+
+
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    ex = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    term_doc = ex.groupBy("term", "doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    doc_freq = term_doc.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    tf = term_doc.groupBy("lang", "term").agg(F.sum("n").alias("tf"))
+    n_docs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "score", "rk")
+    )
+
+
+_register(
+    "tx_tfidf_top_terms",
+    tx_tfidf_top_terms,
+    """
+    WITH ex AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    td AS (
+      SELECT term, doc_id, lang, count(*) AS n
+      FROM ex WHERE term <> '' GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM td GROUP BY 1),
+    tf AS (SELECT lang, term, sum(n) AS tf FROM td GROUP BY 1, 2),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, t.term,
+             round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+      FROM tf t JOIN dft USING (term) CROSS JOIN nd
+    )
+    SELECT lang, term, score, rk::INT AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY score DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
