@@ -58,6 +58,14 @@ def get_spark(
         # timestamp type — read as int64 nanos, converted to µs in the
         # table catalog (same truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Managed-table warehouse (bucketed tables) lives outside the
+        # repo; the in-memory catalog needs no metastore service.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

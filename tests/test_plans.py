@@ -116,3 +116,37 @@ def test_pandas_ops_are_arrow_batched(spark):
     # node name is ArrowAggregatePython on Spark 4.1+, AggregateInPandas
     # on earlier releases
     assert "AggregateInPandas" in plan or "ArrowAggregatePython" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing both facts by orderkey makes the join shuffle-free:
+    the per-query Exchange of both tables is traded for a one-time
+    bucketed write (the 100 TB co-location strategy)."""
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    write_bucketed(
+        load_table(spark, SF_DIR, "orders"), "b_orders", "o_orderkey", 8
+    )
+    write_bucketed(
+        load_table(spark, SF_DIR, "lineitem"), "b_lineitem", "l_orderkey", 8
+    )
+    # merge hint: at test SF the tables are broadcast-small, but the
+    # property under test is the bucketed SortMergeJoin path (what a
+    # fact⋈fact join planning would pick at real scale).
+    j = read_bucketed(spark, "b_orders").hint("merge").join(
+        read_bucketed(spark, "b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 0, f"bucketed join must not shuffle: {plan}"
