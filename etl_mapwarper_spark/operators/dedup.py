@@ -575,3 +575,92 @@ _register(
     GROUP BY rollhash
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_connected_components — transitive dedup clustering. Near-dup
+# pairs only relate documents pairwise; deduplication needs the
+# *clusters* (a~b, b~c ⇒ {a,b,c} share one canonical doc even though
+# a,c were never compared). Components are computed by iterative
+# min-label propagation: every doc starts as its own component; each
+# round, a doc adopts the smallest label among itself and its
+# neighbors; fixpoint = every member carries the component's minimum
+# doc_id. The driver loop runs O(cluster diameter) rounds, each a
+# small join + min-aggregate on the label frontier — per-round state
+# is localCheckpoint()ed so lineage (and thus task closure size) stays
+# constant instead of growing per iteration. Convergence is detected
+# by the strictly-decreasing sum of labels (no extra join). At 100 TB
+# the same loop runs with reliable checkpoints; for graphs with long
+# chains the large-star/small-star variant (Kiveris et al.) bounds
+# rounds at O(log n) — near-dup graphs are dense/shallow, so plain
+# min-propagation converges in a handful of rounds.
+#
+# Oracle: recursive CTE transitive closure over the same edge set,
+# then min(reachable) per node — exact same fixpoint, declaratively.
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ROUNDS = 64
+
+
+def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    prev_sum = None
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+_CC_EDGE_SQL = ORACLE["dd_simhash_pairs"]
+
+_register(
+    "dd_connected_components",
+    dd_connected_components,
+    f"""
+    WITH RECURSIVE pairs AS (
+      {_CC_EDGE_SQL}
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
