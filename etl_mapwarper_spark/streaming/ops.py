@@ -187,3 +187,35 @@ def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame, right: DataFrame, interval: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join on key + event-time interval.
+
+    Both sides carry watermarks so the join state is bounded: a left
+    row is held only until the right watermark passes ``l_ts +
+    interval`` (and vice versa), making state ∝ rate × interval
+    instead of stream length. Inner-join matches are emitted as soon
+    as both rows arrive — no agg on top, so append mode emits every
+    result even in a finite replay (a post-join windowed agg would
+    hold its last windows open forever at end-of-stream).
+    """
+    l = left.withWatermark("ts", interval).select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event"),
+    )
+    r = right.withWatermark("ts", interval).select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}")),
+    )

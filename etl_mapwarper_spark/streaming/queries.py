@@ -173,3 +173,39 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: each click joined to the same
+    user's purchases within the following hour — two live streams,
+    watermarks bounding join state on both sides."""
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = run_to_memory(
+        ops.stream_stream_interval_join(clicks, purchases),
+        output_mode="append",
+    )
+    return joined.select(
+        F.col("l_event").alias("click_id"),
+        F.col("r_event").alias("purchase_id"),
+        F.round("r_value", 6).alias("purchase_value"),
+    )
+
+
+_register(
+    "st_stream_stream_join",
+    st_stream_stream_join,
+    """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           round(p.value, 6) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
