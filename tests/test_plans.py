@@ -150,3 +150,38 @@ def test_bucketed_join_has_no_exchange(spark):
     assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchange == 0, f"bucketed join must not shuffle: {plan}"
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter — scan cost then scales
+    with data selected, not data stored."""
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    path = "/tmp/spark_graft_part_events"
+    write_partitioned(
+        load_table(spark, SF_DIR, "events"), path, ["event_type"]
+    )
+    df = read_partitioned(spark, path).filter(
+        F.col("event_type") == "click"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # the predicate must NOT remain as a post-scan data filter
+    assert not re.search(r"\(\d+\) Filter\b", plan), plan
+    n_click = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert df.count() == n_click
