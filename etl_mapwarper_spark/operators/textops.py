@@ -417,3 +417,106 @@ _register(
     ) WHERE rk <= 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_c4_filter — composite corpus-cleaning rule set (C4/Gopher-style):
+# a document is kept only if it passes every structural rule. The
+# output is the per-(lang, kept) partition profile — what a pipeline
+# operator reports before the kept split is written onward. One scan,
+# one tiny agg; the filter column itself is pure codegen'd expression
+# (no UDFs), so at 100 TB this runs at parquet-scan speed.
+# Rules (mirrored verbatim in the oracle):
+#   R1 length:     20 ≤ tokens ≤ 100000
+#   R2 word shape: 2.5 ≤ mean word length ≤ 10
+#   R3 symbols:    punctuation ratio < 0.30
+#   R4 stopwords:  ≥ 2 distinct stopword hits (language signal)
+#   R5 dedup-y:    < 30% of tokens are the single most frequent token
+# ---------------------------------------------------------------------------
+
+
+def tx_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = tokens(F.col("text"))
+    n_tok = F.size(t)
+    mean_wlen = (F.length(F.col("text")) - (n_tok - 1)).cast("double") / n_tok
+    pr = punct_ratio(F.col("text"))
+    n_stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array([F.lit(w) for w in STOPWORDS])
+        )
+    )
+    # mode-token frequency = longest run in the SORTED token array —
+    # O(n log n) per doc (the naive per-distinct-token count is
+    # O(distinct × tokens), quadratic on long documents). Single
+    # aggregate pass carrying (prev, run, best) struct state; no
+    # explode, no shuffle.
+    max_tok_n = F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    kept = (
+        (n_tok >= 20)
+        & (n_tok <= 100000)
+        & (mean_wlen >= 2.5)
+        & (mean_wlen <= 10.0)
+        & (pr < 0.30)
+        & (n_stop_distinct >= 2)
+        & (max_tok_n.cast("double") / n_tok.cast("double") < 0.30)
+    )
+    return (
+        docs.select("lang", kept.alias("kept"), n_tok.alias("n_tok"))
+        .groupBy("lang", "kept")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+_register(
+    "tx_c4_filter",
+    tx_c4_filter,
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')) AS mean_wlen,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+               / length(text) AS pr,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                {STOPWORDS!r})) AS n_stop_distinct,
+             list_max(list_transform(list_distinct(string_split(text, ' ')),
+                      w -> len(list_filter(string_split(text, ' '),
+                               x -> x = w)))) AS max_tok_n
+      FROM documents
+    )
+    SELECT lang,
+           (n_tok >= 20 AND n_tok <= 100000
+            AND mean_wlen >= 2.5 AND mean_wlen <= 10.0
+            AND pr < 0.30 AND n_stop_distinct >= 2
+            AND max_tok_n::DOUBLE / n_tok < 0.30) AS kept,
+           count(*) AS n_docs,
+           round(avg(n_tok), 4) AS avg_tokens
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
