@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "tx_quality_scores",
     "mw_map_objects",
     "mw_map_logs",
+    # extension set (round 1, second batch)
+    "q33_above_brand_avg",
+    "q35_price_percentiles",
+    "q38_moving_avg_7d",
+    "tx_tfidf_top_terms",
+    "tx_c4_filter",
 ]
 
 
