@@ -356,3 +356,66 @@ _register(
     GROUP BY decile
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q40 — date-spine gap fill. Time series from fact data have holes
+# (days with no orders); downstream window math (q38) needs a dense
+# axis. The spine is generated from the data's own min/max bounds via
+# sequence() — one row per day, thousands of rows at any corpus size —
+# and LEFT-joined back to the daily rollup. The daily rollup (bounded
+# by distinct days, not fact rows) is broadcast; the fact-proportional
+# work is only the first groupBy. Money in integer cents, as in q38.
+# ---------------------------------------------------------------------------
+
+
+def q40_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn("d", F.to_date("o_orderdate"))
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    return spine.join(broadcast(daily), "d", "left").select(
+        F.col("d").cast("timestamp").alias("d"),
+        (F.coalesce(F.col("rev_cents"), F.lit(0)) / 100.0).alias("revenue"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.col("rev_cents").isNull().alias("was_gap"),
+    )
+
+
+_register(
+    "q40_date_spine_gapfill",
+    q40_date_spine_gapfill,
+    """
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS d,
+             sum(round(o_totalprice * 100, 0)::BIGINT) AS rev_cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(
+               (SELECT min(d) FROM daily),
+               (SELECT max(d) FROM daily),
+               INTERVAL 1 DAY))::DATE AS d
+    )
+    SELECT s.d::TIMESTAMP AS d,
+           coalesce(dl.rev_cents, 0) / 100.0 AS revenue,
+           coalesce(dl.n_orders, 0) AS n_orders,
+           dl.rev_cents IS NULL AS was_gap
+    FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+    """,
+)
