@@ -22,6 +22,7 @@ from ..functions.text import (
     punct_ratio,
     stopword_ratio,
     token_count,
+    token_run_counts,
     tokens,
 )
 from ..sources.tables import load_table
@@ -358,11 +359,24 @@ _register(
 
 def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    ex = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
-    ).filter(F.col("term") != "")
-    term_doc = ex.groupBy("term", "doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n")
+    # per-doc term counts computed JVM-side (run-length over the sorted
+    # token array) — the explode emits one row per DISTINCT term per
+    # doc, and the corpus-sized explode→groupBy(term,doc) shuffle the
+    # naive plan needs disappears entirely.
+    term_doc = (
+        docs.select(
+            "doc_id",
+            "lang",
+            # materialized in its own projection: token_run_counts'
+            # lambdas need an attribute reference, not an inline
+            # expression (see its contract docstring)
+            F.array_sort(tokens(F.col("text"))).alias("s"),
+        )
+        .select(
+            "doc_id", "lang", F.explode(token_run_counts(F.col("s"))).alias("tc")
+        )
+        .select("doc_id", "lang", F.col("tc.tok").alias("term"), "tc.n")
+        .filter(F.col("term") != "")
     )
     doc_freq = term_doc.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")

@@ -90,3 +90,22 @@ def test_fingerprint_matches_python_model(spark, texts):
     # regex [^a-z0-9] strips non-ascii too — model mirrors that
     got = _run(spark, texts, doc_fingerprint(F.col("text")))
     assert got == [py_fingerprint(t) for t in texts]
+
+
+@settings(max_examples=20, deadline=None)
+@given(TEXTS)
+def test_token_run_counts_match_python_model(spark, texts):
+    from collections import Counter
+
+    from etl_mapwarper_spark.functions.text import token_run_counts
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        sorted((r["tok"], r["n"]) for r in row[0])
+        for row in df.select(
+            F.array_sort(tokens(F.col("text"))).alias("s")
+        )
+        .select(token_run_counts(F.col("s")))
+        .collect()
+    ]
+    assert got == [sorted(Counter(py_tokens(t)).items()) for t in texts]
