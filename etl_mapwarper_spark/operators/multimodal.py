@@ -286,3 +286,58 @@ _register(
     GROUP BY doc_id, f.f
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Audio stage: windowed RMS (the canonical audio feature-extraction
+# shape — frame the sample stream, reduce each frame). Same fake-codec
+# discipline: payload bytes are the samples, so the RMS is closed-form
+# integer arithmetic up to the final sqrt (correctly-rounded IEEE in
+# both engines, so values still hash-match).
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 16
+
+RMS_SCHEMA = "media_id bigint, win_idx int, rms double"
+
+
+def audio_rms(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "win_idx": [], "rms": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = decode_fake(payload).astype(np.float64)
+                n_win = len(samples) // window
+                for wi in range(n_win):
+                    frame = samples[wi * window : (wi + 1) * window]
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(wi)
+                    out["rms"].append(float(np.sqrt(np.mean(frame**2))))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(rms, schema=RMS_SCHEMA)
+
+
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir, kind="audio")
+    return audio_rms(media).select(
+        "media_id", "win_idx", F.round("rms", 6).alias("rms")
+    )
+
+
+_register(
+    "mm_audio_rms",
+    mm_audio_rms,
+    f"""
+    SELECT doc_id AS media_id,
+           w.w::INT AS win_idx,
+           round(sqrt(avg(((doc_id + (w.w * {AUDIO_WINDOW} + s.s)) % 256)
+                          * ((doc_id + (w.w * {AUDIO_WINDOW} + s.s)) % 256))),
+                 6) AS rms
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, {W * H // AUDIO_WINDOW})) AS w) w
+    CROSS JOIN (SELECT unnest(range(0, {AUDIO_WINDOW})) AS s) s
+    WHERE doc_id < 200
+    GROUP BY doc_id, w.w
+    """,
+)
