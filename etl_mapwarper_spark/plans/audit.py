@@ -1,0 +1,86 @@
+"""Physical-plan audit: extract the facts that matter at 100 TB.
+
+A query that returns correct rows can still be wrong at scale — the
+difference lives in the physical plan: did the filter reach the scan,
+did the scan prune columns, did the dim join broadcast, how many
+exchanges (shuffles) does one run pay, and did anything fall back to
+row-at-a-time Python. ``audit(df)`` parses ``explain("formatted")``
+into a structured summary so those properties can be asserted in
+tests (tests/test_plans.py) or checked interactively while tuning.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@dataclass
+class PlanAudit:
+    n_exchanges: int = 0
+    n_broadcast_joins: int = 0
+    n_shuffle_joins: int = 0  # SortMergeJoin / ShuffledHashJoin
+    n_sorts: int = 0
+    has_row_python: bool = False  # BatchEvalPython (the banned node)
+    arrow_python_nodes: list[str] = field(default_factory=list)
+    pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    # distinct [codegen id : N] spans; only annotated on final plans
+    # (an un-executed AdaptiveSparkPlan prints no codegen ids)
+    wholestage_codegen_ids: int = 0
+
+    @property
+    def is_join_free(self) -> bool:
+        return self.n_broadcast_joins + self.n_shuffle_joins == 0
+
+
+_ARROW_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "ArrowAggregatePython",
+    "FlatMapGroupsInPandasWithState",
+    "BatchEvalPythonUDTF",
+)
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    plan = formatted_plan(df)
+    # "(n) NodeName" detail entries are unique per physical node; the
+    # tree section repeats names, so count only the numbered entries.
+    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+    a = PlanAudit()
+    a.n_exchanges = nodes.count("Exchange")
+    a.n_broadcast_joins = sum(
+        1 for n in nodes if n in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+    )
+    a.n_shuffle_joins = sum(
+        1 for n in nodes if n in ("SortMergeJoin", "ShuffledHashJoin")
+    )
+    a.n_sorts = nodes.count("Sort")
+    a.has_row_python = "BatchEvalPython" in nodes
+    a.arrow_python_nodes = [n for n in nodes if n in _ARROW_NODES]
+    a.pushed_filters = [
+        m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m
+    ]
+    a.partition_filters = [
+        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m
+    ]
+    a.read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    a.wholestage_codegen_ids = len(
+        set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    )
+    return a

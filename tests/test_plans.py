@@ -185,3 +185,25 @@ def test_partitioned_sink_prunes_partitions(spark):
         .count()
     )
     assert df.count() == n_click
+
+
+def test_plan_audit_utility(spark):
+    """plans.audit extracts the structured facts the other tests grep
+    for — spot-check it against known plan shapes."""
+    from etl_mapwarper_spark.plans import audit
+
+    a5 = audit(ALL_QUERIES["q05_region_revenue"](spark, SF_DIR))
+    assert a5.n_broadcast_joins >= 4
+    assert a5.n_shuffle_joins <= 1
+    assert not a5.has_row_python
+
+    aj = audit(ALL_QUERIES["dd_ngram_jaccard"](spark, SF_DIR))
+    assert aj.is_join_free
+    assert aj.n_exchanges <= 3
+
+    az = audit(ALL_QUERIES["pd_zscore"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in az.arrow_python_nodes
+
+    a1 = audit(ALL_QUERIES["q01_pricing_summary"](spark, SF_DIR))
+    assert any("l_shipdate" in f for f in a1.pushed_filters)
+    assert all("l_orderkey" not in s for s in a1.read_schemas)
