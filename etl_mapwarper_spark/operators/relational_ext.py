@@ -419,3 +419,71 @@ _register(
     FROM spine s LEFT JOIN daily dl ON s.d = dl.d
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q41/q42 — multiset set ops (ALL variants). intersectAll/exceptAll
+# keep duplicate multiplicity (min/difference of per-row counts),
+# unlike the distinct-semantics q15/q16. Spark plans both as a single
+# aggregate-style exchange on the full row — no join explosion. The
+# projected column (order priority) is low-cardinality, so duplicate
+# multiplicity is the whole point of the test.
+# ---------------------------------------------------------------------------
+
+
+def q41_priority_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority"
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority"
+    )
+    return (
+        urgent.intersectAll(open_)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_register(
+    "q41_priority_intersect_all",
+    q41_priority_intersect_all,
+    """
+    SELECT o_orderpriority, count(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+def q42_priority_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority"
+    )
+    pend = orders.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderpriority"
+    )
+    return (
+        fin.exceptAll(pend)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_register(
+    "q42_priority_except_all",
+    q42_priority_except_all,
+    """
+    SELECT o_orderpriority, count(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
