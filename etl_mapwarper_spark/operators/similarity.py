@@ -366,3 +366,117 @@ _register(
     ) WHERE rank <= {TOP_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_kmeans_2iter — Lloyd's k-means, two unrolled iterations with
+# deterministic init (centroids = vectors 0..K-1). The iterative
+# pattern at scale: centroids are tiny → broadcast to every task for
+# assignment (a narrow map over the corpus); the centroid update is a
+# posexplode → (cluster, dim) hash agg, shuffling K×dim rows of
+# partials, not the corpus. More iterations = the same two stages in
+# a driver loop (see dd_connected_components for the loop pattern with
+# checkpointed state and convergence detection).
+#
+# Cross-engine determinism: intermediate centroids are rounded to 6
+# decimals IN the algorithm (both engines), so iteration-2 distances
+# are computed from bit-identical inputs — mean summation order is the
+# one place engine floating-point could diverge, and rounding at 1e-6
+# with ~1e-12 summation noise makes a boundary flip ~1-in-10⁶ per
+# centroid dim.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+
+
+def _sq_dist(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    init = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = emb.crossJoin(broadcast(cents)).withColumn(
+            "d2", _sq_dist(F.col("v"), F.col("c"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cid", "d2")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        return (
+            per_dim.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cid", F.transform("dm", lambda s: s["m"]).alias("c")
+            )
+        )
+
+    a2 = assign(update(assign(init)))
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+    )
+
+
+_DIM = 64
+
+_register(
+    "sim_kmeans_2iter",
+    sim_kmeans_2iter,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id::INT AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}
+    ), s1 AS (
+      SELECT e.vec_id, e.v, c.cid,
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d2
+      FROM e CROSS JOIN c0 c
+    ), a1 AS (
+      SELECT vec_id, v, cid, d2 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+        FROM s1
+      ) WHERE rk = 1
+    ), m1 AS (
+      SELECT cid, i.i AS dim, round(avg(v[i.i]), 6) AS m
+      FROM a1 CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+      GROUP BY cid, i.i
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid
+    ), s2 AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, {_DIM + 1}),
+                      i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS d2
+      FROM e CROSS JOIN c1 c
+    ), a2 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+        FROM s2
+      ) WHERE rk = 1
+    )
+    SELECT cid, count(*) AS n, round(avg(sqrt(d2)), 6) AS avg_dist
+    FROM a2 GROUP BY cid
+    """,
+)
