@@ -22,6 +22,8 @@ def _registries():
     modules = [relational]
     for name in (
         "relational_ext",
+        "relational_stats",
+        "sampling",
         "dedup",
         "similarity",
         "textops",

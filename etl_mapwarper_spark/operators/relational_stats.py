@@ -1,0 +1,289 @@
+"""Relational surface, statistics batch (SURVEY.md §2.B).
+
+Third batch of oracle-checked relational operators: statistical
+moment aggregates (corr / covariance / stddev / linear-regression
+fit), ordered string aggregation, fixed-width histogramming via
+arithmetic bucketing (portable where width_bucket is not), a cross
+join dimension matrix, and the percent_rank/cume_dist window family.
+
+The reference has no aggregation at all (SURVEY.md §2.A note,
+mapwarper.js has no group-by of any kind); these exist for the
+engine's general relational surface. Conventions as in
+``relational.py``: dimension sides broadcast, floats rounded
+identically in Spark and oracle SQL, every column aliased the same
+in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# q43 — statistical moment aggregates: correlation, sample covariance,
+# stddev, and an OLS fit (slope/intercept) of extendedprice on
+# quantity, per return flag. All of these are single-pass mergeable
+# aggregates (sum, sum of squares, sum of products) — map-side partial
+# aggregation applies exactly as for sum/count, so one shuffle of
+# 3 groups × 6 moments regardless of fact cardinality. Rounded to 4
+# decimals: the moment sums are order-dependent in the last ~10 ulps
+# and both engines agree far beyond 4 places.
+# ---------------------------------------------------------------------------
+
+
+def q43_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope_price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept_price"
+        ),
+    )
+
+
+_register(
+    "q43_stats_moments",
+    q43_stats_moments,
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q44 — ordered string aggregation (LISTAGG / string_agg). collect_list
+# order is nondeterministic under parallel merge, so the canonical form
+# is sort-then-join: array_sort fixes the order before concatenation,
+# matching the oracle's ORDER BY inside string_agg. The group count is
+# bounded by the dimension (5 regions), so the aggregate state is tiny.
+# ---------------------------------------------------------------------------
+
+
+def q44_nation_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_register(
+    "q44_nation_listagg",
+    q44_nation_listagg,
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q45 — fixed-width histogram by arithmetic bucketing. width_bucket
+# exists in Spark but not DuckDB, so both sides use the portable
+# floor((x - lo) / w) form with edge clamping — which is also the
+# scale-correct plan: bucket assignment is a narrow per-row expression
+# (no sort, no window), and the shuffle carries one row per non-empty
+# bucket. Bounds are literals: a data-derived min/max would need a
+# separate pass and make buckets SF-dependent.
+# ---------------------------------------------------------------------------
+
+_HIST_LO = 0.0
+_HIST_W = 5000.0
+_HIST_NB = 24
+
+
+def q45_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - F.lit(_HIST_LO)) / F.lit(_HIST_W)),
+            F.lit(0),
+        ),
+        F.lit(_HIST_NB - 1),
+    ).cast("long")
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_price"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * _HIST_W + _HIST_LO)
+    )
+
+
+_register(
+    "q45_price_histogram",
+    q45_price_histogram,
+    f"""
+    SELECT bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo_price,
+           round(max(l_extendedprice), 2) AS hi_price,
+           bucket * {_HIST_W} + {_HIST_LO} AS bucket_lo
+    FROM (
+      SELECT l_extendedprice,
+             least(greatest(floor((l_extendedprice - {_HIST_LO}) / {_HIST_W}),
+                            0), {_HIST_NB - 1})::BIGINT AS bucket
+      FROM lineitem
+    )
+    GROUP BY bucket
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q46 — cross join dimension matrix + left join of facts. The dense
+# (region × priority) grid comes from a cartesian product of two tiny
+# distinct sets (5 × 5 rows — broadcast nested loop, no shuffle), then
+# the aggregated fact side left-joins on so empty cells survive with
+# zero counts. The fact-proportional work is one groupBy; the grid work
+# is constant at any SF. Same dense-axis motivation as q40's date
+# spine, on a categorical product instead of time.
+# ---------------------------------------------------------------------------
+
+
+def q46_region_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    prios = orders.select("o_orderpriority").distinct()
+    grid = region.select("r_regionkey", "r_name").crossJoin(broadcast(prios))
+    per_cell = (
+        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    joined = grid.join(
+        broadcast(per_cell),
+        (grid.r_regionkey == per_cell.n_regionkey)
+        & (grid.o_orderpriority == per_cell.o_orderpriority),
+        "left",
+    )
+    return joined.select(
+        "r_name",
+        grid.o_orderpriority.alias("o_orderpriority"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+_register(
+    "q46_region_priority_matrix",
+    q46_region_priority_matrix,
+    """
+    WITH grid AS (
+      SELECT r_regionkey, r_name, o_orderpriority
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+    ),
+    per_cell AS (
+      SELECT n_regionkey, o_orderpriority,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT g.r_name,
+           g.o_orderpriority,
+           coalesce(p.n_orders, 0) AS n_orders,
+           coalesce(p.revenue, 0.0) AS revenue
+    FROM grid g
+    LEFT JOIN per_cell p
+      ON g.r_regionkey = p.n_regionkey
+     AND g.o_orderpriority = p.o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q47 — percent_rank / cume_dist window family (completes the ranking
+# surface beyond q28's rank/dense_rank and q39's ntile). Deterministic
+# only under a total order, so the sort key carries the unique
+# s_suppkey tiebreak in both engines. Supplier is the small table —
+# a global-order window over a dimension is fine; the same computation
+# over a fact would be partitioned (as in q28) or approximated via
+# quantile cut-points.
+# ---------------------------------------------------------------------------
+
+
+def q47_supplier_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_register(
+    "q47_supplier_rank_dist",
+    q47_supplier_rank_dist,
+    """
+    SELECT s_suppkey,
+           s_nationkey,
+           round(s_acctbal, 2) AS s_acctbal,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6)
+             AS pct_rank,
+           round(cume_dist() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cume
+    FROM supplier
+    """,
+)

@@ -1,0 +1,169 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+North-star additions (BASELINE.json: "operations a large-scale
+training-data pipeline would need"); the reference has no sampling of
+any kind. At 100 TB, `df.sample()` is the wrong tool for corpus
+curation: it is seed-dependent per partitioning, not reproducible
+across runs/engines, and cannot express "the SAME documents are in
+the train split forever". The standard fix is content-keyed hashing —
+bucket = h(stable_id) mod 100 — which is a narrow per-row expression
+(no shuffle, no state), reproducible on any engine, and stable under
+repartitioning, appends, and backfills.
+
+The hash here is the Knuth multiplicative hash (golden-ratio constant
+2654435761 = floor(2^32/phi)) over the stable doc_id, reduced mod
+2^32. Both Spark and DuckDB evaluate it with exact BIGINT arithmetic,
+so the oracle reproduces the bucket assignment bit-for-bit — which is
+exactly the reproducibility property the operator exists to provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+_KNUTH = 2654435761  # floor(2^32 / golden ratio); odd, full-period mod 2^32
+_M32 = 4294967296
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a stable integer key.
+
+    Multiplicative hashing: low-order key bits diffuse through the
+    product's low 32 bits. Pure integer arithmetic — identical on any
+    engine, any partitioning, any run.
+    """
+    return F.pmod(key * F.lit(_KNUTH), F.lit(_M32)) % F.lit(n_buckets)
+
+
+_BUCKET_SQL = f"((doc_id * {_KNUTH}) % {_M32}) % 100"
+
+
+# ---------------------------------------------------------------------------
+# ds_hash_sample — reproducible 10% corpus sample. The WHERE is a
+# narrow per-row predicate evaluated inside the scan stage; at 100 TB
+# the sample never materializes the rejected 90% past the filter, and
+# re-running on appended data keeps every previously-sampled doc.
+# ---------------------------------------------------------------------------
+
+
+def ds_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(hash_bucket(F.col("doc_id")) < 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+_register(
+    "ds_hash_sample",
+    ds_hash_sample,
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    WHERE {_BUCKET_SQL} < 10
+    GROUP BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ds_train_test_split — reproducible 80/10/10 split. The split label is
+# a function of doc_id alone, so a document's split NEVER changes as
+# the corpus grows — the property that prevents train/test leakage
+# across dataset versions. One scan, one narrow expression, one
+# 3-group aggregate.
+# ---------------------------------------------------------------------------
+
+
+def ds_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_register(
+    "ds_train_test_split",
+    ds_train_test_split,
+    f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ds_stratified_sample — per-stratum rates (downsample the dominant
+# language, keep the tail), the standard rebalancing step for training
+# corpora. Expressed as conditional aggregation over one full scan —
+# no per-stratum scans, no join; the per-lang rate table is a CASE
+# expression (in production, a broadcast map literal).
+# ---------------------------------------------------------------------------
+
+
+def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(60))
+    sampled = hash_bucket(F.col("doc_id")) < rate
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(sampled).alias("n_sampled"),
+        F.round(F.count_if(sampled) / F.count(F.lit(1)), 4).alias("rate_actual"),
+    )
+
+
+_register(
+    "ds_stratified_sample",
+    ds_stratified_sample,
+    f"""
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (
+             WHERE {_BUCKET_SQL} < CASE WHEN lang = 'en' THEN 10 ELSE 60 END
+           ) AS n_sampled,
+           round(count(*) FILTER (
+             WHERE {_BUCKET_SQL} < CASE WHEN lang = 'en' THEN 10 ELSE 60 END
+           ) / count(*)::DOUBLE, 4) AS rate_actual
+    FROM documents
+    GROUP BY lang
+    """,
+)
