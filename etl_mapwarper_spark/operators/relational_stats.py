@@ -287,3 +287,173 @@ _register(
     FROM supplier
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q48 — snapshot merge (SCD-style upsert): the incremental-refresh
+# pattern a training-data pipeline uses to fold a new crawl snapshot
+# into an existing corpus. Expressed as a FULL OUTER join on the
+# stable key + coalesce(update, base) per column, classifying each row
+# as kept / updated / inserted. At 100 TB both sides are bucketed on
+# the key so the merge is a zero-shuffle sort-merge join; the pattern
+# is the engine-level equivalent of MERGE INTO. Money is aggregated as
+# exact integer cents (order-independent; see q38).
+# ---------------------------------------------------------------------------
+
+
+def q48_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    upd = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        F.lit("U").alias("u_orderstatus"),
+        F.col("cents").alias("u_cents"),
+    )
+    merged = base.join(
+        upd, base.o_orderkey == upd.u_orderkey, "full_outer"
+    ).select(
+        F.coalesce("o_orderkey", "u_orderkey").alias("k"),
+        F.coalesce("u_orderstatus", "o_orderstatus").alias("status"),
+        F.coalesce("u_cents", "cents").alias("m_cents"),
+        F.when(
+            F.col("o_orderkey").isNotNull() & F.col("u_orderkey").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("u_orderkey").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action"),
+    )
+    return merged.groupBy("merge_action", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("m_cents") / 100.0).alias("total_price"),
+    )
+
+
+_register(
+    "q48_snapshot_merge",
+    q48_snapshot_merge,
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice * 100, 0)::BIGINT AS cents
+      FROM orders
+    ),
+    base AS (SELECT * FROM o WHERE o_orderkey % 3 != 0),
+    upd AS (
+      SELECT o_orderkey AS u_orderkey, 'U' AS u_orderstatus,
+             cents AS u_cents
+      FROM o WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT coalesce(b.o_orderkey, u.u_orderkey) AS k,
+             coalesce(u.u_orderstatus, b.o_orderstatus) AS status,
+             coalesce(u.u_cents, b.cents) AS m_cents,
+             CASE WHEN b.o_orderkey IS NOT NULL AND u.u_orderkey IS NOT NULL
+                    THEN 'updated'
+                  WHEN u.u_orderkey IS NOT NULL THEN 'inserted'
+                  ELSE 'kept' END AS merge_action
+      FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.u_orderkey
+    )
+    SELECT merge_action, status, count(*) AS n,
+           sum(m_cents) / 100.0 AS total_price
+    FROM merged
+    GROUP BY merge_action, status
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q49 — first_value / last_value / nth_value with an explicit
+# unbounded frame (completes the value-window family beyond q11's
+# lag/lead). last_value over the DEFAULT frame is a classic bug (frame
+# ends at CURRENT ROW); both engines get the explicit full frame. The
+# order key carries the unique o_orderkey tiebreak, and one row per
+# customer survives via distinct — the standard "per-entity first/last
+# attribute" extraction, one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+
+
+def q49_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            F.last_value("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .distinct()
+        .select(
+            "o_custkey",
+            F.round("first_price", 2).alias("first_price"),
+            F.round("last_price", 2).alias("last_price"),
+            F.round("second_price", 2).alias("second_price"),
+        )
+    )
+
+
+_register(
+    "q49_first_last_orders",
+    q49_first_last_orders,
+    """
+    SELECT DISTINCT o_custkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER w, 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q50 — RIGHT OUTER join (completes the join family: inner q05, left
+# q40, semi q08, anti q07, full q26/q48). The preserved side is the
+# broadcast-able dimension; the filtered supplier side loses whole
+# nations, which must survive as zero-count rows. Spark canonicalizes
+# right joins to left joins with sides swapped — same plan, declared
+# semantics.
+# ---------------------------------------------------------------------------
+
+
+def q50_right_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 5000
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            broadcast(nation), sup.s_nationkey == nation.n_nationkey, "right"
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_rich_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias(
+                "sum_acctbal"
+            ),
+        )
+    )
+
+
+_register(
+    "q50_right_join_suppliers",
+    q50_right_join_suppliers,
+    """
+    SELECT n_name,
+           count(s_suppkey) AS n_rich_suppliers,
+           round(coalesce(sum(s_acctbal), 0.0), 2) AS sum_acctbal
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) s
+    RIGHT JOIN nation ON s.s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
