@@ -238,3 +238,41 @@ _register(
     GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ORC roundtrip — third file format after parquet (canonical) and CSV
+# (text boundary). ORC is the other columnar container Spark ships a
+# native vectorized reader for; the roundtrip proves schema + values
+# survive, including the nested-free full documents schema. Same
+# oracle as the CSV roundtrip: aggregate the original table, so any
+# loss in the write/read cycle breaks the match.
+# ---------------------------------------------------------------------------
+
+
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/documents"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(SCHEMAS["documents"]).orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+        F.sum("n_chars").alias("total_n_chars"),
+    )
+
+
+_register(
+    "src_orc_roundtrip",
+    src_orc_roundtrip,
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(length(text))::BIGINT AS total_text_chars,
+           sum(n_chars)::BIGINT AS total_n_chars
+    FROM documents
+    GROUP BY source
+    """,
+)

@@ -457,3 +457,91 @@ _register(
     GROUP BY n_name
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q51 — multiple COUNT(DISTINCT) over different columns in one
+# aggregate. Spark plans this with the Expand operator (one input row
+# replicated per distinct-aggregate group, null-padded), then a single
+# two-level aggregation — one shuffle, no self-joins. The naive
+# alternative (N separate distinct queries + join) scans the fact N
+# times; Expand trades a constant row-multiplication factor for
+# single-scan execution, the right trade at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def q51_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.count_distinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_register(
+    "q51_multi_distinct",
+    q51_multi_distinct,
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(DISTINCT year(o_orderdate)) AS n_years,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q52 — exact decimal arithmetic. Doubles make money sums
+# order-dependent (the cents trick in q38/q48 is one workaround); the
+# type-system answer is DECIMAL: sums are exact and order-independent,
+# so no rounding discipline is needed until the final cast. Spark
+# widens sum(DECIMAL(18,2)) to DECIMAL(28,2) to absorb 10^10 addends
+# without overflow — the cast to DOUBLE at the end is presentation
+# only, of an exactly-agreed value.
+# ---------------------------------------------------------------------------
+
+
+def q52_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.sum("price_dec").alias("sum_dec"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("price_dec").alias("max_dec"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("sum_dec").cast("double").alias("sum_price"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_price"),
+        F.col("max_dec").cast("double").alias("max_price"),
+        "n",
+    )
+
+
+_register(
+    "q52_decimal_exact",
+    q52_decimal_exact,
+    """
+    WITH agg AS (
+      SELECT o_orderstatus,
+             sum(o_totalprice::DECIMAL(18,2)) AS sum_dec,
+             count(*) AS n,
+             max(o_totalprice::DECIMAL(18,2)) AS max_dec
+      FROM orders
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           sum_dec::DOUBLE AS sum_price,
+           sum_dec::DOUBLE / n AS avg_price,
+           max_dec::DOUBLE AS max_price,
+           n
+    FROM agg
+    """,
+)

@@ -534,3 +534,53 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_sentence_stats — sentence-level shape metrics per language:
+# sentences per doc (terminator count) and words per sentence, the
+# fluency signals C4/Gopher-style corpus filters threshold on. Both
+# metrics are narrow per-row regex expressions (no lookbehind — DuckDB's
+# RE2 has none, and at scale a character-class replace is cheaper than
+# split-and-count anyway), then one tiny per-lang aggregate.
+# ---------------------------------------------------------------------------
+
+
+def tx_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.length(F.regexp_replace(F.col("text"), "[^.!?]", ""))
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_doc = docs.select(
+        "lang",
+        terms.alias("n_sents"),
+        (words / F.greatest(terms, F.lit(1))).alias("words_per_sent"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_sents"), 4).alias("avg_sents_per_doc"),
+        F.round(F.avg("words_per_sent"), 4).alias("avg_words_per_sent"),
+        F.max("n_sents").alias("max_sents"),
+    )
+
+
+_register(
+    "tx_sentence_stats",
+    tx_sentence_stats,
+    r"""
+    WITH per_doc AS (
+      SELECT lang,
+             length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_sents,
+             length(regexp_split_to_array(trim(text), '\s+'))
+               / greatest(length(regexp_replace(text, '[^.!?]', '', 'g')),
+                          1)::DOUBLE AS words_per_sent
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_sents), 4) AS avg_sents_per_doc,
+           round(avg(words_per_sent), 4) AS avg_words_per_sent,
+           max(n_sents) AS max_sents
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
