@@ -207,3 +207,53 @@ def test_plan_audit_utility(spark):
     a1 = audit(ALL_QUERIES["q01_pricing_summary"](spark, SF_DIR))
     assert any("l_shipdate" in f for f in a1.pushed_filters)
     assert all("l_orderkey" not in s for s in a1.read_schemas)
+
+
+def test_q45_histogram_single_shuffle_and_pruned_scan(spark):
+    plan = plan_of(spark, "q45_price_histogram")
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert read_schema == "l_extendedprice:double", (
+        f"histogram must scan only the bucketed column, read {read_schema}"
+    )
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 1, (
+        f"bucket-assign must be narrow; one agg shuffle only, saw {n_exchange}"
+    )
+
+
+def test_q46_grid_join_never_shuffles(spark):
+    plan = plan_of(spark, "q46_region_priority_matrix")
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "dimension cross product must be a broadcast nested loop"
+    )
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan), (
+        "all q46 joins are dimension-sized and must broadcast"
+    )
+
+
+def test_q51_multi_distinct_uses_expand(spark):
+    plan = plan_of(spark, "q51_multi_distinct")
+    assert "Expand" in plan, (
+        "multiple count(distinct) must plan via Expand (single scan), "
+        "not separate scans"
+    )
+
+
+def test_ds_hash_sample_is_single_shuffle(spark):
+    plan = plan_of(spark, "ds_hash_sample")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 1, (
+        "hash-bucket sampling is a narrow predicate + one agg shuffle, "
+        f"saw {n_exchange} exchanges"
+    )
+    assert "join" not in plan.lower()
+
+
+def test_q48_merge_is_one_join_pass(spark):
+    plan = plan_of(spark, "q48_snapshot_merge")
+    assert re.search(r"SortMergeJoin.*FullOuter|FullOuter.*SortMergeJoin",
+                     plan, re.S), "snapshot merge must be a full-outer join"
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 3, (
+        f"merge needs at most 2 join exchanges + 1 agg exchange, saw {n_exchange}"
+    )
