@@ -209,3 +209,56 @@ _register(
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
 )
+
+
+def st_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sink via foreachBatch: partial-agg append + final merge.
+
+    The pattern behind every warehouse-bound streaming pipeline: each
+    micro-batch aggregates ITS OWN rows (map-side-style partials) and
+    appends them to a parquet landing zone; readers merge partials
+    with a second aggregation. Because the raw stream is stateless
+    (no streaming agg), every event contributes to exactly one
+    partial, so the merged totals equal the batch computation for any
+    micro-batch slicing — and the landing zone is append-only, which
+    is what object stores want. Compaction of the accreted partial
+    files is ``sources/compaction.py``'s job.
+    """
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    land = tempfile.mkdtemp(prefix="fb_partials_") + "/partials"
+
+    def write_partials(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.groupBy("user_id")
+            .agg(
+                F.sum("value").alias("v"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    run_foreach_batch(ev, write_partials, output_mode="append")
+    partials = spark.read.parquet(land)
+    return partials.groupBy("user_id").agg(
+        F.round(F.sum("v"), 6).alias("total_value"),
+        F.sum("n").alias("n_purchases"),
+    )
+
+
+_register(
+    "st_foreach_batch_merge",
+    st_foreach_batch_merge,
+    """
+    SELECT user_id,
+           round(sum(value), 6) AS total_value,
+           count(*) AS n_purchases
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
