@@ -584,3 +584,74 @@ _register(
     GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_chunk_windows — context chunking: split each document into
+# fixed-size token windows with stride overlap (the preprocessing step
+# feeding embedding/RAG pipelines and fixed-context training). One
+# tokenization per doc, chunk starts generated arithmetically with
+# sequence() and exploded — a narrow 1→N row expansion with no shuffle
+# until the (optional) downstream consumer; output size is
+# tokens/stride, linear in corpus size. All array ops are JVM-side
+# higher-order functions — no Python in the path.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 100
+_STRIDE = 80
+
+
+def tx_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n_toks"))
+    chunks = toked.select(
+        "doc_id",
+        "toks",
+        "n_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_toks") - 1, F.lit(0)),
+                F.lit(_STRIDE),
+            )
+        ).alias("chunk_start"),
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.slice(F.col("toks"), F.col("chunk_start") + 1, _CHUNK).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_start",
+        F.size("chunk").alias("chunk_len"),
+        F.element_at("chunk", 1).alias("first_tok"),
+        F.element_at("chunk", F.size("chunk")).alias("last_tok"),
+    )
+
+
+_register(
+    "tx_chunk_windows",
+    tx_chunk_windows,
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), {_STRIDE})) AS chunk_start
+      FROM t
+    )
+    SELECT doc_id,
+           chunk_start,
+           len(list_slice(toks, chunk_start + 1,
+                          least(chunk_start + {_CHUNK}, len(toks))))
+             AS chunk_len,
+           toks[chunk_start + 1] AS first_tok,
+           toks[least(chunk_start + {_CHUNK}, len(toks))] AS last_tok
+    FROM starts
+    """,
+)
