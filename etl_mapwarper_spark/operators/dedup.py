@@ -664,3 +664,62 @@ _register(
     FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Blocked Levenshtein: entity-resolution-style fuzzy dedup. Comparing
+# every pair is O(n²); the standard fix is BLOCKING — a cheap
+# deterministic key (here: lowercased 12-char prefix) partitions the
+# corpus so the quadratic comparator runs only within blocks. The
+# block join shuffles on the key like any equi-join; at 100 TB block
+# sizes (not corpus size) bound the per-task pair work, and a skewed
+# block is handled the same way as any skewed join key (salting/AQE).
+# The comparator runs on an 80-char head — edit distance is O(len²)
+# per pair, so bounding the operand length bounds comparator cost.
+# ---------------------------------------------------------------------------
+
+LEV_MAX = 20
+
+
+def dd_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    keyed = docs.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 12)).alias("blk"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("d1"),
+        "blk",
+        F.col("head").alias("h1"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("d2"),
+        "blk",
+        F.col("head").alias("h2"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.levenshtein("h1", "h2").alias("lev"))
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+
+
+_register(
+    "dd_levenshtein_blocked",
+    dd_levenshtein_blocked,
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             lower(substr(text, 1, 12)) AS blk,
+             substr(text, 1, 80) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS d1,
+           b.doc_id AS d2,
+           levenshtein(a.head, b.head) AS lev
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {LEV_MAX}
+    """,
+)

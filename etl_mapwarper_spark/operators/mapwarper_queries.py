@@ -367,3 +367,74 @@ _register(
     SELECT id, {_AREA_M2_SQL} AS area_m2 FROM v2 WHERE coords IS NOT NULL
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mw_bbox_contains_join — spatial containment join: points against the
+# fixture maps' bounding boxes (reference bbox semantics:
+# mapwarper.js:411 string bbox → 4 doubles; our engine generalizes to
+# a join predicate). The box side is tiny (one row per map) and
+# broadcast, so the containment test is a BroadcastNestedLoopJoin with
+# pure range predicates — the standard scale shape for point-in-box:
+# broadcast the boxes (or a grid-partitioned variant when boxes
+# outgrow memory), never shuffle the point fact twice. All coordinates
+# derive from integer keys with double arithmetic CAST identically in
+# the oracle, so containment decisions are bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def mw_bbox_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    boxes = part.select(
+        F.col("p_partkey").alias("k"),
+        (F.lit(-74.0) + (F.col("p_partkey") % 10) * 0.01).alias("lon0"),
+        (F.lit(40.7) + ((F.col("p_partkey") * 7) % 10) * 0.01).alias("lat0"),
+        (F.lit(0.01) + (F.col("p_partkey") % 5) * 0.001).alias("d"),
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    points = sup.select(
+        "s_suppkey",
+        (F.lit(-74.0) + (F.col("s_suppkey") % 25) * 0.002).alias("plon"),
+        (F.lit(40.7) + ((F.col("s_suppkey") * 5) % 25) * 0.002).alias("plat"),
+    )
+    hits = points.join(
+        F.broadcast(boxes),
+        (F.col("plon") >= F.col("lon0"))
+        & (F.col("plon") <= F.col("lon0") + F.col("d"))
+        & (F.col("plat") >= F.col("lat0"))
+        & (F.col("plat") <= F.col("lat0") + F.col("d")),
+    )
+    return hits.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("s_suppkey").alias("min_suppkey"),
+    )
+
+
+_register(
+    "mw_bbox_contains_join",
+    mw_bbox_contains_join,
+    """
+    WITH boxes AS (
+      SELECT p_partkey AS k,
+             CAST(-74.0 AS DOUBLE) + (p_partkey % 10) * CAST(0.01 AS DOUBLE) AS lon0,
+             CAST(40.7 AS DOUBLE) + ((p_partkey * 7) % 10) * CAST(0.01 AS DOUBLE) AS lat0,
+             CAST(0.01 AS DOUBLE) + (p_partkey % 5) * CAST(0.001 AS DOUBLE) AS d
+      FROM part WHERE p_partkey < 150
+    ),
+    points AS (
+      SELECT s_suppkey,
+             CAST(-74.0 AS DOUBLE) + (s_suppkey % 25) * CAST(0.002 AS DOUBLE) AS plon,
+             CAST(40.7 AS DOUBLE) + ((s_suppkey * 5) % 25) * CAST(0.002 AS DOUBLE) AS plat
+      FROM supplier
+    )
+    SELECT k,
+           count(*) AS n_points,
+           min(s_suppkey) AS min_suppkey
+    FROM points p JOIN boxes b
+      ON p.plon >= b.lon0 AND p.plon <= b.lon0 + b.d
+     AND p.plat >= b.lat0 AND p.plat <= b.lat0 + b.d
+    GROUP BY k
+    """,
+)
