@@ -59,6 +59,13 @@ BENCH_QUERIES = [
     "q38_moving_avg_7d",
     "tx_tfidf_top_terms",
     "tx_c4_filter",
+    # extension set (round 1, third batch)
+    "q48_snapshot_merge",
+    "q51_multi_distinct",
+    "q53_click_purchase_funnel",
+    "tx_chunk_windows",
+    "dd_levenshtein_blocked",
+    "ds_train_test_split",
 ]
 
 
