@@ -1,0 +1,69 @@
+"""Property tests for deterministic hash sampling.
+
+The whole point of ``hash_bucket`` is reproducibility: the same key
+maps to the same bucket on any engine, any partitioning, any run. The
+properties pin (1) agreement with a pure-Python model of the
+multiplicative hash, (2) range, and (3) invariance to repartitioning.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_mapwarper_spark.operators.sampling import (  # noqa: E402
+    _KNUTH,
+    _M32,
+    hash_bucket,
+)
+
+
+def py_bucket(key: int, n_buckets: int = 100) -> int:
+    return ((key * _KNUTH) % _M32) % n_buckets
+
+
+KEYS = st.lists(
+    st.integers(min_value=0, max_value=2**40),
+    min_size=1,
+    max_size=50,
+    unique=True,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(keys=KEYS)
+def test_bucket_matches_python_model(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "key bigint")
+    got = {
+        r.key: r.b
+        for r in df.select(
+            "key", hash_bucket(F.col("key")).alias("b")
+        ).collect()
+    }
+    assert got == {k: py_bucket(k) for k in keys}
+
+
+def test_bucket_range_and_partitioning_invariance(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("key"))
+    b1 = df.select("key", hash_bucket(F.col("key")).alias("b"))
+    assert b1.filter((F.col("b") < 0) | (F.col("b") >= 100)).count() == 0
+    b2 = df.repartition(17, "key").select(
+        "key", hash_bucket(F.col("key")).alias("b")
+    )
+    assert b1.exceptAll(b2).count() == 0
+
+    # buckets are reasonably uniform: each of 100 buckets sees 5000/100
+    # = 50 expected; no bucket should be empty or >3x expected
+    counts = [
+        r.n
+        for r in b1.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(counts) == 100
+    assert min(counts) > 0
+    assert max(counts) < 150

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from etl_mapwarper_spark.streaming import ops  # noqa: E402
 from etl_mapwarper_spark.streaming.runner import run_foreach_batch  # noqa: E402
+from tests.conftest import SF_DIR  # noqa: E402
 
 T0 = pd.Timestamp("2024-01-01 00:00:00")
 SCHEMA_DDL = "ts TIMESTAMP, user_id BIGINT, value DOUBLE"
@@ -159,3 +160,76 @@ def test_dedup_within_watermark_single_batch(spark, tmp_path):
     q.awaitTermination()
     q.stop()
     assert spark.table("dd_test").count() == 2
+
+
+def test_foreach_batch_merge_invariant_to_batch_slicing(spark, tmp_path):
+    """The partial-agg append pattern must give identical totals no
+    matter how the stream is sliced into micro-batches: here the
+    events land as 5 files consumed 1 per trigger (5 batches), vs the
+    single-batch result from the driver-gate query."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.sources import tables as _tables
+    from etl_mapwarper_spark.sources.tables import SCHEMAS
+
+    src = str(tmp_path / "events_sliced")
+    (
+        spark.read.schema(_tables._EVENTS_PHYSICAL)
+        .parquet(f"{SF_DIR}/events.parquet")
+        .repartition(5)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    ev = (
+        spark.readStream.schema(_tables._EVENTS_PHYSICAL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select(*[f.name for f in SCHEMAS["events"].fields])
+        .filter(F.col("event_type") == "purchase")
+    )
+    land = tempfile.mkdtemp(prefix="fb_sliced_") + "/partials"
+    batch_ids = []
+
+    def write_partials(bdf, batch_id):
+        batch_ids.append(batch_id)
+        (
+            bdf.groupBy("user_id")
+            .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_partials)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert len(batch_ids) >= 2, "slicing must actually produce multiple batches"
+
+    merged = (
+        spark.read.parquet(land)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("v"), 6).alias("total_value"),
+            F.sum("n").alias("n_purchases"),
+        )
+    )
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    expected = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+    assert merged.exceptAll(expected).count() == 0
+    assert expected.exceptAll(merged).count() == 0
