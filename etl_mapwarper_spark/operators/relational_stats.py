@@ -545,3 +545,91 @@ _register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q55 — null-safe equality join (<=> / IS NOT DISTINCT FROM). Standard
+# equi-joins silently drop null keys (null = null is null, not true);
+# pipelines joining on nullable business keys need the null-safe form,
+# which matches null to null exactly once. Spark still plans <=> as a
+# hash join (the null bucket hashes like any value), so the broadcast
+# shape is unchanged — this pins the semantics, not a new plan.
+# ---------------------------------------------------------------------------
+
+
+def q55_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("k"),
+        "o_totalprice",
+    )
+    dim = (
+        orders.select("k")
+        .distinct()
+        .select("k", F.coalesce("k", F.lit("(none)")).alias("label"))
+    )
+    joined = orders.join(broadcast(dim), orders.k.eqNullSafe(dim.k))
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_register(
+    "q55_nullsafe_join",
+    q55_nullsafe_join,
+    """
+    WITH o AS (
+      SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, o_totalprice
+      FROM orders
+    ),
+    dim AS (
+      SELECT k, coalesce(k, '(none)') AS label FROM (SELECT DISTINCT k FROM o)
+    )
+    SELECT d.label,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM o JOIN dim d ON o.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q56 — UNION with distinct semantics (completes set ops: q15/q16
+# distinct intersect/except, q41/q42 multiset ALL forms). Spark plans
+# union+distinct as a single hash aggregate over the concatenated
+# inputs — one shuffle on the row value, no join.
+# ---------------------------------------------------------------------------
+
+
+def q56_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    present = cust.union(sup).distinct()
+    return (
+        present.join(
+            broadcast(nation), present.nationkey == nation.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations_present"))
+    )
+
+
+_register(
+    "q56_union_distinct",
+    q56_union_distinct,
+    """
+    SELECT n_regionkey, count(*) AS n_nations_present
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+    ) p JOIN nation ON p.nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
+)
