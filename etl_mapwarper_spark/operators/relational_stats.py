@@ -565,9 +565,14 @@ def q55_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (
         orders.select("k")
         .distinct()
-        .select("k", F.coalesce("k", F.lit("(none)")).alias("label"))
+        .select(
+            F.col("k").alias("dim_k"),
+            F.coalesce("k", F.lit("(none)")).alias("label"),
+        )
     )
-    joined = orders.join(broadcast(dim), orders.k.eqNullSafe(dim.k))
+    joined = orders.join(
+        broadcast(dim), F.col("k").eqNullSafe(F.col("dim_k"))
+    )
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
