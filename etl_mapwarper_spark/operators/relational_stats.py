@@ -638,3 +638,123 @@ _register(
     GROUP BY n_regionkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q57 — rollup with GROUPING() disambiguation. A rollup's subtotal
+# rows carry nulls in the rolled-up columns, indistinguishable from
+# genuine null data values; GROUPING() is the standard marker. The
+# level id is built from per-column grouping() bits (portable — both
+# engines agree on grouping(); grouping_id()'s bit order is
+# engine-defined). Plan-wise rollup is a single Expand + hash
+# aggregate — one shuffle regardless of level count.
+# ---------------------------------------------------------------------------
+
+
+def q57_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).alias("level_id"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+            "revenue",
+            "level_id",
+        )
+    )
+
+
+_register(
+    "q57_rollup_grouping_id",
+    q57_rollup_grouping_id,
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue,
+           (grouping(l_returnflag) * 2 + grouping(l_linestatus))::INT
+             AS level_id
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q58 — regexp_extract_all + explode: pull every word out of a string
+# column and aggregate match frequencies. The per-row extract is a
+# narrow JVM regex (RE2-compatible pattern — no lookaround, so DuckDB
+# matches semantics exactly); the only shuffle is the final count.
+# ---------------------------------------------------------------------------
+
+
+def q58_regexp_extract_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        F.explode(
+            F.regexp_extract_all(F.col("p_name"), F.lit("([a-z]+)"), 1)
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+_register(
+    "q58_regexp_extract_words",
+    q58_regexp_extract_words,
+    """
+    SELECT word, count(*) AS n
+    FROM (
+      SELECT unnest(regexp_extract_all(p_name, '([a-z]+)', 1)) AS word
+      FROM part
+    )
+    GROUP BY word
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q59 — sub-hour time bucketing by epoch arithmetic (15-minute
+# tumbling windows). date_trunc only reaches hour granularity;
+# arbitrary widths come from floor(epoch / width) * width — a narrow
+# expression identical in both engines, and the same formula the
+# streaming window() operator uses internally. UTC session timezone
+# makes the epoch conversions exact.
+# ---------------------------------------------------------------------------
+
+
+def q59_quarter_hour_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 900).cast("long") * 900
+    )
+    return (
+        ev.withColumn("bucket_start", bucket)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+_register(
+    "q59_quarter_hour_buckets",
+    q59_quarter_hour_buckets,
+    """
+    SELECT epoch_ms((floor(epoch(ts) / 900)::BIGINT * 900) * 1000)
+             AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
