@@ -142,3 +142,109 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q60 — share-of-total (uncorrelated scalar subquery). The grand total
+# is a one-row aggregate broadcast back over the per-group aggregates
+# — the decorrelated plan Spark also produces for a scalar subquery,
+# written explicitly. Shares are computed from exact integer cents so
+# numerator/denominator are bit-identical across engines before the
+# single rounded division.
+# ---------------------------------------------------------------------------
+
+
+def q60_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per_prio = orders.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("prio_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    total = per_prio.agg(F.sum("prio_cents").alias("total_cents"))
+    return per_prio.crossJoin(F.broadcast(total)).select(
+        "o_orderpriority",
+        (F.col("prio_cents") / 100.0).alias("revenue"),
+        "n_orders",
+        F.round(F.col("prio_cents") / F.col("total_cents"), 6).alias(
+            "revenue_share"
+        ),
+    )
+
+
+_register(
+    "q60_revenue_share",
+    q60_revenue_share,
+    """
+    WITH o AS (
+      SELECT o_orderpriority,
+             round(o_totalprice * 100, 0)::BIGINT AS cents
+      FROM orders
+    ),
+    per_prio AS (
+      SELECT o_orderpriority,
+             sum(cents) AS prio_cents,
+             count(*) AS n_orders
+      FROM o GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           prio_cents / 100.0 AS revenue,
+           n_orders,
+           round(prio_cents / (SELECT sum(prio_cents) FROM per_prio)::DOUBLE,
+                 6) AS revenue_share
+    FROM per_prio
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q61 — rolling 7-day distinct actives (DAU→WAU). COUNT(DISTINCT) over
+# a sliding window has no streaming-mergeable form, so the exact plan
+# joins the fact against a day spine with a range predicate (each
+# event lands in ≤7 day-buckets) and distinct-counts per bucket. The
+# spine is generated from the data's own bounds (hundreds of rows —
+# broadcast), so the join is a narrow ×7 row expansion of the fact,
+# not a fact-fact shuffle. At 100 TB the same query would move to an
+# HLL sketch per day + 7-day sketch merge (see q29's approx path).
+# ---------------------------------------------------------------------------
+
+
+def q61_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    landed = ev.join(
+        F.broadcast(spine),
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    return landed.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    ).select(F.col("day").cast("timestamp").alias("day"), "wau")
+
+
+_register(
+    "q61_rolling_wau",
+    q61_rolling_wau,
+    """
+    WITH ev AS (SELECT user_id, ts::DATE AS d FROM events),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(d) FROM ev),
+                                    (SELECT max(d) FROM ev),
+                                    INTERVAL 1 DAY))::DATE AS day
+    )
+    SELECT s.day::TIMESTAMP AS day,
+           count(DISTINCT e.user_id) AS wau
+    FROM spine s JOIN ev e
+      ON e.d <= s.day AND e.d >= s.day - INTERVAL 6 DAY
+    GROUP BY 1
+    """,
+)
