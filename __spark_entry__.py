@@ -23,6 +23,7 @@ def _registries():
     for name in (
         "relational_ext",
         "relational_stats",
+        "relational_subq",
         "analytics",
         "sampling",
         "dedup",
