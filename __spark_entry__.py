@@ -25,6 +25,7 @@ def _registries():
         "relational_stats",
         "relational_subq",
         "analytics",
+        "changedata",
         "sampling",
         "dedup",
         "similarity",

@@ -276,3 +276,69 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record quarantine (error-as-data #23 at the parse layer,
+# mapwarper.js:122-129 applied to file ingestion). A deterministic CSV
+# fixture where every 7th row has an unparseable numeric field is read
+# PERMISSIVE with columnNameOfCorruptRecord; corrupt rows become DATA
+# (the raw line lands in the quarantine column) instead of failing the
+# job — the file-source analogue of the REST scan's error records. The
+# single-pass aggregate references data AND corrupt columns together,
+# which keeps the plan legal (Spark forbids scans projecting ONLY the
+# internal corrupt column) and means one scan serves both the good
+# path and the quarantine count. Values are summed as exact tenths
+# (bigint) so the check is order-independent.
+# ---------------------------------------------------------------------------
+
+N_CSV_ROWS = 1000
+
+
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = tempfile.mkdtemp(prefix="csv_bad_")
+    with open(os.path.join(path, "part-0.csv"), "w") as f:
+        for i in range(N_CSV_ROWS):
+            value = "not_a_number" if i % 7 == 0 else f"{i / 10.0:.1f}"
+            f.write(f"{i},name_{i},{value}\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.when(
+                F.col("_corrupt").isNull(),
+                F.round(F.col("value") * 10, 0).cast("long"),
+            )
+        ).alias("sum_tenths"),
+    )
+
+
+_register(
+    "src_csv_malformed",
+    src_csv_malformed,
+    f"""
+    WITH r AS (SELECT range AS id FROM range(0, {N_CSV_ROWS}))
+    SELECT count(*) FILTER (WHERE id % 7 <> 0) AS n_good,
+           count(*) FILTER (WHERE id % 7 = 0) AS n_quarantined,
+           sum(id) FILTER (WHERE id % 7 <> 0)::BIGINT AS sum_tenths
+    FROM r
+    """,
+)
