@@ -487,3 +487,47 @@ _register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q71 — lateral explode WITH ORDINALITY (posexplode). The generator
+# runs inline in the projection (Spark `Generate` node — a narrow op,
+# no shuffle), emitting (position, token) pairs; downstream aggregates
+# see the ordinal as a normal column. Spark's posexplode is 0-based,
+# the SQL convention is 1-based, so the ordinal is shifted to match.
+# Bounded to the first 3 tokens per document so the aggregate is a
+# leading-token frequency table, not a full term explosion.
+# ---------------------------------------------------------------------------
+
+
+def q71_posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return (
+        docs.select(
+            "doc_id", F.posexplode("toks").alias("pos0", "tok")
+        )
+        .filter(F.col("pos0") < 3)
+        .groupBy((F.col("pos0") + 1).alias("pos"), "tok")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_register(
+    "q71_posexplode_ordinality",
+    q71_posexplode_ordinality,
+    """
+    WITH exploded AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (x, i) -> {'tok': x, 'pos': i}),
+                    recursive := true)
+      FROM documents
+    )
+    SELECT pos, tok, count(*) AS n_docs
+    FROM exploded
+    WHERE pos <= 3
+    GROUP BY 1, 2
+    """,
+)

@@ -758,3 +758,112 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q69 — deterministic mode + median per group. mode() is
+# tie-nondeterministic in BOTH engines, so the mode is computed
+# explicitly: count per (group, value), rank by (count DESC, value ASC),
+# keep rank 1 — identical semantics everywhere, with the ranking done
+# over the tiny |groups × distinct values| aggregate, not the fact.
+# The median is a separate per-group aggregate over the raw rows;
+# Spark's median() and DuckDB's median() both interpolate the midpoint
+# for even counts, so the rounded values agree.
+# ---------------------------------------------------------------------------
+
+
+def q69_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    modes = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+    medians = orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price")
+    )
+    return modes.join(medians, "o_orderstatus")
+
+
+_register(
+    "q69_mode_median",
+    q69_mode_median,
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    modes AS (
+      SELECT o_orderstatus, o_orderpriority AS mode_priority,
+             n AS mode_n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority ASC) AS rk
+      FROM counts
+    ),
+    medians AS (
+      SELECT o_orderstatus, round(median(o_totalprice), 2) AS median_price
+      FROM orders GROUP BY 1
+    )
+    SELECT m.o_orderstatus, m.mode_priority, m.mode_n, d.median_price
+    FROM modes m JOIN medians d USING (o_orderstatus)
+    WHERE m.rk = 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q70 — boolean / bitwise aggregate family: bool_and, bool_or, and
+# bit_or-of-flags per nation over customers. Bitwise OR of per-row
+# flag masks is the cheap "which conditions occur in this group"
+# summary — associative, partial-aggregable, and exactly matched
+# across engines on bigint.
+# ---------------------------------------------------------------------------
+
+
+def q70_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.col("c_acctbal") > 0).alias("positive"),
+        (F.col("c_acctbal") > 9000).alias("rich"),
+        (
+            F.when(F.col("c_acctbal") < 0, 1)
+            .otherwise(0)
+            .cast("long")
+            + F.when(F.col("c_acctbal") > 9000, 2).otherwise(0)
+            + F.when(F.col("c_mktsegment") == "BUILDING", 4).otherwise(0)
+        ).alias("flags"),
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.bool_and("positive").alias("all_positive"),
+        F.bool_or("rich").alias("any_rich"),
+        F.bit_or("flags").alias("flag_mask"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+_register(
+    "q70_bool_bit_aggs",
+    q70_bool_bit_aggs,
+    """
+    SELECT c_nationkey,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           bit_or((CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END
+                   + CASE WHEN c_acctbal > 9000 THEN 2 ELSE 0 END
+                   + CASE WHEN c_mktsegment = 'BUILDING' THEN 4 ELSE 0 END
+                  )::BIGINT) AS flag_mask,
+           count(*) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
