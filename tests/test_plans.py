@@ -257,3 +257,58 @@ def test_q48_merge_is_one_join_pass(spark):
     assert n_exchange <= 3, (
         f"merge needs at most 2 join exchanges + 1 agg exchange, saw {n_exchange}"
     )
+
+
+def test_q62_never_self_joins_lineitem(spark):
+    # Q21's textbook form needs two lineitem self-joins; the
+    # decorrelated plan must scan lineitem exactly once (orders once,
+    # supplier once) and express both EXISTS conditions as one
+    # per-order aggregate.
+    plan = plan_of(spark, "q62_waiting_suppliers")
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet\b", plan))
+    assert n_scans == 3, (
+        f"q62 must scan lineitem/orders/supplier once each, saw {n_scans}"
+    )
+
+
+def test_q63_correlated_min_is_one_exchange(spark):
+    # the correlated min becomes a window over l_partkey: one exchange
+    # for the fact; part and supplier broadcast.
+    plan = plan_of(spark, "q63_min_cost_supplier")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 2, (
+        f"q63 is one fact exchange (+ distinct reuse), saw {n_exchange}"
+    )
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan), (
+        "q63 dimension joins must broadcast"
+    )
+
+
+def test_q65_having_in_aggregates_once(spark):
+    # the IN-subquery is the per-order aggregate itself — lineitem
+    # scanned once, no lineitem-vs-lineitem semi join.
+    plan = plan_of(spark, "q65_big_orders")
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet\b", plan))
+    assert n_scans == 3, (
+        f"q65 must scan lineitem/orders/customer once each, saw {n_scans}"
+    )
+
+
+def test_q67_scd2_single_exchange(spark):
+    # change-flag window, running version window, per-version agg and
+    # valid_to lead all reuse the o_custkey hash partitioning.
+    plan = plan_of(spark, "q67_scd2_intervals")
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange == 1, (
+        f"SCD2 build is a single shuffle on the entity key, saw {n_exchange}"
+    )
+    assert "join" not in plan.lower()
+
+
+def test_q68_cdc_diff_is_one_full_outer_join(spark):
+    plan = plan_of(spark, "q68_cdc_diff")
+    assert re.search(r"FullOuter", plan), "CDC diff must be full-outer"
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 2, (
+        f"diff needs one exchange per snapshot side, saw {n_exchange}"
+    )
