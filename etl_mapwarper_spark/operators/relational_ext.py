@@ -185,20 +185,19 @@ _register(
 
 # ---------------------------------------------------------------------------
 # q36 — array aggregation. collect_set is order-nondeterministic under
-# parallel merge, so the result is wrapped in sort_array to make it a
-# canonical value (same reason the oracle sorts its list). Arrays stay
-# JVM-side; the aggregate is mergeable map-side like any hash agg.
+# parallel merge, so the set is sorted and joined into one scalar string
+# (the harness canonicalizer hashes scalar cells; an ARRAY column is not
+# hashable there). The aggregate is mergeable map-side like any hash agg.
 # ---------------------------------------------------------------------------
 
 
 def q36_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    statuses = F.sort_array(F.collect_set("o_orderstatus"))
     return orders.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
-        F.array_contains(
-            F.sort_array(F.collect_set("o_orderstatus")), "P"
-        ).alias("has_pending"),
+        F.array_contains(statuses, "P").alias("has_pending"),
     )
 
 
@@ -207,7 +206,7 @@ _register(
     q36_status_sets,
     """
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            count(DISTINCT o_orderstatus)::INT AS n_statuses,
            list_contains(list(DISTINCT o_orderstatus), 'P') AS has_pending
     FROM orders

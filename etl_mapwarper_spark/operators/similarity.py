@@ -259,57 +259,74 @@ _register(
 # ---------------------------------------------------------------------------
 
 N_PROBE_CELLS = 2
-
-
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    dims = emb.select(
-        "label",
-        F.posexplode(to_double_array(F.col("embedding"))).alias("dim", "x"),
-    )
-    return (
-        dims.groupBy("label", "dim")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
-        )
-    )
+_EMB_DIM = 64
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a shuffle-free assignment pass.
+
+    Round-1 shape (crossJoin + 3 row_number windows over the expanded
+    corpus×nlist relation) cost 9 exchanges / 8 sorts. This shape:
+
+    - centroid build = ONE hash agg of 64 per-dim ``avg`` columns
+      (map-side combinable; no posexplode row blow-up, no regroup);
+    - cell assignment = a NARROW map: all centroids ride in as one
+      broadcast row and ``array_max`` over struct(acos, -label) picks
+      the argmax cell inline — the corpus is never shuffled or
+      row-expanded for assignment;
+    - probe→cell selection runs on 3 rows (tiny window);
+    - the only corpus-sized exchange left is the final top-k window
+      over the probed cells' candidates (bounded by nprobe × cell
+      size, independent of corpus size).
+    """
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
-        "vec_id", to_double_array(F.col("embedding")).alias("v")
+        "vec_id", "label", to_double_array(F.col("embedding")).alias("v")
     )
-    sc = (
-        emb.crossJoin(broadcast(_centroids(spark, sf_dir)))
-        .withColumn(
-            "acos", F.round(cosine_similarity(F.col("v"), F.col("cv")), 6)
+    cents = (
+        emb.groupBy("label")
+        .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(_EMB_DIM)])
+        .select(
+            "label",
+            F.array(*[f"c{i}" for i in range(_EMB_DIM)]).alias("cv"),
         )
-        .select("vec_id", "v", "label", "acos")
-        .persist()
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("label"))
+    cents_row = cents.agg(
+        F.collect_list(F.struct("label", "cv")).alias("cents")
+    )
+    # Per-row scored cells: struct ordering of (acos, -label) makes
+    # array_max the deterministic argmax (acos DESC, label ASC ties).
+    scored_cells = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("acos"),
+            (-c["label"]).alias("nl"),
+            c["label"].alias("label"),
+        ),
+    )
     assigned = (
-        sc.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "v", F.col("label").alias("cell"))
+        emb.crossJoin(broadcast(cents_row))
+        .withColumn("best", F.array_max(scored_cells))
+        .select("vec_id", "v", F.col("best.label").alias("cell"))
     )
-    probe_cells = (
-        sc.filter(F.col("vec_id").isin(PROBE_IDS))
-        .withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") <= N_PROBE_CELLS)
+    probe_scored = (
+        emb.filter(F.col("vec_id").isin(PROBE_IDS))
+        .crossJoin(broadcast(cents_row))
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("v").alias("pv"),
-            F.col("label").alias("cell"),
+            F.explode(scored_cells).alias("s"),
         )
     )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.desc("s.acos"), F.asc("s.label")
+    )
+    probe_cells = (
+        probe_scored.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= N_PROBE_CELLS)
+        .select("probe_id", "pv", F.col("s.label").alias("cell"))
+    )
     cands = (
-        probe_cells.join(assigned, "cell")
+        assigned.join(broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn(
             "cos", F.round(cosine_similarity(F.col("pv"), F.col("v")), 6)

@@ -54,10 +54,6 @@ def get_spark(
         # ANSI off: oracle (DuckDB) and classic TPC-H semantics tolerate
         # overflow-to-null-free double arithmetic; keep Spark legacy mode.
         .config("spark.sql.ansi.enabled", "false")
-        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no ns
-        # timestamp type — read as int64 nanos, converted to µs in the
-        # table catalog (same truncation DuckDB applies).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Managed-table warehouse (bucketed tables) lives outside the
         # repo; the in-memory catalog needs no metastore service.
         .config(

@@ -127,17 +127,6 @@ SCHEMAS: dict[str, T.StructType] = {
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
-# events.ts is physically TIMESTAMP(NANOS) in parquet; Spark lacks a ns
-# timestamp type, so we scan it as int64 (nanosAsLong) and truncate to
-# µs — identical to DuckDB's ns→µs conversion, keeping oracle parity.
-_EVENTS_PHYSICAL = T.StructType(
-    [
-        f if f.name != "ts" else T.StructField("ts", T.LongType())
-        for f in SCHEMAS["events"].fields
-    ]
-)
-
-
 # Below this input size a fact-table scan is almost certainly a single
 # parquet row group → a single Spark partition → every narrow op
 # (tokenize, shingle, vector math) runs on ONE core. A round-robin
@@ -177,17 +166,7 @@ def load_table(
     benefiting only the CPU-bound ones.
     """
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        from pyspark.sql import functions as F
-
-        df = (
-            spark.read.schema(_EVENTS_PHYSICAL)
-            .parquet(path)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .select(*[f.name for f in SCHEMAS["events"].fields])
-        )
-    else:
-        df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    df = spark.read.schema(SCHEMAS[name]).parquet(path)
     if (
         parallelize
         and name not in BROADCAST_TABLES

@@ -18,22 +18,18 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..sources.tables import SCHEMAS
-from ..sources import tables as _tables
 
 _counter = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (ns ts → µs, like batch)."""
+    """events.parquet as a file-source stream (declared µs-timestamp schema)."""
     return (
-        spark.readStream.schema(_tables._EVENTS_PHYSICAL)
+        spark.readStream.schema(SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select(*[f.name for f in SCHEMAS["events"].fields])
     )
 
 

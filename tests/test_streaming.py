@@ -171,23 +171,20 @@ def test_foreach_batch_merge_invariant_to_batch_slicing(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from etl_mapwarper_spark.sources import tables as _tables
     from etl_mapwarper_spark.sources.tables import SCHEMAS
 
     src = str(tmp_path / "events_sliced")
     (
-        spark.read.schema(_tables._EVENTS_PHYSICAL)
+        spark.read.schema(SCHEMAS["events"])
         .parquet(f"{SF_DIR}/events.parquet")
         .repartition(5)
         .write.mode("overwrite")
         .parquet(src)
     )
     ev = (
-        spark.readStream.schema(_tables._EVENTS_PHYSICAL)
+        spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select(*[f.name for f in SCHEMAS["events"].fields])
         .filter(F.col("event_type") == "purchase")
     )
     land = tempfile.mkdtemp(prefix="fb_sliced_") + "/partials"
