@@ -134,55 +134,58 @@ _register(
 def dd_ngram_jaccard(
     spark: SparkSession, sf_dir: str, df_cap: int | None = None
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs via posting lists.
+    """Exact n-gram Jaccard pairs via a hashed-shingle index self-join.
 
-    One shuffle builds per-shingle posting lists; candidate pairs are
-    generated map-side from each list (sorted, so d1 < d2 holds by
-    construction) and counted. This halves the shuffled volume vs. a
-    shingle self-join (which shuffles the inverted index twice) and
-    generates each co-occurrence exactly once.
+    Shingles are collapsed to 8-byte ``xxhash64`` keys before any
+    shuffle — the inverted index that moves between stages carries
+    (doc_id, n, hash) instead of raw shingle strings, cutting shuffle
+    bytes severalfold (64-bit collisions: ~1e-19 per candidate pair,
+    far below the oracle-comparison tolerance). Co-occurrence counts
+    come from an equi-join of the index with itself on the hash key
+    with ``d1 < d2``; the whole pipeline is codegen'd JVM (a round-1
+    posting-list variant generated pairs from collect_list arrays via
+    higher-order functions — half the shuffle volume but interpreted
+    per-element, measured 1.7× slower at sf0.1).
 
-    ``df_cap``: optional stop-shingle cap — posting lists longer than
-    this are dropped before pair generation. At 100 TB a boilerplate
-    shingle appearing in m docs yields m(m-1)/2 pairs inside one task;
-    the cap bounds that straggler. None (default) keeps exact
-    semantics, which is what the DuckDB oracle checks.
-
-    The per-doc distinct-shingle count rides along inside the posting
-    list (struct<doc_id, n>), so each generated pair already carries
-    both set sizes and the Jaccard is computable straight off the
-    pair-count aggregation — no size-lookup joins, and the source is
-    scanned exactly once. The whole operator is scan → shingle groupBy
-    → pair groupBy: 3 shuffles, 0 joins.
+    ``df_cap``: optional stop-shingle cap — hash keys hit by more than
+    this many docs are dropped before the join. At 100 TB a
+    boilerplate shingle appearing in m docs yields m(m-1)/2 pairs
+    inside one key; the cap bounds that straggler (and the same skew
+    is what AQE skew-join splits). None (default) keeps exact
+    semantics, which is what the DuckDB oracle checks. Either way this
+    operator is inherently pair-quadratic in shared shingles — it is
+    the exact oracle/baseline; dd_minhash_lsh is the production path.
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sh = docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
-    ).select(
-        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("shingle")
-    )
-    posts = (
-        sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+    sh = (
+        docs.select(
+            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
+        )
+        .select(
+            "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+        )
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
     )
     if df_cap is not None:
-        posts = posts.filter(F.size("ds") <= df_cap)
-    # array_sort on struct orders by doc_id, so d1 < d2 by construction.
-    pairs = posts.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "y -> struct(x.doc_id AS d1, x.n AS n1, "
-                "y.doc_id AS d2, y.n AS n2))))"
-            )
-        ).alias("p")
-    ).select("p.d1", "p.n1", "p.d2", "p.n2")
-    return (
-        pairs.groupBy("d1", "d2", "n1", "n2")
+        keep = sh.groupBy("h").count().filter(F.col("count") <= df_cap)
+        sh = sh.join(keep.select("h"), "h")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
+    )
+    return (
+        common.withColumn(
             "jacc",
             F.round(F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")), 4),
         )
@@ -602,14 +605,34 @@ _register(
 _CC_MAX_ROUNDS = 64
 
 
+def _cc_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage between CC rounds.
+
+    ``localCheckpoint`` stores blocks on executors — fast, but lost
+    with an executor at 100 TB. A reliable ``checkpoint()`` (HDFS/
+    object store) is used whenever a checkpoint dir is configured:
+    set $SPARK_GRAFT_CHECKPOINT_DIR (picked up here) or call
+    ``sc.setCheckpointDir`` before running the loop.
+    """
+    import os
+
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if env_dir:
+            sc.setCheckpointDir(env_dir)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = (
+    edges = _cc_checkpoint(
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
     prev_sum = None
@@ -619,7 +642,7 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        labels = (
+        labels = _cc_checkpoint(
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 "doc_id",
@@ -628,7 +651,6 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -664,6 +686,94 @@ _register(
     FROM documents d LEFT JOIN comp c USING (doc_id)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_cc_bigstar — large-star/small-star connected components (Kiveris
+# et al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+# Plain min-label propagation (dd_connected_components) needs
+# O(component diameter) rounds — fine for shallow near-dup clusters,
+# pathological for chain-shaped graphs. The star alternation converges
+# in O(log² n) rounds (O(log n) observed) INDEPENDENT of diameter,
+# because each phase re-points whole neighborhoods at their minimum:
+#
+# - large-star(u): link every strictly-larger neighbor v > u to
+#   m = min(N(u) ∪ {u});
+# - small-star(u): orient edges toward the smaller endpoint, then link
+#   every neighbor (and u itself) to the minimum.
+#
+# Fixpoint = each component is a star centered at its minimum doc_id,
+# so the final labels are one groupBy away. Per round: two groupBys
+# over the edge list (edge-proportional shuffle, no corpus shuffle).
+# Same fixpoint as dd_connected_components — same oracle SQL.
+# ---------------------------------------------------------------------------
+
+
+def dd_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _cc_checkpoint(
+        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).filter(
+            F.col("u") != F.col("v")
+        )
+    )
+
+    def both_dirs(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = both_dirs(e).groupBy("u").agg(F.collect_set("v").alias("vs"))
+        m = F.least(F.col("u"), F.array_min("vs"))
+        return (
+            nbrs.select("u", m.alias("m"), F.explode("vs").alias("v"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nbrs = o.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        return (
+            nbrs.select(
+                "u",
+                F.array_min("vs").alias("m"),
+                F.explode(F.array_insert("vs", 1, F.col("u"))).alias("v"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    cur = edges
+    for _ in range(_CC_MAX_ROUNDS):
+        cur = _cc_checkpoint(small_star(large_star(cur)))
+        sig = tuple(
+            cur.agg(
+                F.count(F.lit(1)), F.sum(F.col("u") + F.col("v"))
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # At fixpoint every edge is (member, component-min); docs with no
+    # near-dup edge are their own singleton component.
+    comp = cur.groupBy("u").agg(F.min("v").alias("c"))
+    return docs.join(comp, docs.doc_id == comp.u, "left").select(
+        "doc_id", F.coalesce(F.col("c"), F.col("doc_id")).alias("component")
+    )
+
+
+_register("dd_cc_bigstar", dd_cc_bigstar, ORACLE["dd_connected_components"])
 
 
 # ---------------------------------------------------------------------------

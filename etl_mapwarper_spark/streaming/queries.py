@@ -11,7 +11,6 @@ rather than rows-only.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,24 +117,40 @@ _register(
 
 
 def st_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful op via foreachBatch; one update row per user
-    per micro-batch — the full events file is a single file-source
-    batch, so the settled output is one running-total row per user."""
-    ev = read_events_stream(spark, sf_dir)
-    updates: list[pd.DataFrame] = []
+    """Custom stateful op (applyInPandasWithState) via foreachBatch.
 
-    def collect_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        updates.append(batch_df.toPandas())
+    Each micro-batch's update rows land in an append-only parquet
+    zone — executor-side writes, nothing materializes on the driver.
+    The settled readback keeps the LAST update per user with a
+    ``max_by`` on (batch_id, n_events), entirely JVM-side: running
+    totals are monotone in n_events within a user, so the max update
+    is the settled row. This is the scale-safe shape of the pattern —
+    the landing zone grows with update volume, not with driver memory.
+    """
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir)
+    land = tempfile.mkdtemp(prefix="st_user_totals_") + "/updates"
+
+    def write_updates(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(land)
 
     run_foreach_batch(
-        ops.stateful_user_totals(ev), collect_batch, output_mode="update"
+        ops.stateful_user_totals(ev), write_updates, output_mode="update"
     )
-    all_updates = pd.concat(updates, ignore_index=True)
-    # keep the LAST update per user (running totals are monotone in n)
     settled = (
-        all_updates.sort_values("n_events").groupby("user_id").tail(1)
+        spark.read.parquet(land)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value"),
+                F.struct("batch_id", "n_events"),
+            ).alias("s")
+        )
     )
-    return spark.createDataFrame(settled, schema=ops.USER_TOTALS_SCHEMA)
+    return settled.select("user_id", "s.n_events", "s.total_value")
 
 
 _register(
