@@ -31,9 +31,9 @@ def _registries():
         "textops",
         "ingestion",
         "sampling",
+        "pipeline_queries",
         "pandas_ops",
         "multimodal",
-        "pipeline_queries",
         "changedata",
         "analytics",
         "relational_subq",

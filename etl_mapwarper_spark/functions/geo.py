@@ -127,8 +127,13 @@ def _ring_kinks(ring) -> int:
     return count
 
 
-def _kinks_series(coordinates: pd.Series) -> pd.Series:
-    def one(coords) -> int:
+def _kinks_series(coords_json: pd.Series) -> pd.Series:
+    import json
+
+    def one(payload) -> int:
+        if payload is None:
+            return 0
+        coords = json.loads(payload)
         if coords is None:
             return 0
         total = 0
@@ -137,14 +142,25 @@ def _kinks_series(coordinates: pd.Series) -> pd.Series:
                 total += _ring_kinks(ring)
         return total
 
-    return coordinates.apply(one)
+    return coords_json.apply(one)
 
 
 def self_intersection_count(coordinates: Column) -> Column:
     """Number of proper self-crossings across all rings of a polygon.
 
     Arrow-batched pandas_udf, constructed lazily (a module-level
-    @pandas_udf("ddl") would require an active session at import)."""
+    @pandas_udf("ddl") would require an active session at import).
+
+    The geometry crosses the Python boundary as a JSON STRING
+    (``to_json`` JVM-side, ``json.loads`` in the worker), not as a
+    nested list column: an Arrow batch whose deep-nested list column
+    holds zero leaf values — every row null, or every row an empty
+    array, e.g. one all-unmasked partition — segfaults the worker
+    during arrow→pandas deserialization (observed on pyspark 4.1.2).
+    String batches have no nested buffers and are immune; the
+    encode/decode cost is per-masked-row and tiny next to the O(n²)
+    crossing check itself.
+    """
     from pyspark.sql.types import IntegerType
 
-    return pandas_udf(_kinks_series, IntegerType())(coordinates)
+    return pandas_udf(_kinks_series, IntegerType())(F.to_json(coordinates))

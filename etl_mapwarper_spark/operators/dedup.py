@@ -169,6 +169,10 @@ def dd_ngram_jaccard(
     if df_cap is not None:
         keep = sh.groupBy("h").count().filter(F.col("count") <= df_cap)
         sh = sh.join(keep.select("h"), "h")
+    # Pair expansion is the CPU-heavy stage; partition the index by its
+    # join key at full core width so the self-join runs co-partitioned
+    # and parallel even under a narrow static shuffle config.
+    sh = sh.repartition(spark.sparkContext.defaultParallelism, "h")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(

@@ -94,9 +94,15 @@ def fit_gcp_polynomial(
 
 
 def _transform_one(mask, gcps, order: int):
+    import json
+
+    if isinstance(mask, str):
+        mask = json.loads(mask)
+    if isinstance(gcps, str):
+        gcps = json.loads(gcps)
     if mask is None or len(mask) == 0:
         return (False, None, "empty mask")
-    if gcps is None:
+    if gcps is None or len(gcps) == 0:
         return (False, None, "no GCPs")
     try:
         lon_c, lat_c = fit_gcp_polynomial(gcps, order)
@@ -113,7 +119,13 @@ def _transform_one(mask, gcps, order: int):
 
 
 def make_gcp_transform_udf(order: int = 1):
-    """Result-struct pandas UDF: (mask ring, gcps) → {ok, coordinates, error}."""
+    """Result-struct pandas UDF: (mask ring, gcps) → {ok, coordinates, error}.
+
+    Inputs arrive as JSON strings (see ``enrich_masks``): nested-list
+    Arrow batches with zero leaf values segfault the worker's
+    arrow→pandas step on pyspark 4.1.2, and a partition of all-failed
+    fetches (null masks) is exactly that shape. Strings are immune.
+    """
 
     @pandas_udf(RESULT_SCHEMA)
     def gcp_transform(mask: pd.Series, gcps: pd.Series) -> pd.DataFrame:
@@ -141,8 +153,12 @@ def enrich_masks(
     masked = maps.filter(gate)
     unmasked = maps.filter(~gate | F.col("mask_status").isNull())
     res = F.col("_gcp_result")
+    # JSON-string boundary (see make_gcp_transform_udf docstring).
     enriched = (
-        masked.withColumn("_gcp_result", udf(F.col(mask_col), F.col(gcps_col)))
+        masked.withColumn(
+            "_gcp_result",
+            udf(F.to_json(F.col(mask_col)), F.to_json(F.col(gcps_col))),
+        )
         .withColumn(
             "maskGeometry",
             F.when(
@@ -162,6 +178,58 @@ def enrich_masks(
             "maskGeometry", F.lit(None).cast(geom_type)
         ).withColumn("maskError", F.lit(None).cast("string"))
     )
+
+
+# JSON body served by the per-map mask endpoint (the fetch half of the
+# reference's maskToGeoJSON.getMaskAndTransform, mapwarper.js:84-86):
+# the pixel-space mask ring and the GCP rows [px, py, lat, lon].
+MASK_BODY_SCHEMA = T.StructType(
+    [
+        T.StructField("mask", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("gcps", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+
+def fetch_masks(
+    spark,
+    maps: DataFrame,
+    config,
+    map_id: str = "id",
+    status_col: str = "mask_status",
+) -> DataFrame:
+    """The mask-FETCH hop of reference getMask (mapwarper.js:79-110).
+
+    Only ``mask_status ∈ {masked, masking}`` map ids are requested
+    (:81) — the gate runs before any network work, exactly like the
+    reference. Fetched bodies parse JVM-side (``from_json``) into
+    ``mask``/``gcps`` columns; fetch failures land in
+    ``mask_fetch_error`` (error-as-data, :90). Compose with
+    ``enrich_masks`` for the transform half. The join back to the maps
+    stream is a plain equi-join on the map id — at scale the fetched
+    side is bounded by the masked subset, not the corpus.
+    """
+    from ..sources.paginated_rest import fetch_by_key
+
+    gate = F.col(status_col).isin("masked", "masking")
+    fetched = fetch_by_key(
+        spark, config, maps.filter(gate).select(map_id), map_id
+    )
+    parsed = fetched.select(
+        F.col("key").alias("_mf_id"),
+        F.when(F.col("ok"), F.from_json("body", MASK_BODY_SCHEMA)).alias(
+            "_mb"
+        ),
+        F.when(~F.col("ok"), F.col("error")).alias("mask_fetch_error"),
+    ).select(
+        "_mf_id",
+        F.col("_mb.mask").alias("mask"),
+        F.col("_mb.gcps").alias("gcps"),
+        "mask_fetch_error",
+    )
+    return maps.join(
+        parsed, maps[map_id] == parsed["_mf_id"], "left"
+    ).drop("_mf_id")
 
 
 def attach_map_layers(

@@ -136,6 +136,132 @@ def _outputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end with the mask-fetch hop (reference getMask,
+# mapwarper.js:79-110): the maps API serves items WITHOUT mask data;
+# a per-map mask endpoint serves {mask, gcps}; download fetches masks
+# for the gated subset, the Arrow GCP stage transforms them, and both
+# steps run through run_pipeline's parquet checkpoint chain. The
+# fixture GCPs are the exact-affine family from
+# enrichment.synthetic_masked_maps, so the oracle SQL is shared
+# verbatim with mw_gcp_transform — any drift anywhere in the chain
+# (pagination, JSON, keyed fetch, join-back, enrichment, checkpoint)
+# breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def _affine_params(k: int):
+    a = (k % 3 + 1) * 0.0001
+    e = (k % 2 + 2) * 0.00005
+    c = -74.0 + k * 0.001
+    f0 = 40.7 + k * 0.0005
+    w = float(k % 50 + 100)
+    h = float(k % 40 + 80)
+    return a, e, c, f0, w, h
+
+
+def _map_item_unenriched(k: int) -> dict:
+    row = _map_item(k)
+    row["maskGeometry"] = None
+    row["gcps"] = None
+    row["maskError"] = None
+    # gating mirrors enrichment.synthetic_masked_maps: k%10 unmasked
+    row["mask_status"] = "unmasked" if k % 10 == 0 else "masked"
+    return row
+
+
+def _serve_mask(url: str, timeout_s: float) -> FetchResult:
+    from urllib.parse import urlparse
+
+    k = int(urlparse(url).path.split("/")[-2])
+    a, e, c, f0, w, h = _affine_params(k)
+
+    def gcp(px: float, py: float) -> list:
+        return [px, py, e * py + f0, a * px + c]
+
+    if k % 17 == 0:
+        gcps = [gcp(0.0, 0.0), gcp(200.0, 0.0)]
+    else:
+        gcps = [
+            gcp(0.0, 0.0),
+            gcp(200.0, 0.0),
+            gcp(0.0, 200.0),
+            gcp(200.0, 200.0),
+        ]
+    ring = [[0.0, 0.0], [w, 0.0], [w, h], [0.0, h], [0.0, 0.0]]
+    return FetchResult(200, json.dumps({"mask": ring, "gcps": gcps}))
+
+
+def _serve_unenriched(url: str, timeout_s: float, rows: tuple) -> FetchResult:
+    q = parse_qs(urlparse(url).query)
+    page = int(q["page"][0])
+    per_page = int(q["per_page"][0])
+    items = [_map_item_unenriched(k) for k in rows]
+    start = (page - 1) * per_page
+    body = {
+        "total_entries": len(items),
+        "items": items[start : start + per_page],
+    }
+    return FetchResult(200, json.dumps(body))
+
+
+def _e2e_config(spark: SparkSession, sf_dir: str) -> PipelineConfig:
+    base = _config(spark, sf_dir)
+    map_keys = base.maps_source.fetcher.keywords["rows"]
+    fast = dict(requests_per_second=1e9, backoff_s=0.0, max_concurrency=4)
+    return PipelineConfig(
+        maps_source=RestSourceConfig(
+            url_template="http://fake/maps.json?page={page}&per_page={per_page}",
+            per_page=50,
+            fetcher=functools.partial(_serve_unenriched, rows=map_keys),
+            **fast,
+        ),
+        layers_source=base.layers_source,
+        mask_source=RestSourceConfig(
+            url_template="http://fake/maps/{id}/mask.json",
+            fetcher=_serve_mask,
+            **fast,
+        ),
+        enrich=True,
+        transform_order=1,
+    )
+
+
+_E2E_RUNS: dict = {}
+
+
+def _e2e_outputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark, sf_dir)
+    if key not in _E2E_RUNS:
+        workdir = tempfile.mkdtemp(prefix="mw_pipeline_e2e_")
+        _E2E_RUNS[key] = run_pipeline(spark, _e2e_config(spark, sf_dir), workdir)
+    return _E2E_RUNS[key]
+
+
+def pipe_rest_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    maps = _e2e_outputs(spark, sf_dir)["maps"]
+    ring0 = F.element_at(F.col("maskGeometry")["coordinates"], 1)
+    return (
+        maps.filter(F.col("maskGeometry").isNotNull())
+        .select("id", F.posexplode(ring0).alias("idx", "pt"))
+        .select(
+            "id",
+            "idx",
+            F.round(F.element_at("pt", 1), 6).alias("lon"),
+            F.round(F.element_at("pt", 2), 6).alias("lat"),
+        )
+    )
+
+
+from .enrichment import ORACLE as ENRICH_ORACLE  # noqa: E402
+
+_register(
+    "pipe_rest_end_to_end",
+    pipe_rest_end_to_end,
+    ENRICH_ORACLE["mw_gcp_transform"],
+)
+
+
+# ---------------------------------------------------------------------------
 # Queries — projections identical to the mw_* fixture queries, oracle
 # SQL shared verbatim.
 # ---------------------------------------------------------------------------

@@ -125,6 +125,11 @@ class PipelineConfig:
 
     ``enrich``: run the GCP mask→GeoJSON stage on mask/gcps columns
     (reference :79-110). Off when the API serves pre-enriched items.
+    ``mask_source``: optional per-map mask endpoint (``{id}`` URL
+    template). When set, ``download`` performs the reference's mask
+    FETCH hop (getMask, :79-110) before the transform: masked maps'
+    ``mask``/``gcps`` come from this endpoint rather than the items
+    payload, and fetch failures surface as ``maskError``.
     ``map_layers_source``: optional membership stream config; when
     set, ``download`` attaches ``layerIds`` via a real join instead
     of the reference's N+1 lookups (``config.includeMapLayers``,
@@ -133,6 +138,7 @@ class PipelineConfig:
 
     maps_source: RestSourceConfig
     layers_source: RestSourceConfig
+    mask_source: Optional[RestSourceConfig] = None
     map_item_schema: T.StructType = field(default=MAP_ITEM_SCHEMA)
     layer_item_schema: T.StructType = field(default=LAYER_ITEM_SCHEMA)
     enrich: bool = False
@@ -174,8 +180,30 @@ def download(
     maps = page_items(map_pages, config.map_item_schema).drop("page")
     out["map_errors"] = _write(page_errors(map_pages), dirs, "map_errors")
 
+    if config.mask_source is not None:
+        # Reference getMask hop (:79-110): masks/GCPs come from the
+        # Warper API per map, not the items payload.
+        from pyspark.sql import functions as F
+
+        from .operators.enrichment import fetch_masks
+
+        maps = fetch_masks(
+            spark,
+            maps.drop("gcps", "maskGeometry", "maskError"),
+            config.mask_source,
+        )
+
     if config.enrich:
         maps = enrich_masks(maps, order=config.transform_order)
+        if config.mask_source is not None:
+            from pyspark.sql import functions as F
+
+            # fetch-level errors win over transform-level ones, like
+            # the reference's maskError attachment on fetch failure
+            maps = maps.withColumn(
+                "maskError",
+                F.coalesce(F.col("mask_fetch_error"), F.col("maskError")),
+            ).drop("mask_fetch_error")
 
     if config.map_layers_source is not None:
         membership_pages = scan_until_short_page(

@@ -3,15 +3,17 @@
 One place to configure the session so every entry point (tests, bench,
 __spark_entry__, pipelines) gets identical, scale-appropriate settings:
 
-- AQE on (runtime coalescing + skew-join handling — at 100 TB the static
-  plan is always wrong somewhere; AQE fixes partition counts and skew at
-  runtime from actual map-output statistics).
+- AQE sized to the deployment: ON for real data volumes (at 100 TB the
+  static plan is always wrong somewhere; AQE fixes partition counts and
+  skew at runtime from actual map-output statistics), OFF with narrow
+  static plans when the whole input is sub-GiB and AQE's per-stage
+  re-planning latency outweighs any benefit. See _adaptive_wanted.
 - Arrow on (every pandas_udf / applyInPandas crosses the JVM<->Python
   boundary in columnar Arrow batches instead of pickled rows).
 - UTC session timezone (parity with the DuckDB oracle, whose timestamps
   are UTC-naive).
-- shuffle partitions sized to the local core count; on a real cluster
-  AQE's coalescing makes the initial number mostly a ceiling.
+- shuffle partitions sized to data volume and core count; on a real
+  cluster AQE's coalescing makes the initial number mostly a ceiling.
 """
 
 from __future__ import annotations
@@ -21,6 +23,42 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Below this total input size the session plans statically with few
+# shuffle partitions. Rationale: AQE earns its keep by re-planning
+# from *unknown* runtime statistics — partition coalescing, skew
+# splitting, join demotion — all of which matter when stages move
+# gigabytes per executor. On a sub-GiB local dataset every stage's
+# stats are tiny and knowable, and AQE's per-stage materialize+
+# re-optimize latency (~50-150 ms × stages × queries) is pure
+# overhead. At the 100 TB target the same factory configures AQE on
+# with partition counts sized to the data (see below) — this switch
+# IS the "size your shuffles to the deployment" rule, applied both
+# directions. Force with SPARK_GRAFT_AQE=on|off.
+_SMALL_DATA_BYTES = 2 << 30
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    try:
+        for root, _, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
+def _adaptive_wanted(sf_dir: str) -> bool:
+    forced = os.environ.get("SPARK_GRAFT_AQE", "").lower()
+    if forced in ("on", "true", "1"):
+        return True
+    if forced in ("off", "false", "0"):
+        return False
+    return _dir_bytes(sf_dir) >= _SMALL_DATA_BYTES
 
 
 def get_spark(
@@ -36,12 +74,18 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    adaptive = _adaptive_wanted(DEFAULT_SF_DIR)
+    # Shuffle width follows data volume: wide (≥ cores, AQE-coalesced)
+    # when stages move real data; narrow static plans when the whole
+    # input fits a handful of 100-MB-class partitions and per-task
+    # launch overhead would dominate.
+    n_shuffle = max(cpus, 4) if adaptive else max(4, min(8, cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.default.parallelism", str(max(cpus, 4)))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

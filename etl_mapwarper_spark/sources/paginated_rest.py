@@ -263,6 +263,62 @@ def page_errors(pages: DataFrame) -> DataFrame:
     return pages.filter(~F.col("ok")).select("page", "url", "status", "error")
 
 
+# Keyed (per-entity) fetch contract: one row per requested key.
+KEYED_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def fetch_by_key(
+    spark: SparkSession,
+    config: RestSourceConfig,
+    keys_df: DataFrame,
+    key_col: str = "id",
+) -> DataFrame:
+    """Per-entity endpoint fetch (reference getMask, mapwarper.js:79-110).
+
+    The reference hits ``…/{mapId}/mask`` once per qualifying map,
+    serially. Spark shape: the key column (and ONLY the key column —
+    never whole records) is coalesced to ``max_concurrency`` partitions
+    and fetched through the same token-bucket + retry machinery as the
+    page scans, so the global request rate honors the politeness budget
+    on any cluster size. ``url_template`` receives ``{id}``. Errors are
+    result rows (error-as-data), mirroring the reference's maskError
+    attachment (:90) rather than stream failure.
+    """
+    cfg = config
+    keys = keys_df.select(F.col(key_col).cast("long").alias("key")).coalesce(
+        max(config.max_concurrency, 1)
+    )
+
+    def run(it: Iterator[Row]) -> Iterator[Row]:
+        per_partition_rate = cfg.requests_per_second / max(
+            cfg.max_concurrency, 1
+        )
+        bucket = _TokenBucket(per_partition_rate)
+        for r in it:
+            bucket.acquire()
+            url = cfg.url_template.format(id=int(r.key))
+            rr = _fetch_with_retry(cfg, url)
+            yield Row(
+                key=int(r.key),
+                url=url,
+                status=rr.status,
+                ok=rr.error is None,
+                body=rr.body,
+                error=rr.error,
+            )
+
+    return spark.createDataFrame(keys.rdd.mapPartitions(run), KEYED_SCHEMA)
+
+
 def _inject(url: str, timeout_s: float, inner: Fetcher, pages: tuple, status: int):
     from urllib.parse import parse_qs, urlparse
 
