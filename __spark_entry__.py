@@ -29,8 +29,8 @@ def _registries():
         "dedup",
         "similarity",
         "textops",
-        "ingestion",
         "sampling",
+        "ingestion",
         "pipeline_queries",
         "pandas_ops",
         "multimodal",

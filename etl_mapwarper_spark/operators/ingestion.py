@@ -118,6 +118,51 @@ _register(
 )
 
 
+# --- same scan through the registered Spark 4 Python DataSource ------------
+
+
+def src_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-first fan-out via ``spark.read.format("paginated_rest")``.
+
+    Identical crawl and identical oracle to src_rest_scan, but the
+    scan enters the plan as a registered DataSource V2 relation
+    (sources/rest_datasource.py) — partition planning in
+    ``partitions()``, page fetches in ``read()``, item explosion
+    still JVM-side via page_items.
+    """
+    from ..sources.rest_datasource import register
+
+    register(spark)
+    total, per_page = 1234, 100
+    pages = (
+        spark.read.format("paginated_rest")
+        .option(
+            "url_template",
+            "fake://api/items.json?total=1234&per_page={per_page}&page={page}",
+        )
+        .option("per_page", per_page)
+        .option("total_pages", -(-total // per_page))
+        .option("max_concurrency", 8)
+        .option("requests_per_second", 1e9)
+        .option("retries", 0)
+        .option(
+            "fetcher", "etl_mapwarper_spark.operators.ingestion:fake_api_fetch"
+        )
+        .load()
+    )
+    return page_items(pages, ITEM_SCHEMA).select("id", "name", "value")
+
+
+_register(
+    "src_rest_datasource",
+    src_rest_datasource,
+    """
+    SELECT i AS id, 'item-' || i AS name, i * 0.25 AS value
+    FROM range(0, 1234) t(i)
+    """,
+)
+
+
 # --- short-page termination (971 items → 10 pages, last short) -------------
 
 

@@ -167,3 +167,66 @@ _register(
     GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_mixture_weights — training-mix construction with fractional
+# epochs (the LLaMA/Pile-style source-weighting step): each source
+# gets a weight w; every document is emitted floor(w) times and one
+# extra time with probability frac(w), decided by the SAME
+# deterministic content hash as the other samplers — so the mixture
+# is reproducible and append-stable. Up-sampling is an
+# explode(sequence(...)) — rows multiply inside the scan stage, no
+# shuffle; the per-source accounting aggregate is the only exchange.
+# Weights here: source number % 3 → 2.0 / 1.0 / 0.25.
+# ---------------------------------------------------------------------------
+
+
+def ds_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", "(\\d+)", 1).cast("int")
+    w_whole = F.when(src_num % 3 == 0, F.lit(2)).when(
+        src_num % 3 == 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    w_frac_pct = F.when(src_num % 3 == 2, F.lit(25)).otherwise(F.lit(0))
+    n_copies = w_whole + (
+        hash_bucket(F.col("doc_id")) < w_frac_pct
+    ).cast("int")
+    emitted = docs.withColumn("n_copies", n_copies).filter(
+        F.col("n_copies") > 0
+    ).select(
+        "source",
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+    )
+    return emitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.count_distinct("doc_id").alias("n_docs_used"),
+        F.max("epoch").alias("max_epoch"),
+    )
+
+
+_register(
+    "ds_mixture_weights",
+    ds_mixture_weights,
+    f"""
+    WITH w AS (
+      SELECT source, doc_id,
+             (CASE regexp_extract(source, '(\\d+)', 1)::INT % 3
+                WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
+             + (CASE WHEN regexp_extract(source, '(\\d+)', 1)::INT % 3 = 2
+                      AND {_BUCKET_SQL} < 25 THEN 1 ELSE 0 END) AS n_copies
+      FROM documents
+    ),
+    emitted AS (
+      SELECT source, doc_id, unnest(range(1, n_copies + 1)) AS epoch
+      FROM w WHERE n_copies > 0
+    )
+    SELECT source,
+           count(*) AS n_emitted,
+           count(DISTINCT doc_id) AS n_docs_used,
+           max(epoch)::INT AS max_epoch
+    FROM emitted
+    GROUP BY source
+    """,
+)

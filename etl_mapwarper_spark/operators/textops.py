@@ -665,3 +665,100 @@ _register(
     FROM starts
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_repetition_filter — Gopher-style repetition quality rules (Rae et
+# al. 2021 §A1.1): documents dominated by a single repeated n-gram, or
+# whose n-grams are mostly duplicates, are low-quality for training.
+# Metrics per document:
+#   top_bigram_frac  = occurrences of the most frequent bigram / total
+#   dup_trigram_frac = 1 - distinct trigrams / total trigrams
+# Scale shape: the ENTIRE computation is a narrow per-row expression —
+# n-grams are built with the shifted-slice zip, the top-bigram count
+# comes from run-length encoding the SORTED bigram array
+# (token_run_counts), and distinct counts are array_distinct. Zero
+# shuffles, zero joins, no per-ngram row explosion: at 100 TB this is
+# one codegen'd scan stage, which is why the RLE trick matters.
+# ---------------------------------------------------------------------------
+
+REP_TOP_BIGRAM_MAX = 0.08
+REP_DUP_TRIGRAM_MAX = 0.01
+
+
+def _ngrams_all(toks, n: int):
+    """Non-distinct word n-grams (repetition metrics need multiplicity)."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, length) for j in range(n)])
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
+
+
+def tx_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    staged = docs.select(
+        "doc_id",
+        F.array_sort(_ngrams_all(tokens(F.col("text")), 2)).alias("bg"),
+        _ngrams_all(tokens(F.col("text")), 3).alias("tg"),
+    )
+    runs = token_run_counts(F.col("bg"))
+    top_bg = F.array_max(F.transform(runs, lambda r: r["n"]))
+    top_frac = F.when(
+        F.size("bg") > 0, top_bg.cast("double") / F.size("bg")
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.size("tg") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("tg")).cast("double") / F.size("tg"),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        (
+            (top_frac > REP_TOP_BIGRAM_MAX)
+            | (dup_frac > REP_DUP_TRIGRAM_MAX)
+        ).alias("repetitive"),
+    )
+
+
+_register(
+    "tx_repetition_filter",
+    tx_repetition_filter,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (
+      SELECT doc_id, max(c) AS top_n, sum(c) AS total FROM bgc GROUP BY 1
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    tga AS (
+      SELECT doc_id, count(*) AS n_t, count(DISTINCT g) AS n_td
+      FROM tg GROUP BY 1
+    )
+    SELECT d.doc_id,
+           round(coalesce(top_n * 1.0 / total, 0.0), 6) AS top_bigram_frac,
+           round(coalesce(1.0 - n_td * 1.0 / n_t, 0.0), 6) AS dup_trigram_frac,
+           (coalesce(top_n * 1.0 / total, 0.0) > {REP_TOP_BIGRAM_MAX}
+            OR coalesce(1.0 - n_td * 1.0 / n_t, 0.0) > {REP_DUP_TRIGRAM_MAX})
+             AS repetitive
+    FROM documents d
+    LEFT JOIN bga USING (doc_id)
+    LEFT JOIN tga USING (doc_id)
+    """,
+)

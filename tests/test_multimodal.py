@@ -80,8 +80,16 @@ def test_resize_avgpool_shape_and_values(spark):
     assert vals[(0, 0)] == pytest.approx(4.5)
 
 
-def test_real_decode_is_a_loud_stub():
-    with pytest.raises(NotImplementedError, match="fake codec"):
+def test_real_decode_png_wav_and_loud_stub_otherwise():
+    """decode_real is REAL for PNG/WAV (stdlib codec) and a loud,
+    import-gated stub for formats that need external libraries."""
+    import numpy as np
+
+    from etl_mapwarper_spark.functions.media_codec import encode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(mm.decode_real(encode_png(img), "image"), img)
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
         mm.decode_real(b"\x00", "image")
 
 
