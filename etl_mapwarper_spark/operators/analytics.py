@@ -248,3 +248,79 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q72_zorder_layout — Z-order (Morton) interleaved sort keys, the
+# space-filling-curve layout behind multi-dimensional data skipping
+# (Delta OPTIMIZE ZORDER / Iceberg sort orders). Interleaving the bits
+# of two scan dimensions makes a single range-partitioned sort cluster
+# BOTH columns, so per-file min/max stats prune on either predicate.
+# The z-value is pure integer bit arithmetic (shift/and/or), identical
+# on any engine; the query emits per-z-range file-stat summaries —
+# exactly the min/max skipping metadata a writer would persist.
+# At 100 TB: repartitionByRange(z) + sortWithinPartitions(z) before
+# the write; here the range bucket is made explicit (z div 64) so the
+# result is deterministic and engine-checkable.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 5
+
+
+def _morton(x, y, n_bits: int):
+    """Interleave the low n_bits of x (even positions) and y (odd)."""
+    z = F.lit(0)
+    for i in range(n_bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def q72_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    x = F.col("c_nationkey").cast("int")
+    # acctbal in [-1000, 10000) → 32 buckets of 344 (5 bits)
+    y = F.floor((F.col("c_acctbal") + 1000.0) / 344.0).cast("int")
+    z = _morton(x, y, _Z_BITS)
+    return (
+        cust.select(x.alias("x"), y.alias("y"), z.alias("z"))
+        .groupBy((F.col("z") / 64).cast("int").alias("z_range"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+_Z_SQL = " + ".join(
+    f"((( x >> {i}) & 1) << {2 * i}) + ((( y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+_register(
+    "q72_zorder_layout",
+    q72_zorder_layout,
+    f"""
+    WITH pts AS (
+      SELECT c_nationkey::INT AS x,
+             floor((c_acctbal + 1000.0) / 344.0)::INT AS y
+      FROM customer
+    ),
+    zed AS (SELECT x, y, ({_Z_SQL})::INT AS z FROM pts)
+    SELECT (z // 64)::INT AS z_range,
+           count(*) AS n_rows,
+           min(z)::INT AS z_min, max(z)::INT AS z_max,
+           min(x)::INT AS x_min, max(x)::INT AS x_max,
+           min(y)::INT AS y_min, max(y)::INT AS y_max
+    FROM zed
+    GROUP BY 1
+    """,
+)

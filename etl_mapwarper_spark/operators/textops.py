@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..functions.text import (
@@ -760,5 +761,111 @@ _register(
     FROM documents d
     LEFT JOIN bga USING (doc_id)
     LEFT JOIN tga USING (doc_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# tx_bm25_topk — BM25 ranked retrieval over the corpus for a fixed
+# query-term set (the lexical-retrieval half of every RAG / data-
+# curation search stack). Standard Robertson/Sparck-Jones BM25:
+#   idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)
+#   score  = Σ idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+# Scale shape: one explode → (doc, term) tf aggregate restricted to
+# the query terms (the filter prunes BEFORE the shuffle, so shuffle
+# volume is O(docs × |query|), not O(tokens)); df and the corpus
+# constants are tiny aggregates broadcast back; final top-k is a
+# WindowGroupLimit-able sort over scored docs only.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ["spark", "join", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    lens = docs.select("doc_id", F.size("toks").alias("dl"))
+    consts = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: t.isin(*BM25_QUERY))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.join(broadcast(df_), "term")
+        .join(broadcast(lens), "doc_id")
+        .crossJoin(broadcast(consts))
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("doc_id", "bm25", "rank")
+    )
+
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY) + ")"
+
+_register(
+    "tx_bm25_topk",
+    tx_bm25_topk,
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    lens AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, t.t AS term, count(*) AS tf
+      FROM docs, unnest(toks) t(t)
+      WHERE t.t IN {_BM25_TERMS_SQL}
+      GROUP BY 1, 2
+    ),
+    df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1))
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN df_ USING (term)
+      JOIN lens USING (doc_id)
+      CROSS JOIN consts
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, rank FROM (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOPK}
     """,
 )
