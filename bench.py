@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "tx_chunk_windows",
     "dd_levenshtein_blocked",
     "ds_train_test_split",
+    # extension set (round 2): composed curation + repetition rules
+    "ds_corpus_curation",
+    "tx_repetition_filter",
 ]
 
 

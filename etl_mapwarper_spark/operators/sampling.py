@@ -230,3 +230,118 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_corpus_curation — the composed training-corpus curation pipeline,
+# each stage one of the engine's north-star operators chained as a
+# single declarative plan (what an LLM data job actually runs):
+#   1. QUALITY  — C4-style predicate (textops.c4_kept_expr), a narrow
+#                 scan-stage filter;
+#   2. DEDUP    — normalization-fingerprint exact dedup keeping the
+#                 smallest doc_id (one window over the fp key);
+#   3. SPLIT    — deterministic content-hash train/valid/test;
+#   4. MIXTURE  — source-weighted fractional epochs (explode-based
+#                 up-sampling inside the scan stage);
+#   5. ACCOUNT  — per (split, source): docs used, rows emitted, total
+#                 chars (the "token budget" the mix delivers).
+# One corpus scan, one fp shuffle, one final aggregate — the whole
+# curation is 3 exchanges regardless of corpus size. Oracle = the
+# identical CTE chain in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def ds_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import doc_fingerprint
+    from .textops import c4_kept_expr
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    kept = docs.filter(c4_kept_expr(F.col("text"))).select(
+        "doc_id", "source", "n_chars", doc_fingerprint(F.col("text")).alias("f")
+    )
+    wfp = Window.partitionBy("f")
+    deduped = kept.withColumn("kmin", F.min("doc_id").over(wfp)).filter(
+        F.col("doc_id") == F.col("kmin")
+    )
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    src_num = F.regexp_extract("source", "(\\d+)", 1).cast("int")
+    n_copies = (
+        F.when(src_num % 3 == 0, F.lit(2))
+        .when(src_num % 3 == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        + (
+            (hash_bucket(F.col("doc_id")) < F.when(
+                src_num % 3 == 2, F.lit(25)
+            ).otherwise(F.lit(0))).cast("int")
+        )
+    )
+    emitted = (
+        deduped.withColumn("split", split)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "split",
+            "source",
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+        )
+    )
+    return emitted.groupBy("split", "source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _curation_sql() -> str:
+    from .textops import C4_KEPT_COND_SQL, C4_SCORED_COLS_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars, text,
+{C4_SCORED_COLS_SQL}
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      FROM scored WHERE {C4_KEPT_COND_SQL}
+    ),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+    ),
+    w AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             (CASE regexp_extract(source, '(\\d+)', 1)::INT % 3
+                WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
+             + (CASE WHEN regexp_extract(source, '(\\d+)', 1)::INT % 3 = 2
+                      AND {_BUCKET_SQL} < 25 THEN 1 ELSE 0 END) AS n_copies
+      FROM deduped
+    ),
+    emitted AS (
+      SELECT split, source, doc_id, n_chars,
+             unnest(range(1, n_copies + 1)) AS epoch
+      FROM w WHERE n_copies > 0
+    )
+    SELECT split, source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_emitted,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM emitted
+    GROUP BY 1, 2
+    """
+
+
+_register("ds_corpus_curation", ds_corpus_curation, _curation_sql())

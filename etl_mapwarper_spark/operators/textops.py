@@ -460,12 +460,14 @@ _register(
 # ---------------------------------------------------------------------------
 
 
-def tx_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    t = tokens(F.col("text"))
+def c4_kept_expr(text) -> F.Column:
+    """The C4-style quality predicate as a reusable column expression
+    (shared by tx_c4_filter and ds_corpus_curation; mirrored in
+    C4_KEPT_COND_SQL for the oracles)."""
+    t = tokens(text)
     n_tok = F.size(t)
-    mean_wlen = (F.length(F.col("text")) - (n_tok - 1)).cast("double") / n_tok
-    pr = punct_ratio(F.col("text"))
+    mean_wlen = (F.length(text) - (n_tok - 1)).cast("double") / n_tok
+    pr = punct_ratio(text)
     n_stop_distinct = F.size(
         F.array_intersect(
             F.array_distinct(t), F.array([F.lit(w) for w in STOPWORDS])
@@ -497,7 +499,7 @@ def tx_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda acc: acc["best"],
     )
-    kept = (
+    return (
         (n_tok >= 20)
         & (n_tok <= 100000)
         & (mean_wlen >= 2.5)
@@ -506,6 +508,32 @@ def tx_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_stop_distinct >= 2)
         & (max_tok_n.cast("double") / n_tok.cast("double") < 0.30)
     )
+
+
+# DuckDB twin of c4_kept_expr: metric expressions for a scored CTE and
+# the boolean condition over them.
+C4_SCORED_COLS_SQL = f"""
+             len(string_split(text, ' ')) AS n_tok,
+             (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')) AS mean_wlen,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+               / length(text) AS pr,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                {STOPWORDS!r})) AS n_stop_distinct,
+             list_max(list_transform(list_distinct(string_split(text, ' ')),
+                      w -> len(list_filter(string_split(text, ' '),
+                               x -> x = w)))) AS max_tok_n
+"""
+C4_KEPT_COND_SQL = """(n_tok >= 20 AND n_tok <= 100000
+            AND mean_wlen >= 2.5 AND mean_wlen <= 10.0
+            AND pr < 0.30 AND n_stop_distinct >= 2
+            AND max_tok_n::DOUBLE / n_tok < 0.30)"""
+
+
+def tx_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    kept = c4_kept_expr(F.col("text"))
+    n_tok = F.size(tokens(F.col("text")))
     return (
         docs.select("lang", kept.alias("kept"), n_tok.alias("n_tok"))
         .groupBy("lang", "kept")
@@ -522,23 +550,11 @@ _register(
     f"""
     WITH scored AS (
       SELECT lang,
-             len(string_split(text, ' ')) AS n_tok,
-             (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-               / len(string_split(text, ' ')) AS mean_wlen,
-             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-               / length(text) AS pr,
-             len(list_intersect(list_distinct(string_split(text, ' ')),
-                                {STOPWORDS!r})) AS n_stop_distinct,
-             list_max(list_transform(list_distinct(string_split(text, ' ')),
-                      w -> len(list_filter(string_split(text, ' '),
-                               x -> x = w)))) AS max_tok_n
+{C4_SCORED_COLS_SQL}
       FROM documents
     )
     SELECT lang,
-           (n_tok >= 20 AND n_tok <= 100000
-            AND mean_wlen >= 2.5 AND mean_wlen <= 10.0
-            AND pr < 0.30 AND n_stop_distinct >= 2
-            AND max_tok_n::DOUBLE / n_tok < 0.30) AS kept,
+           {C4_KEPT_COND_SQL} AS kept,
            count(*) AS n_docs,
            round(avg(n_tok), 4) AS avg_tokens
     FROM scored
