@@ -387,3 +387,62 @@ _register(
     FROM r
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# src_parquet_evolution — schema evolution across landed batches. At
+# 100 TB a landing zone ALWAYS contains files written under different
+# schema versions (columns added/dropped over time);
+# ``mergeSchema=true`` unions the footers so old files surface new
+# columns as nulls and vice versa. The query lands two batches with
+# different projections of `part`, reads the merged dataset, and
+# aggregates per-column presence — the drift report a pipeline runs
+# before promoting a new schema version. Oracle: the same two
+# projections unioned with explicit NULL padding.
+# ---------------------------------------------------------------------------
+
+
+def src_parquet_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    land = tempfile.mkdtemp(prefix="schema_evo_") + "/part_landing"
+    # batch 1: v1 schema (key, name)
+    part.filter(F.col("p_partkey") % 2 == 0).select(
+        "p_partkey", "p_name"
+    ).write.mode("overwrite").parquet(land + "/batch=1")
+    # batch 2: v2 schema (key, brand, retailprice) — name dropped,
+    # two columns added
+    part.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    ).write.mode("overwrite").parquet(land + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        land + "/batch=1", land + "/batch=2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p_name").alias("n_name"),
+        F.count("p_brand").alias("n_brand"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price_v2"),
+        F.count_distinct("p_partkey").alias("n_keys"),
+    )
+
+
+_register(
+    "src_parquet_evolution",
+    src_parquet_evolution,
+    """
+    WITH merged AS (
+      SELECT p_partkey, p_name,
+             NULL::VARCHAR AS p_brand, NULL::DOUBLE AS p_retailprice
+      FROM part WHERE p_partkey % 2 = 0
+      UNION ALL
+      SELECT p_partkey, NULL, p_brand, p_retailprice
+      FROM part WHERE p_partkey % 2 = 1
+    )
+    SELECT count(*) AS n_rows,
+           count(p_name) AS n_name,
+           count(p_brand) AS n_brand,
+           round(sum(p_retailprice), 2) AS sum_price_v2,
+           count(DISTINCT p_partkey) AS n_keys
+    FROM merged
+    """,
+)

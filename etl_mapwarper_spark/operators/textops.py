@@ -804,7 +804,11 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
-    lens = docs.select("doc_id", F.size("toks").alias("dl"))
+    # doc lengths / corpus constants are pure aggregates of a plain
+    # scan — no repartition needed (that's for the CPU-heavy tf branch)
+    lens = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("dl")
+    )
     consts = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
