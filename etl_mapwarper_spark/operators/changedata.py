@@ -116,7 +116,7 @@ _register(
              min(o_orderpriority) AS priority
       FROM ver GROUP BY 1, 2
     )
-    SELECT o_custkey, priority, version_no, valid_from,
+    SELECT o_custkey, priority, version_no::BIGINT AS version_no, valid_from,
            coalesce(lead(valid_from) OVER (PARTITION BY o_custkey
                                            ORDER BY version_no),
                     TIMESTAMP '2200-01-01') AS valid_to

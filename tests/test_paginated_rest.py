@@ -163,3 +163,66 @@ def test_page_items_keeps_parsing_jvm_side(spark, server):
     items = page_items(scan_pages(spark, cfg, 1), ITEM)
     plan = items._jdf.queryExecution().optimizedPlan().toString()
     assert "from_json" in plan  # parse is a Catalyst expression
+
+
+def test_fetch_by_key_roundtrip_and_errors(spark, server):
+    from etl_mapwarper_spark.sources.paginated_rest import fetch_by_key
+
+    keys = spark.range(1, 6).select(F.col("id"))
+    cfg = _cfg(server)
+    # keyed template: only {id} is substituted
+    cfg = RestSourceConfig(
+        url_template=server + "/items.json?per_page=10&page={id}",
+        requests_per_second=1e9,
+        max_concurrency=3,
+        retries=0,
+    )
+    rows = fetch_by_key(spark, cfg, keys, "id").collect()
+    assert sorted(r.key for r in rows) == [1, 2, 3, 4, 5]
+    assert all(r.ok and r.status == 200 and r.body for r in rows)
+    assert all(f"page={r.key}" in r.url for r in rows)
+
+    broken = RestSourceConfig(
+        url_template=server + "/broken?page={id}",
+        requests_per_second=1e9,
+        max_concurrency=2,
+        retries=0,
+    )
+    errs = fetch_by_key(spark, broken, keys, "id").collect()
+    assert all((not r.ok) and r.error for r in errs)
+    assert len(errs) == 5
+
+
+def test_fetch_masks_gates_and_parses(spark):
+    from etl_mapwarper_spark.operators.enrichment import fetch_masks
+    from etl_mapwarper_spark.operators.pipeline_queries import _serve_mask
+
+    maps = spark.createDataFrame(
+        [(3, "masked"), (5, "masking"), (10, "unmasked"), (11, None)],
+        "id long, mask_status string",
+    )
+    cfg = RestSourceConfig(
+        url_template="http://fake/maps/{id}/mask.json",
+        requests_per_second=1e9,
+        max_concurrency=2,
+        retries=0,
+        fetcher=_serve_mask,
+    )
+    out = {r["id"]: r for r in fetch_masks(spark, maps, cfg).collect()}
+    assert out[3]["mask"] is not None and len(out[3]["gcps"]) == 4
+    assert out[5]["mask"] is not None
+    # unmasked / null-status rows never fetched
+    assert out[10]["mask"] is None and out[11]["mask"] is None
+    assert all(out[k]["mask_fetch_error"] is None for k in out)
+
+
+def test_rest_datasource_matches_imperative_scan(spark):
+    from etl_mapwarper_spark.operators.ingestion import (
+        src_rest_datasource,
+        src_rest_scan,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    a = src_rest_scan(spark, sf).orderBy("id").collect()
+    b = src_rest_datasource(spark, sf).orderBy("id").collect()
+    assert a == b and len(a) == 1234
