@@ -324,3 +324,94 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q73_lateral_topk — SQL LATERAL correlated subquery (top-2 customers
+# per nation by balance). The lateral form is how analysts write
+# per-row parameterized subplans; Catalyst decorrelates it into the
+# same broadcast/window plan a hand-written row_number would give, so
+# the surface costs nothing at scale. Deterministic tie-break on
+# c_custkey.
+# ---------------------------------------------------------------------------
+
+
+def q73_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q73_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q73_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.acctbal
+        FROM q73_nation n,
+        LATERAL (
+          SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+          FROM q73_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 2
+        ) c
+        """
+    )
+
+
+_register(
+    "q73_lateral_topk",
+    q73_lateral_topk,
+    """
+    SELECT n.n_name, c.c_custkey, c.acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 2
+    ) c
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# q74_variant_props — semi-structured ingestion through the VARIANT
+# type (Spark 4): events.props parses once into a binary-encoded
+# variant, fields extract with variant_get at query time. VARIANT is
+# the scale answer to schema-on-read JSON: parse cost is paid once per
+# row (not per field), the encoding is columnar-shreddable, and typed
+# extraction pushes into codegen. Oracle extracts the same field with
+# DuckDB's JSON operators.
+# ---------------------------------------------------------------------------
+
+
+def q74_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k") % 7 == 0).alias("n_div7"),
+        )
+    )
+
+
+_register(
+    "q74_variant_props",
+    q74_variant_props,
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k,
+           min(json_extract(props, '$.k')::INT) AS min_k,
+           max(json_extract(props, '$.k')::INT) AS max_k,
+           count(*) FILTER (WHERE json_extract(props, '$.k')::INT % 7 = 0)
+             AS n_div7
+    FROM events
+    GROUP BY event_type
+    """,
+)

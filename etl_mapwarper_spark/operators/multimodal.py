@@ -428,3 +428,61 @@ _register(
     GROUP BY doc_id, w.w
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_arrow_hist — byte-value histogram via ``mapInArrow``: the stage
+# consumes raw ``pyarrow.RecordBatch``es and computes with
+# pyarrow.compute kernels — no Arrow→pandas materialization at all,
+# the leanest Python boundary Spark offers (the right surface when the
+# per-batch work is itself vectorized columnar compute). Each batch
+# emits one partial 16-bucket histogram; the groupBy merges partials —
+# map-side-combinable like any partial aggregate.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 16
+
+
+def byte_histogram(media: DataFrame) -> DataFrame:
+    def hist(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            # flatten all payload bytes in the batch into one buffer
+            joined = b"".join(p.as_py() for p in payloads)
+            arr = pa.array(
+                np.frombuffer(joined, dtype=np.uint8).astype(np.int32)
+            )
+            bucket = pc.divide(arr, 256 // HIST_BUCKETS)
+            counts = pa.table({"bucket": bucket}).group_by("bucket").aggregate(
+                [("bucket", "count")]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    counts["bucket"].combine_chunks().cast(pa.int32()),
+                    counts["bucket_count"].combine_chunks().cast(pa.int64()),
+                ],
+                ["bucket", "n"],
+            )
+
+    partials = media.mapInArrow(hist, schema="bucket int, n bigint")
+    return partials.groupBy("bucket").agg(F.sum("n").alias("n_bytes"))
+
+
+def mm_arrow_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return byte_histogram(synthetic_media(spark, sf_dir))
+
+
+_register(
+    "mm_arrow_hist",
+    mm_arrow_hist,
+    f"""
+    SELECT ((doc_id + i.i) % 256) // (256 // {HIST_BUCKETS}) AS bucket,
+           count(*) AS n_bytes
+    FROM documents CROSS JOIN (SELECT unnest(range(0, {W * H})) AS i) i
+    WHERE doc_id < 200
+    GROUP BY 1
+    """,
+)
