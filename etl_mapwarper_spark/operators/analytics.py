@@ -415,3 +415,52 @@ _register(
     GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q75_recursive_chains — WITH RECURSIVE (Spark 4) walking order
+# fulfillment chains: per customer, an edge links an order to the next
+# order within 30 days; chain heads (no incoming edge) recurse down
+# their next-pointers accumulating depth. The edge relation is
+# functional and strictly date-increasing, so UNION ALL recursion
+# terminates without dedup (Spark does not yet support UNION-dedup
+# recursion). Output = orders per chain depth. The SAME recursive SQL
+# runs verbatim on both engines — iterative driver loops
+# (dd_connected_components) and declarative recursion are now both
+# covered.
+# ---------------------------------------------------------------------------
+
+_Q75_SQL = """
+    WITH RECURSIVE nxt AS (
+      SELECT o_orderkey AS cur,
+             CASE WHEN lead(o_orderdate) OVER w <= o_orderdate + INTERVAL 30 DAY
+                  THEN lead(o_orderkey) OVER w END AS nxt
+      FROM {orders}
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chains(cur, depth) AS (
+      SELECT cur, 1 FROM nxt
+      WHERE cur NOT IN (SELECT nxt FROM nxt WHERE nxt IS NOT NULL)
+      UNION ALL
+      SELECT n.nxt, c.depth + 1
+      FROM chains c JOIN nxt n ON c.cur = n.cur
+      WHERE n.nxt IS NOT NULL
+    )
+    SELECT depth, count(*) AS n_orders
+    FROM chains
+    GROUP BY depth
+"""
+
+
+def q75_recursive_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).createOrReplaceTempView("q75_orders")
+    return spark.sql(_Q75_SQL.format(orders="q75_orders"))
+
+
+_register(
+    "q75_recursive_chains",
+    q75_recursive_chains,
+    _Q75_SQL.format(orders="orders"),
+)
