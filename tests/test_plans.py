@@ -321,3 +321,36 @@ def test_q68_cdc_diff_is_one_full_outer_join(spark):
     assert n_exchange <= 2, (
         f"diff needs one exchange per snapshot side, saw {n_exchange}"
     )
+
+
+def test_sim_ivf_trained_index_plan(spark):
+    """IVF search plan must stay lean: the centroid training runs as a
+    separate job at build time, so the search plan itself carries at
+    most 4 shuffles and no shuffle joins (probe side broadcasts)."""
+    from etl_mapwarper_spark.plans import audit
+
+    a = audit(ALL_QUERIES["sim_ivf_topk"](spark, SF_DIR))
+    assert a.n_exchanges <= 4, f"IVF search plan grew: {a.n_exchanges}"
+    assert a.n_shuffle_joins == 0
+
+
+def test_corpus_curation_exchange_budget(spark):
+    """Quality→dedup→split→mixture as one plan: the only shuffles are
+    the small-input repartition, the fingerprint window, and the final
+    accounting aggregate."""
+    from etl_mapwarper_spark.plans import audit
+
+    a = audit(ALL_QUERIES["ds_corpus_curation"](spark, SF_DIR))
+    assert a.n_exchanges <= 4, f"curation plan grew: {a.n_exchanges}"
+    assert not a.has_row_python
+
+
+def test_repetition_filter_is_shuffle_free(spark):
+    """Gopher repetition metrics are narrow per-row expressions — the
+    RLE-over-sorted-ngrams trick must keep the plan free of shuffles
+    beyond the small-input repartition, with zero joins."""
+    from etl_mapwarper_spark.plans import audit
+
+    a = audit(ALL_QUERIES["tx_repetition_filter"](spark, SF_DIR))
+    assert a.n_exchanges <= 1
+    assert a.is_join_free
