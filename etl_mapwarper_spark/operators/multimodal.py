@@ -7,14 +7,16 @@ payload BINARY, meta STRUCT<width,height,channels,frames>)``; each
 processing stage is a ``mapInPandas`` UDF that consumes whole Arrow
 batches, never a row-at-a-time Python UDF.
 
-Real codecs (PIL/ffmpeg/librosa) are NOT in this container — the
-``decode_real`` entry point raises ``NotImplementedError`` behind an
-import-try, and the tested path uses a **deterministic fake codec**:
-payload byte ``i`` of media ``m`` is ``(m + i) % 256``, generated
-JVM-side (hex-string → ``unhex``), so every downstream stat is exact
-integer arithmetic DuckDB reproduces — the Spark-side plumbing
-(schemas, batch shapes, partitioning) is real and value-checked even
-though the codec is fake.
+Codecs: ``decode_real`` REALLY decodes PNG and WAV with stdlib
+(functions/media_codec.py — zlib deflate + scanline filters, RIFF
+PCM); only formats that genuinely need external libraries
+(JPEG/MP4 via PIL/ffmpeg, absent here) raise NotImplementedError
+behind an import-try. The arithmetic fixtures use a **deterministic
+fake codec** — payload byte ``i`` of media ``m`` is ``(m + i) % 256``,
+generated JVM-side (hex-string → ``unhex``) — so every downstream
+stat is exact integer arithmetic DuckDB reproduces; mm_png_roundtrip
+re-encodes that pattern through the REAL PNG codec and value-checks
+the decode against the same oracle.
 
 Scale notes: payloads stay opaque bytes through shuffles (never
 exploded to per-pixel rows on the JVM side); per-stage parallelism is

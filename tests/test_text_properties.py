@@ -109,3 +109,24 @@ def test_token_run_counts_match_python_model(spark, texts):
         .collect()
     ]
     assert got == [sorted(Counter(py_tokens(t)).items()) for t in texts]
+
+
+def test_ngram_jaccard_df_cap_is_subset_of_exact(spark):
+    """The stop-shingle cap only DROPS hot keys before pair generation;
+    every surviving pair must also exist in the exact result with a
+    Jaccard no higher than the exact one (dropping shared shingles can
+    only lower the intersection count)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.operators.dedup import dd_ngram_jaccard
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    exact = {
+        (r.d1, r.d2): r.jacc for r in dd_ngram_jaccard(spark, sf).collect()
+    }
+    capped = dd_ngram_jaccard(spark, sf, df_cap=50).collect()
+    for r in capped:
+        assert (r.d1, r.d2) in exact
+        assert r.jacc <= exact[(r.d1, r.d2)] + 1e-9
