@@ -11,17 +11,43 @@ equals the batch computation regardless of micro-batch boundaries
 (watermarks never evict state in complete mode). Append/update modes
 are exercised in tests, where watermark-drop behavior is the thing
 under test rather than a correctness hazard.
+
+Shuffle width: a streaming aggregation's STATE STORE count is fixed at
+first run by ``spark.sql.shuffle.partitions`` — on a default session
+that is 200 store instances for a finite replay of ~10⁵ rows, pure
+task-launch overhead. The runners bound it for the duration of the
+replay and restore the caller's setting afterwards (safe: the replay
+executes eagerly inside the runner; the returned batch table no
+longer depends on the conf). Real deployments size this to the
+cluster, exactly like batch shuffles.
 """
 
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import SCHEMAS
 
 _counter = itertools.count()
+
+_REPLAY_SHUFFLE_PARTITIONS = 16
+
+
+@contextmanager
+def _bounded_shuffle(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if int(old) <= _REPLAY_SHUFFLE_PARTITIONS:
+        yield
+        return
+    spark.conf.set(key, str(_REPLAY_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,15 +66,16 @@ def run_to_memory(
 ) -> DataFrame:
     """Run a finite availableNow pass into a memory sink; return table."""
     name = f"{name_prefix}_{next(_counter)}"
-    q = (
-        transformed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _bounded_shuffle(transformed.sparkSession):
+        q = (
+            transformed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return transformed.sparkSession.table(name)
 
 
@@ -58,11 +85,12 @@ def run_foreach_batch(
     output_mode: str = "update",
 ) -> None:
     """foreachBatch sink: hand each micro-batch DataFrame to batch_fn."""
-    q = (
-        transformed.writeStream.foreachBatch(batch_fn)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with _bounded_shuffle(transformed.sparkSession):
+        q = (
+            transformed.writeStream.foreachBatch(batch_fn)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
