@@ -530,3 +530,130 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q76 — exact percentiles, two-phase bucketed (the scale path). q35's
+# sort-window form is exact and codegen'd but parallelizes only over
+# the GROUPS (3 return flags → 3 sort tasks); at 100 TB a few huge
+# groups make that a straggler. The classic fix computes the same
+# exact answer with full parallelism and NO big sort:
+#   A. per-group count/min/max (one hash agg);
+#   B. histogram over NB value buckets (one hash agg, map-side
+#      combinable);
+#   C. cumulative counts over the tiny (group × NB) histogram locate
+#      the bucket holding each target rank;
+#   D. only the rows of those buckets (≈ n/NB rows each) are
+#      collected and order-statistics picked exactly.
+# Heavily duplicated values can still concentrate one bucket (phase D
+# then recurses in production); prices here are near-unique. Same
+# interpolation arithmetic as q35 — the oracle SQL is shared verbatim.
+# ---------------------------------------------------------------------------
+
+_NB = 4096
+
+
+def q76_percentiles_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("p")
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p").alias("mn"),
+        F.max("p").alias("mx"),
+    )
+
+    def rank_pair(q, tag_lo, tag_hi):
+        pos = F.lit(q) * (F.col("n") - 1)
+        return [
+            F.struct(
+                F.lit(tag_lo).alias("tag"),
+                F.floor(pos).cast("long").alias("r"),
+            ),
+            F.struct(
+                F.lit(tag_hi).alias("tag"),
+                F.ceil(pos).cast("long").alias("r"),
+            ),
+        ]
+
+    targets = stats.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                *rank_pair(0.5, "m_lo", "m_hi"),
+                *rank_pair(0.9, "p_lo", "p_hi"),
+            )
+        ).alias("t"),
+    ).select("l_returnflag", F.col("t.tag").alias("tag"), F.col("t.r").alias("r"))
+
+    width = F.when(
+        F.col("mx") > F.col("mn"), (F.col("mx") - F.col("mn")) / _NB
+    ).otherwise(F.lit(1.0))
+    rows = li.join(broadcast(stats), "l_returnflag").withColumn(
+        "b",
+        F.least(
+            F.floor((F.col("p") - F.col("mn")) / width).cast("int"),
+            F.lit(_NB - 1),
+        ),
+    )
+    hist = rows.groupBy("l_returnflag", "b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("b")
+    cum = hist.withColumn(
+        "cum_before",
+        F.sum("c").over(
+            wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("c"),
+    )
+    tb = (
+        targets.join(cum, "l_returnflag")
+        .filter(
+            (F.col("cum_before") <= F.col("r"))
+            & (F.col("r") < F.col("cum_before") + F.col("c"))
+        )
+        .select(
+            "l_returnflag",
+            "tag",
+            F.col("b").alias("bt"),
+            (F.col("r") - F.col("cum_before")).alias("k"),
+        )
+    )
+    vals = (
+        rows.join(
+            broadcast(tb),
+            (rows["l_returnflag"] == tb["l_returnflag"])
+            & (rows["b"] == tb["bt"]),
+        )
+        .drop(tb["l_returnflag"])
+        .groupBy("l_returnflag", "tag")
+        .agg(
+            F.element_at(
+                F.array_sort(F.collect_list("p")), (F.max("k") + 1).cast("int")
+            ).alias("v")
+        )
+    )
+    piv = (
+        vals.groupBy("l_returnflag")
+        .pivot("tag", ["m_lo", "m_hi", "p_lo", "p_hi"])
+        .agg(F.first("v"))
+    )
+
+    def interp(q, lo, hi):
+        pos = F.lit(q) * (F.col("n") - 1)
+        frac = pos - F.floor(pos)
+        return F.col(lo) + (F.col(hi) - F.col(lo)) * frac
+
+    return piv.join(broadcast(stats), "l_returnflag").select(
+        "l_returnflag",
+        F.round(interp(0.5, "m_lo", "m_hi"), 4).alias("median_price"),
+        F.round(interp(0.9, "p_lo", "p_hi"), 4).alias("p90_price"),
+        F.round(F.col("mn"), 4).alias("min_price"),
+        F.round(F.col("mx"), 4).alias("max_price"),
+    )
+
+
+_register(
+    "q76_percentiles_twophase",
+    q76_percentiles_twophase,
+    ORACLE["q35_price_percentiles"],
+)
