@@ -789,9 +789,12 @@ _register(
 #   score  = Σ idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
 # Scale shape: one explode → (doc, term) tf aggregate restricted to
 # the query terms (the filter prunes BEFORE the shuffle, so shuffle
-# volume is O(docs × |query|), not O(tokens)); df and the corpus
-# constants are tiny aggregates broadcast back; final top-k is a
-# WindowGroupLimit-able sort over scored docs only.
+# volume is O(docs × |query|), not O(tokens)); the per-doc length dl
+# rides through that same aggregate as first(dl), so the only joined
+# sides are df_ (|query| rows) and consts (1 row) — both genuinely
+# tiny broadcasts, never an O(corpus) table; final top-k is
+# orderBy().limit(k) (TakeOrdered — per-partition heaps + driver
+# merge of k·partitions rows, no single-reducer global sort).
 # ---------------------------------------------------------------------------
 
 BM25_QUERY = ["spark", "join", "window"]
@@ -802,25 +805,28 @@ BM25_TOPK = 10
 
 def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        token_count(F.col("text")).alias("dl"),
     )
-    # doc lengths / corpus constants are pure aggregates of a plain
-    # scan — no repartition needed (that's for the CPU-heavy tf branch)
-    lens = load_table(spark, sf_dir, "documents").select(
-        "doc_id", token_count(F.col("text")).alias("dl")
+    # corpus constants: a 1-row aggregate of a plain scan — no
+    # repartition needed (that's for the CPU-heavy tf branch)
+    consts = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col("text"))).alias("avgdl"),
     )
-    consts = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    # dl rides through the tf aggregate (constant per doc_id group), so
+    # no O(corpus) lens join is ever materialized.
     tf = (
         docs.select(
             "doc_id",
+            "dl",
             F.explode(
                 F.filter(F.col("toks"), lambda t: t.isin(*BM25_QUERY))
             ).alias("term"),
         )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     idf = F.log(
@@ -828,7 +834,6 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(broadcast(df_), "term")
-        .join(broadcast(lens), "doc_id")
         .crossJoin(broadcast(consts))
         .withColumn(
             "s",
@@ -843,11 +848,12 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 6).alias("bm25"))
     )
+    # TakeOrdered top-k, then rank the k survivors (k rows — the
+    # single-partition window is over BM25_TOPK rows, not the corpus).
+    topk = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOPK)
-        .select("doc_id", "bm25", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "rank"
     )
 
 

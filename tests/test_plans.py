@@ -354,3 +354,21 @@ def test_repetition_filter_is_shuffle_free(spark):
     a = audit(ALL_QUERIES["tx_repetition_filter"](spark, SF_DIR))
     assert a.n_exchanges <= 1
     assert a.is_join_free
+
+
+def test_bm25_no_corpus_broadcast_and_takeordered_topk(spark):
+    """tx_bm25_topk's 100 TB shape: dl rides through the tf aggregate
+    (never an O(corpus) lens broadcast — only df_ with |query| rows and
+    the 1-row consts may broadcast), and the top-k is TakeOrdered, not
+    a global single-reducer sort window over all scored docs."""
+    from etl_mapwarper_spark.plans import audit
+
+    df = ALL_QUERIES["tx_bm25_topk"](spark, SF_DIR)
+    a = audit(df)
+    assert a.n_broadcast_joins <= 2, "only df_ and consts may broadcast"
+    assert a.n_shuffle_joins == 0
+    plan = plan_of(spark, "tx_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, "top-k must be TakeOrdered"
+    # the only Sort allowed is inside the k-row rank window, and the
+    # global-sort count must be zero (TakeOrdered replaces it)
+    assert a.n_sorts <= 1
