@@ -185,6 +185,33 @@ def scan_pages(
     )
 
 
+# Columns the short-page probe is allowed to pull to the driver —
+# metadata only, never ``body`` (tests pin this contract).
+WAVE_META_COLUMNS = ("page", "ok", "n_items", "bad_json")
+
+
+def _wave_meta(wave: DataFrame, items_field: str) -> DataFrame:
+    """Per-page termination metadata, computed JVM-side on executors.
+
+    ``n_items`` = length of the items array (0 when the field is
+    absent, mirroring the reference's ``.get(items_field, [])``);
+    ``bad_json`` = body present but not a parseable JSON object.
+    """
+    raw_items = F.get_json_object("body", f"$.{items_field}")
+    return wave.select(
+        "page",
+        "ok",
+        F.coalesce(F.json_array_length(raw_items), F.lit(0)).alias("n_items"),
+        (
+            F.col("body").isNotNull()
+            & (
+                F.try_parse_json("body").isNull()
+                | ~F.startswith(F.ltrim("body"), F.lit("{"))
+            )
+        ).alias("bad_json"),
+    )
+
+
 def scan_until_short_page(
     spark: SparkSession,
     config: RestSourceConfig,
@@ -198,40 +225,61 @@ def scan_until_short_page(
     the first wave containing a short page (< per_page items), a failed
     page, or an unparseable body — matching the reference's
     stop-on-short-page contract (:138-143) with error-as-record
-    (:122-129). Driver holds only page metadata, never item data.
+    (:122-129).
+
+    Page *bodies* never cross to the driver: each wave is persisted on
+    the executors, the driver collects only ``WAVE_META_COLUMNS``
+    (page, ok, n_items, bad_json — four scalars per page) to decide
+    termination, and the returned DataFrame is the union of the cached
+    waves filtered to the accepted page range. Each page is therefore
+    fetched exactly once; the politeness budget is paid per wave, not
+    per downstream action. At 100 TB scale the same shape holds — the
+    driver's working set is O(pages probed), not O(bytes fetched).
     """
-    collected: list[Row] = []
+    kept: list[DataFrame] = []
     page = 1
     done = False
     while not done and page <= max_pages:
-        wave = scan_pages(spark, config, min(wave_size, max_pages - page + 1), page)
-        rows = sorted(wave.collect(), key=lambda r: r.page)
-        for r in rows:
+        n = min(wave_size, max_pages - page + 1)
+        wave = scan_pages(spark, config, n, page).persist()
+        meta = sorted(
+            _wave_meta(wave, items_field).collect(), key=lambda r: r.page
+        )
+        last_accepted = None  # last page of this wave kept as-is
+        bad_json_page = None  # page replaced by an invalid-JSON error row
+        for r in meta:
             if not r.ok:
-                collected.append(r)
+                last_accepted = r.page  # error record kept verbatim
                 done = True  # reference falls through after error record
                 break
-            try:
-                n_items = len(json.loads(r.body).get(items_field, []))
-            except (json.JSONDecodeError, AttributeError):
-                collected.append(
-                    Row(
-                        page=r.page,
-                        url=r.url,
-                        status=r.status,
-                        ok=False,
-                        body=None,
-                        error="invalid JSON body",
-                    )
+            if r.bad_json:
+                bad_json_page = r.page
+                done = True
+                break
+            last_accepted = r.page
+            if r.n_items < config.per_page:
+                done = True
+                break
+        if last_accepted is not None:
+            kept.append(wave.filter(F.col("page") <= last_accepted))
+        if bad_json_page is not None:
+            kept.append(
+                wave.filter(F.col("page") == bad_json_page).select(
+                    "page",
+                    "url",
+                    "status",
+                    F.lit(False).alias("ok"),
+                    F.lit(None).cast("string").alias("body"),
+                    F.lit("invalid JSON body").alias("error"),
                 )
-                done = True
-                break
-            collected.append(r)
-            if n_items < config.per_page:
-                done = True
-                break
-        page += len(rows)
-    return spark.createDataFrame(collected, PAGE_SCHEMA)
+            )
+        page += len(meta)
+    if not kept:
+        return spark.createDataFrame([], PAGE_SCHEMA)
+    out = kept[0]
+    for w in kept[1:]:
+        out = out.unionByName(w)
+    return out
 
 
 def page_items(

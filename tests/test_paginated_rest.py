@@ -20,6 +20,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 from etl_mapwarper_spark.sources.paginated_rest import (  # noqa: E402
+    FetchResult,
     RestSourceConfig,
     fetch_count,
     http_fetch,
@@ -226,3 +227,49 @@ def test_rest_datasource_matches_imperative_scan(spark):
     a = src_rest_scan(spark, sf).orderBy("id").collect()
     b = src_rest_datasource(spark, sf).orderBy("id").collect()
     assert a == b and len(a) == 1234
+
+
+def test_short_page_driver_never_collects_bodies(spark, server, monkeypatch):
+    """The short-page probe's driver-side payload is page METADATA only
+    (WAVE_META_COLUMNS) — item bodies must stay on executors."""
+    from etl_mapwarper_spark.sources.paginated_rest import WAVE_META_COLUMNS
+
+    # patch the concrete class (pyspark.sql.classic), not the ABC —
+    # instance method lookup never reaches the base's collect
+    _DF = type(spark.range(1))
+
+    seen: list[list[str]] = []
+    orig = _DF.collect
+
+    def spy(self):
+        seen.append([f.name for f in self.schema.fields])
+        return orig(self)
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    pages = scan_until_short_page(spark, _cfg(server), wave_size=3)
+    assert seen, "probe must have collected wave metadata"
+    assert all("body" not in cols for cols in seen), (
+        f"driver collected page bodies: {seen}"
+    )
+    assert all(set(cols) <= set(WAVE_META_COLUMNS) for cols in seen)
+    monkeypatch.setattr(_DF, "collect", orig)
+    # result still complete and correct after the probe
+    assert sorted(r.page for r in pages.collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_short_page_invalid_json_becomes_error_record(spark, server):
+    """A page whose body is not a JSON object terminates the scan with
+    an error-as-data row (ok=False, body dropped), reference :122-129."""
+    def bad_json_fetch(url, timeout_s):
+        if "page=3" in url:
+            return FetchResult(200, "not json at all {")
+        return http_fetch(url, timeout_s)
+
+    cfg = _cfg(server, fetcher=bad_json_fetch)
+    pages = scan_until_short_page(spark, cfg, wave_size=2)
+    rows = {r.page: r for r in pages.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert rows[3].ok is False
+    assert rows[3].body is None
+    assert rows[3].error == "invalid JSON body"
+    assert rows[1].ok and rows[2].ok
