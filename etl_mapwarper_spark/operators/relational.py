@@ -1121,11 +1121,15 @@ _register(
 # q32 — salted skew join. The big side gets a deterministic salt
 # (event_id % 8); the dimension side is exploded across all 8 salt
 # values; the equi-join runs on (key, salt), splitting any hot key's
-# rows across 8 reducers instead of one. Results are identical to the
-# unsalted join (the oracle IS the unsalted join). At 100 TB the salt
-# fan-out applies only to keys flagged hot by stats; AQE's skew-join
-# handles moderate skew, explicit salting handles the pathological
-# single-key case AQE can't split (one key > one task's memory).
+# rows across 8 reducers instead of one. The join is FORCED to a
+# shuffle-hash join — salting only means anything when the fact side
+# actually exchanges on (key, salt); a broadcast join has no shuffle
+# to de-skew (and at true dimension sizes you'd simply broadcast and
+# skip salting altogether). Results are identical to the unsalted
+# join (the oracle IS the unsalted join). At 100 TB the salt fan-out
+# applies only to keys flagged hot by stats; AQE's skew-join handles
+# moderate skew, explicit salting handles the pathological single-key
+# case AQE can't split (one key > one task's memory).
 # ---------------------------------------------------------------------------
 
 N_SALT = 8
@@ -1141,7 +1145,7 @@ def q32_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
     )
     j = salted_ev.join(
-        broadcast(salted_cust),
+        salted_cust.hint("shuffle_hash"),
         (salted_ev.user_id == salted_cust.c_custkey)
         & (salted_ev.salt == salted_cust.salt),
     )

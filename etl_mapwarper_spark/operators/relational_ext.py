@@ -316,18 +316,65 @@ _register(
 # ---------------------------------------------------------------------------
 # q39 — ntile bucketing. Deterministic only under a total order, so the
 # sort key includes the unique c_custkey tiebreak in both engines.
-# A global ntile is a single-partition window sort — acceptable for
-# decile summaries (output is 10 rows); at 100 TB the same result
-# comes from approx quantile cut-points + a narrow bucket-assign pass,
-# which is how q25_acctbal_bands is built.
+# A naive global ntile is a single-partition window sort; here the
+# EXACT same assignment is computed distributed, in two narrow passes:
+#   1. approx-quantile cut-points range-bucket the rows (ties on a cut
+#      value all land in one bucket, so bucket order == sort order);
+#   2. per-bucket counts (O(B) rows to the driver) give exact prefix
+#      offsets, so row_number within each bucket + offset is the exact
+#      global row_number — the window partitions by bucket, never one
+#      reducer; ntile's ceil/floor split is then pure arithmetic.
+# Same pattern as q25_acctbal_bands / q76_percentiles_twophase.
 # ---------------------------------------------------------------------------
 
 
 def q39_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_custkey"
+    )
+    n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+    cuts = sorted(
+        set(
+            cust.approxQuantile(
+                "c_acctbal",
+                [i / n_buckets for i in range(1, n_buckets)],
+                0.001,
+            )
+        )
+    )
+    cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bucket = F.size(F.filter(cut_arr, lambda c: c < F.col("c_acctbal")))
+    bucketed = cust.withColumn("bucket", bucket)
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    offsets, running = {}, 0
+    for b in sorted(counts):
+        offsets[b] = running
+        running += counts[b]
+    offset = F.element_at(
+        F.create_map(
+            *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
+        ),
+        F.col("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    rn0 = F.row_number().over(w) + offset - F.lit(1)  # 0-based global rank
+    k = 10
+    base, rem = n // k, n % k
+    if base == 0:
+        decile = rn0 + F.lit(1)
+    else:
+        head = rem * (base + 1)
+        decile = F.when(
+            rn0 < F.lit(head), F.floor(rn0 / F.lit(base + 1)) + 1
+        ).otherwise(F.floor((rn0 - F.lit(head)) / F.lit(base)) + rem + 1)
     return (
-        cust.withColumn("decile", F.ntile(10).over(w))
+        bucketed.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

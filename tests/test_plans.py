@@ -372,3 +372,24 @@ def test_bm25_no_corpus_broadcast_and_takeordered_topk(spark):
     # the only Sort allowed is inside the k-row rank window, and the
     # global-sort count must be zero (TakeOrdered replaces it)
     assert a.n_sorts <= 1
+
+
+def test_q39_ntile_has_no_global_window(spark):
+    """Exact ntile must come from range-bucketed row_number + offsets —
+    never an unpartitioned window funneling the table to one reducer."""
+    plan = plan_of(spark, "q39_ntile_deciles")
+    assert "Exchange SinglePartition" not in plan, (
+        "q39 fell back to a single-reducer global window"
+    )
+    assert re.search(r"Window", plan), "bucketed row_number window missing"
+
+
+def test_q32_salt_reaches_a_real_shuffle(spark):
+    """The salting demo must exchange the fact side on (key, salt) via
+    a shuffle join — a broadcast join has no shuffle to de-skew."""
+    plan = plan_of(spark, "q32_salted_skew_join")
+    assert re.search(r"ShuffledHashJoin|SortMergeJoin", plan), (
+        "q32 must be a shuffle join for the salt to matter"
+    )
+    m = re.search(r"hashpartitioning\(([^)]*salt[^)]*)\)", plan)
+    assert m, f"join exchange must partition by the salt column: {plan[:800]}"
