@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import dim_broadcast, load_table
 
 QUERIES = {}
 ORACLE = {}
@@ -113,7 +113,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -161,11 +161,11 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(dim_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
-        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(dim_broadcast(nation, sf_dir, "nation"), supp.s_nationkey == nation.n_nationkey)
+        .join(dim_broadcast(region, sf_dir, "region"), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(

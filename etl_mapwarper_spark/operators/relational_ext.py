@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import dim_broadcast, load_table
 
 QUERIES = {}
 ORACLE = {}
@@ -226,7 +226,7 @@ def q37_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        cust.join(dim_broadcast(nation, sf_dir, "nation"), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

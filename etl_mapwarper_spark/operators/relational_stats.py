@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import dim_broadcast, load_table
 
 QUERIES = {}
 ORACLE = {}
@@ -95,7 +95,7 @@ def q44_nation_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        nation.join(dim_broadcast(region, sf_dir, "region"), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
@@ -198,8 +198,8 @@ def q46_region_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prios = orders.select("o_orderpriority").distinct()
     grid = region.select("r_regionkey", "r_name").crossJoin(broadcast(prios))
     per_cell = (
-        orders.join(broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        orders.join(dim_broadcast(customer, sf_dir, "customer"), orders.o_custkey == customer.c_custkey)
+        .join(dim_broadcast(nation, sf_dir, "nation"), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_regionkey", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -433,7 +433,7 @@ def q50_right_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         sup.join(
-            broadcast(nation), sup.s_nationkey == nation.n_nationkey, "right"
+            dim_broadcast(nation, sf_dir, "nation"), sup.s_nationkey == nation.n_nationkey, "right"
         )
         .groupBy("n_name")
         .agg(
@@ -618,7 +618,7 @@ def q56_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     present = cust.union(sup).distinct()
     return (
         present.join(
-            broadcast(nation), present.nationkey == nation.n_nationkey
+            dim_broadcast(nation, sf_dir, "nation"), present.nationkey == nation.n_nationkey
         )
         .groupBy("n_regionkey")
         .agg(F.count(F.lit(1)).alias("n_nations_present"))

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import dim_broadcast, load_table
 
 QUERIES = {}
 ORACLE = {}
@@ -94,7 +94,7 @@ def q62_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.groupBy("late_suppkey")
         .agg(F.sum("n_late_items").alias("numwait"))
         .join(
-            F.broadcast(supplier),
+            dim_broadcast(supplier, sf_dir, "supplier"),
             F.col("late_suppkey") == F.col("s_suppkey"),
         )
         .select("s_name", "numwait")
@@ -156,8 +156,8 @@ def q63_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest = (
         li.withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dim_broadcast(supplier, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -215,7 +215,7 @@ def q64_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_quantity").alias("avg_qty")
     )
     small = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim_broadcast(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(per_part), "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
@@ -268,7 +268,7 @@ def q65_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("sum_qty") > 250)
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(dim_broadcast(customer, sf_dir, "customer"), orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -332,7 +332,7 @@ def q66_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("rev_cents") == F.col("max_cents"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(supplier, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",

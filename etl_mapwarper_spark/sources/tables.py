@@ -119,12 +119,41 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-# Tables small enough to always broadcast in joins (dimension side).
+# Tables small enough to usually broadcast in joins (dimension side).
 # region/nation are bounded by the world; customer/supplier/part grow
 # slower than fact tables — at 100 TB the facts are orders/lineitem/
 # events/documents, and these remain broadcast-able or at worst
 # shuffle-hash candidates.
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+
+# Per-relation broadcast budget, measured on the backing parquet. A
+# forced broadcast() hint overrides every size check Spark has; past
+# this size the hint is an executor OOM waiting for a 100x scale-up,
+# so the helper below demotes to no-hint and lets AQE's runtime stats
+# decide (it still broadcasts when the *filtered* side turns out
+# small). On-disk parquet expands ~2-4x as in-memory rows; 256 MiB on
+# disk ~= a 0.5-1 GiB broadcast table, the sane ceiling for executors
+# with a few GiB of memory overhead.
+_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def dim_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Broadcast hint for a catalog-dimension join side, size-gated.
+
+    Returns ``broadcast(df)`` iff ``name`` is a known dimension whose
+    backing parquet is under ``_BROADCAST_MAX_BYTES``; otherwise the
+    input unchanged, deferring the join strategy to AQE. Use for join
+    sides *derived from catalog tables*; tiny computed aggregates
+    (O(groups) rows) can keep unconditional ``broadcast()`` hints.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if (
+        name in BROADCAST_TABLES
+        and _input_bytes(f"{sf_dir}/{name}.parquet") <= _BROADCAST_MAX_BYTES
+    ):
+        return broadcast(df)
+    return df
 
 
 # Below this input size a fact-table scan is almost certainly a single

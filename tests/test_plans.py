@@ -393,3 +393,19 @@ def test_q32_salt_reaches_a_real_shuffle(spark):
     )
     m = re.search(r"hashpartitioning\(([^)]*salt[^)]*)\)", plan)
     assert m, f"join exchange must partition by the salt column: {plan[:800]}"
+
+
+def test_dim_broadcast_demotes_oversized_side(spark, monkeypatch):
+    """dim_broadcast must hint only while the backing table is under
+    the broadcast budget; past it, the join strategy is AQE's call."""
+    from etl_mapwarper_spark.sources import tables as tbl
+
+    cust = tbl.load_table(spark, SF_DIR, "customer")
+    hinted = tbl.dim_broadcast(cust, SF_DIR, "customer")
+    assert hinted is not cust, "small dim must get the broadcast hint"
+
+    monkeypatch.setattr(tbl, "_BROADCAST_MAX_BYTES", 0)
+    demoted = tbl.dim_broadcast(cust, SF_DIR, "customer")
+    assert demoted is cust, "oversized dim must fall back to AQE (no hint)"
+    # non-catalog names never hint regardless of size
+    assert tbl.dim_broadcast(cust, SF_DIR, "lineitem") is cust
