@@ -75,7 +75,7 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    spark = get_spark("bench", sf_dir=sf_dir)
 
     # Warm the session: first job pays scheduler/codegen bring-up, the
     # pandas_udf job forks the Python worker daemon. Neither touches

@@ -759,16 +759,30 @@ def dd_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_sig = None
     cur = edges
+    converged = False
     for _ in range(_CC_MAX_ROUNDS):
+        prev = cur
         cur = _cc_checkpoint(small_star(large_star(cur)))
+        # Cheap (count, sum) signature gates each round; a signature
+        # match is only a CANDIDATE fixpoint (different edge sets can
+        # collide), so it is confirmed with exact set equality — both
+        # sides are distinct checkpointed edge sets, so equal counts +
+        # one empty difference proves equality. The exceptAll runs
+        # only on candidate rounds, not every iteration.
         sig = tuple(
             cur.agg(
                 F.count(F.lit(1)), F.sum(F.col("u") + F.col("v"))
             ).collect()[0]
         )
-        if sig == prev_sig:
+        if sig == prev_sig and cur.exceptAll(prev).isEmpty():
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"dd_cc_bigstar: no fixpoint after {_CC_MAX_ROUNDS} star rounds "
+            "— refusing to return possibly-unconverged component labels"
+        )
     # At fixpoint every edge is (member, component-min); docs with no
     # near-dup edge are their own singleton component.
     comp = cur.groupBy("u").agg(F.min("v").alias("c"))

@@ -204,6 +204,23 @@ def download(
                 "maskError",
                 F.coalesce(F.col("mask_fetch_error"), F.col("maskError")),
             ).drop("mask_fetch_error")
+    elif config.mask_source is not None:
+        from pyspark.sql import functions as F
+
+        # Schema-stable non-enrich branch: the checkpointed maps table
+        # must look the same whether or not the transform ran — fetch
+        # failures still surface as maskError (reference :90), and
+        # maskGeometry exists (null: nothing computed it yet).
+        maps = maps.withColumnRenamed(
+            "mask_fetch_error", "maskError"
+        ).withColumn(
+            "maskGeometry",
+            F.lit(None).cast(MAP_ITEM_SCHEMA["maskGeometry"].dataType),
+        )
+    if config.mask_source is not None:
+        # raw pixel-space mask ring is fetch-internal (the transform
+        # consumes it); MAP_ITEM_SCHEMA has no such column
+        maps = maps.drop("mask")
 
     if config.map_layers_source is not None:
         membership_pages = scan_until_short_page(

@@ -22,7 +22,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def default_sf_dir() -> str:
+    """Target data directory, re-read per call (not pinned at import —
+    a long-lived process may retarget via the environment)."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Import-time snapshot kept for callers that only need a static default
+# path (bench CLI args); session sizing must use default_sf_dir()/the
+# explicit sf_dir parameter instead.
+DEFAULT_SF_DIR = default_sf_dir()
 
 # Below this total input size the session plans statically with few
 # shuffle partitions. Rationale: AQE earns its keep by re-planning
@@ -65,16 +74,23 @@ def get_spark(
     app_name: str = "etl_mapwarper_spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    sf_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the configured SparkSession.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS (or all local cores). In
     cluster deployments the master/resource settings come from
     spark-submit and these local[..] settings are ignored.
+
+    ``sf_dir`` is the data directory the session will QUERY — AQE and
+    shuffle width are sized to it. Defaults to $SPARK_GRAFT_SF_DIR
+    re-read now (not at import), so a caller pointing the session at a
+    multi-GiB directory gets AQE even if the env changed since import;
+    SPARK_GRAFT_AQE=on|off still overrides either way.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    adaptive = _adaptive_wanted(DEFAULT_SF_DIR)
+    adaptive = _adaptive_wanted(sf_dir or default_sf_dir())
     # Shuffle width follows data volume: wide (≥ cores, AQE-coalesced)
     # when stages move real data; narrow static plans when the whole
     # input fits a handful of 100-MB-class partitions and per-task

@@ -20,11 +20,22 @@ replay and restore the caller's setting afterwards (safe: the replay
 executes eagerly inside the runner; the returned batch table no
 longer depends on the conf). Real deployments size this to the
 cluster, exactly like batch shuffles.
+
+CONCURRENCY CONTRACT: the bound mutates the session-global conf for
+the replay's duration (state-store width has no per-query override,
+and the incoming DataFrame is already bound to the caller's session,
+so a scoped ``newSession()`` can't replan it). Replays therefore
+serialize on a module lock, and a BATCH query planned on the same
+session from another thread during a replay would see the bounded
+width — don't interleave batch planning with replays on one session
+(the driver gate and tests run queries serially, which satisfies
+this).
 """
 
 from __future__ import annotations
 
 import itertools
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,19 +46,22 @@ _counter = itertools.count()
 
 _REPLAY_SHUFFLE_PARTITIONS = 16
 
+_replay_lock = threading.Lock()
+
 
 @contextmanager
 def _bounded_shuffle(spark: SparkSession):
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    if int(old) <= _REPLAY_SHUFFLE_PARTITIONS:
-        yield
-        return
-    spark.conf.set(key, str(_REPLAY_SHUFFLE_PARTITIONS))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _replay_lock:
+        old = spark.conf.get(key)
+        if int(old) <= _REPLAY_SHUFFLE_PARTITIONS:
+            yield
+            return
+        spark.conf.set(key, str(_REPLAY_SHUFFLE_PARTITIONS))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

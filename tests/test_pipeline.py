@@ -87,3 +87,41 @@ def test_download_quarantines_fetch_errors(spark, tmp_path):
     assert "HTTP 500" in errs[0].error
     # pages 1 and 3 still landed their items
     assert out["maps"].count() > 0
+
+
+def test_download_maps_schema_stable_across_enrich_flag(spark, tmp_path):
+    """With mask_source set, the checkpointed maps schema must be the
+    same whether enrich ran or not: fetch failures land in maskError,
+    maskGeometry always exists, and the internal mask_fetch_error /
+    raw mask columns never leak into the checkpoint."""
+    import dataclasses
+
+    from etl_mapwarper_spark.operators.pipeline_queries import _e2e_config
+    from etl_mapwarper_spark.pipeline import PipelineDirs, download
+
+    def cols(enrich):
+        cfg = dataclasses.replace(
+            _e2e_config(spark, SF_DIR), enrich=enrich
+        )
+        out = download(
+            spark,
+            cfg,
+            PipelineDirs(
+                current=str(tmp_path / f"dl_{enrich}"), previous=None
+            ),
+        )
+        return out["maps"].schema
+
+    s_plain, s_enriched = cols(False), cols(True)
+    # simpleString ignores nullability flags — the consumer-visible
+    # column shape is what must not drift
+    plain = {f.name: f.dataType.simpleString() for f in s_plain.fields}
+    enriched = {f.name: f.dataType.simpleString() for f in s_enriched.fields}
+    assert set(plain) == set(enriched), (
+        f"schema drift: {set(plain) ^ set(enriched)}"
+    )
+    for name in ("maskError", "maskGeometry"):
+        assert name in plain
+        assert plain[name] == enriched[name]
+    for leaked in ("mask_fetch_error", "mask"):
+        assert leaked not in plain
