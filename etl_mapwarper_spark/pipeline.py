@@ -152,6 +152,38 @@ class PipelineConfig:
             ]
         )
     )
+    # Importable module names an enrichment stage needs at runtime;
+    # checked driver-side BEFORE any fetch/submit (see precheck).
+    required_modules: tuple = ()
+
+    def precheck(self) -> None:
+        """Fail fast before any work is submitted.
+
+        Mirror of the reference's environment gate (mapwarper.js:
+        168-171 aborts the whole run when gdal_translate is missing).
+        Without this, a missing optional dependency surfaces as a
+        mid-crawl executor NotImplementedError after the politeness
+        budget was already spent. The engine's own GCP transform is
+        numpy-native, so ``enrich`` implies numpy; callers extend via
+        ``required_modules`` (e.g. codec libs for media enrichment).
+        """
+        import importlib
+
+        mods = set(self.required_modules)
+        if self.enrich:
+            mods.add("numpy")
+        missing = []
+        for m in sorted(mods):
+            try:
+                importlib.import_module(m)
+            except ImportError:
+                missing.append(m)
+        if missing:
+            raise RuntimeError(
+                "pipeline precheck failed — missing required "
+                f"dependencies {missing}; aborting before any fetch "
+                "(reference mapwarper.js:168-171)"
+            )
 
 
 def _write(df: DataFrame, dirs: PipelineDirs, name: str) -> DataFrame:
@@ -165,6 +197,7 @@ def download(
     """Step 1 (reference :151-219): crawl maps + layers, quarantine
     fetch errors, optionally enrich masks and attach layer membership;
     checkpoint everything as parquet under ``dirs.current``."""
+    config.precheck()  # abort before the first fetch (:168-171)
     out: dict[str, DataFrame] = {}
 
     # Layers branch (:155-166): short-page loop.
@@ -306,3 +339,31 @@ def run_pipeline(
 def export_ndjson(df: DataFrame, path: str) -> None:
     """Final-boundary NDJSON export (reference sink format, :164-165)."""
     to_ndjson_lines(df).write.mode("overwrite").text(path)
+
+
+def export_ndjson_file(df: DataFrame, path: str) -> None:
+    """SINGLE-file exact-format NDJSON export.
+
+    The reference's sink is one newline-delimited file —
+    ``JSON.stringify`` per record, ``intersperse('\\n')``, one write
+    (mapwarper.js:164-165) — and that single file IS the framework
+    handoff format. Spark's text sink writes a directory of
+    part-files; this export writes them distributed (all
+    serialization stays on executors via ``to_json``), then streams
+    the parts in partition order into one file with a bounded-buffer
+    copy — the driver never materializes the dataset, only relays
+    bytes. Field order is the DataFrame's column order, so the byte
+    format is stable for a given schema. Use for boundary handoffs
+    only; 100 TB intermediates stay parquet (see sources/ndjson.py).
+    """
+    import glob
+    import shutil
+
+    tmp = path + ".parts.tmp"
+    to_ndjson_lines(df).write.mode("overwrite").text(tmp)
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    with open(path, "wb") as out:
+        for p in parts:
+            with open(p, "rb") as src:
+                shutil.copyfileobj(src, out, length=1 << 20)
+    shutil.rmtree(tmp)

@@ -125,3 +125,67 @@ def test_download_maps_schema_stable_across_enrich_flag(spark, tmp_path):
         assert plain[name] == enriched[name]
     for leaked in ("mask_fetch_error", "mask"):
         assert leaked not in plain
+
+
+def test_precheck_aborts_before_any_fetch(spark):
+    """A missing enrichment dependency must abort the run driver-side
+    BEFORE the first request (reference mapwarper.js:168-171), not as
+    a mid-crawl executor error after politeness budget was spent."""
+    import dataclasses
+
+    import pytest
+
+    from etl_mapwarper_spark.operators.pipeline_queries import _e2e_config
+    from etl_mapwarper_spark.pipeline import PipelineDirs, download
+
+    calls = []
+
+    def exploding_fetcher(url, timeout_s):
+        calls.append(url)
+        raise AssertionError("fetch happened despite failed precheck")
+
+    base = _e2e_config(spark, SF_DIR)
+    cfg = dataclasses.replace(
+        base,
+        maps_source=dataclasses.replace(
+            base.maps_source, fetcher=exploding_fetcher
+        ),
+        layers_source=dataclasses.replace(
+            base.layers_source, fetcher=exploding_fetcher
+        ),
+        required_modules=("definitely_not_a_real_module_xyz",),
+    )
+    with pytest.raises(RuntimeError, match="precheck failed"):
+        download(spark, cfg, PipelineDirs(current="/tmp/never", previous=None))
+    assert calls == [], "precheck must run before any fetch"
+    # and a satisfiable precheck passes
+    dataclasses.replace(base, required_modules=("json", "math")).precheck()
+
+
+def test_export_ndjson_single_file_golden(spark, tmp_path):
+    """export_ndjson_file writes ONE newline-delimited file whose bytes
+    match the reference sink format (mapwarper.js:164-165): compact
+    JSON.stringify per record, nulls dropped, one '\\n' between."""
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.pipeline import export_ndjson_file
+
+    # objects-boundary shape (mapwarper.dataset.json: id/type/name/
+    # validSince/validUntil + serialized data payload)
+    df = spark.createDataFrame(
+        [
+            ("26986", "st:Map", "Plate 1", 1857, 1857, '{"nyplDigitalId":"X1"}'),
+            ("layer-860", "st:Layer", "Manhattan", 1857, None, '{"mapsCount":4}'),
+        ],
+        "id string, type string, name string, validSince int, validUntil int, data_json string",
+    ).coalesce(1).orderBy("id")
+    out = tmp_path / "objects.ndjson"
+    export_ndjson_file(df, str(out))
+    expected = (
+        '{"id":"26986","type":"st:Map","name":"Plate 1","validSince":1857,'
+        '"validUntil":1857,"data_json":"{\\"nyplDigitalId\\":\\"X1\\"}"}\n'
+        '{"id":"layer-860","type":"st:Layer","name":"Manhattan",'
+        '"validSince":1857,"data_json":"{\\"mapsCount\\":4}"}\n'
+    )
+    assert out.read_text() == expected
+    assert out.is_file()
