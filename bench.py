@@ -106,6 +106,42 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         steady[name] = round(min(runs), 3)
     total = round(sum(steady.values()), 3)
+
+    # DuckDB oracle, timed back-to-back in the SAME process so host
+    # noise (CPU steal) hits both sides alike — the engine/oracle
+    # ratio is only meaningful when both numbers share a session.
+    oracle: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        n_threads = (
+            int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+            or os.cpu_count()
+            or 4
+        )
+        con.execute(f"SET threads TO {n_threads}")
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        osql = entrymod.oracle_sql()
+        for name in BENCH_QUERIES:
+            if name not in osql:
+                continue
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(osql[name]).fetchall()
+                runs.append(time.perf_counter() - t0)
+            oracle[name] = round(min(runs), 3)
+    except Exception:
+        pass  # oracle timing is advisory; engine numbers still print
+
+    oracle_total = round(sum(oracle.values()), 3)
     print(
         json.dumps(
             {
@@ -115,7 +151,12 @@ def main() -> None:
                 "queries": steady,
                 "queries_cold": cold,
                 "total_cold": round(sum(cold.values()), 3),
-                "methodology": "noop sink; warmed session; min of 3 runs (cold run reported separately)",
+                "oracle_queries": oracle,
+                "oracle_total": oracle_total,
+                "vs_oracle": round(total / oracle_total, 3)
+                if oracle_total
+                else None,
+                "methodology": "noop sink; warmed session; min of 3 runs (cold run reported separately); DuckDB oracle timed back-to-back same process, min of 3",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
