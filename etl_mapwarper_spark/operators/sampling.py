@@ -345,3 +345,119 @@ def _curation_sql() -> str:
 
 
 _register("ds_corpus_curation", ds_corpus_curation, _curation_sql())
+
+
+# ---------------------------------------------------------------------------
+# ds_decontaminate — benchmark-contamination check, the decontamination
+# stage every serious LLM training pipeline runs before training:
+# which training documents share long n-grams with the held-out
+# benchmark/eval set? (The GPT-3/PaLM papers' "13-gram overlap"
+# procedure, here with 5-grams sized to the synthetic docs.)
+#
+# The "benchmark" is a deterministic slice (doc_id % 50 == 0 — in a
+# real deployment this side is the actual eval-suite text); everything
+# else is the training corpus. Scale shape: both sides shingle to
+# 8-byte xxhash64 keys (same trick as dd_ngram_jaccard), the join is
+# an equi-join on the hash — the benchmark side is eval-suite-sized
+# (tiny next to the corpus) so it broadcasts; the corpus side never
+# self-joins and never shuffles on anything wider than 8 bytes.
+# Output: per benchmark doc, how many of its shingles occur in the
+# training corpus, in how many distinct training docs, and the
+# contamination fraction used for filter/report decisions.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # shingle width (words)
+_DECON_MOD = 50  # doc_id % MOD == 0 -> benchmark side
+
+
+def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), _DECON_N)).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    bench = sh.filter(is_bench)
+    corpus = sh.filter(~is_bench)
+    bench_sizes = (
+        docs.filter(is_bench)
+        .select(
+            "doc_id",
+            F.size(word_shingles(tokens(F.col("text")), _DECON_N)).alias(
+                "n_shingles"
+            ),
+        )
+        # docs shorter than the shingle width have nothing to check —
+        # excluded on both sides (the oracle's sh CTE drops them too)
+        .filter(F.col("n_shingles") > 0)
+    )
+    hits = (
+        corpus.join(
+            broadcast(bench.select(F.col("doc_id").alias("bench_id"), "h")),
+            "h",
+        )
+        .groupBy("bench_id")
+        .agg(
+            F.count_distinct("h").alias("n_contaminated"),
+            F.count_distinct("doc_id").alias("n_contaminating_docs"),
+        )
+    )
+    return (
+        bench_sizes.join(
+            broadcast(hits), bench_sizes.doc_id == hits.bench_id, "left"
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("n_contaminating_docs", F.lit(0)).alias(
+                "n_contaminating_docs"
+            ),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles"),
+                4,
+            ).alias("contam_frac"),
+        )
+    )
+
+
+_register(
+    "ds_decontaminate",
+    ds_decontaminate,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - {_DECON_N - 2}, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                         || t[i+3] || ' ' || t[i+4])) AS shingle
+      FROM toks WHERE len(t) >= {_DECON_N}
+    ),
+    bench AS (SELECT * FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {_DECON_MOD} != 0),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM bench GROUP BY 1
+    ),
+    hits AS (
+      SELECT b.doc_id AS bench_id,
+             count(DISTINCT b.shingle) AS n_contaminated,
+             count(DISTINCT c.doc_id) AS n_contaminating_docs
+      FROM bench b JOIN corpus c ON b.shingle = c.shingle
+      GROUP BY 1
+    )
+    SELECT s.doc_id,
+           s.n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_contaminating_docs, 0) AS n_contaminating_docs,
+           round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4)
+             AS contam_frac
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.bench_id
+    """,
+)

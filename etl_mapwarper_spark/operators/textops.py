@@ -895,3 +895,64 @@ _register(
     ) WHERE rank <= {BM25_TOPK}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_unigram_logprob — corpus-LM quality proxy (the CCNet/kenlm
+# filtering idea with the corpus itself as the language model): score
+# each document by the mean log-probability of its tokens under the
+# corpus unigram distribution. Low scorers are gibberish/outlier docs;
+# the score feeds quality-threshold filtering exactly like a kenlm
+# perplexity bin.
+# Scale shape: one tokenize pass feeds BOTH the frequency aggregate
+# and the scoring join. The (term → logp) side is vocabulary-sized —
+# NOT broadcastable at 100 TB — so the score join is a plain equi-join
+# on term (AQE picks the strategy; at small SF it broadcasts itself).
+# The corpus total is a 1-row aggregate broadcast via crossJoin.
+# Everything is codegen'd JVM; no UDFs.
+# ---------------------------------------------------------------------------
+
+
+def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents", parallelize=True)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = freqs.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(freqs, "term")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tf") / F.col("n_total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.withColumn(
+        "ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 2)
+    )
+
+
+_register(
+    "tx_unigram_logprob",
+    tx_unigram_logprob,
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    freqs AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+    total AS (SELECT sum(tf) AS n_total FROM freqs)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(tf * 1.0 / n_total)), 4) AS avg_logprob,
+           round(exp(-round(avg(ln(tf * 1.0 / n_total)), 4)), 2) AS ppl_proxy
+    FROM toks
+    JOIN freqs USING (term)
+    CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)

@@ -409,3 +409,29 @@ def test_dim_broadcast_demotes_oversized_side(spark, monkeypatch):
     assert demoted is cust, "oversized dim must fall back to AQE (no hint)"
     # non-catalog names never hint regardless of size
     assert tbl.dim_broadcast(cust, SF_DIR, "lineitem") is cust
+
+
+def test_unigram_logprob_no_vocab_broadcast_hint(spark):
+    """The (term -> tf) side is vocabulary-sized; it must NOT carry a
+    forced broadcast hint (AQE/Catalyst may still choose broadcast at
+    small SF from real stats). Only the 1-row total is hint-broadcast."""
+    from etl_mapwarper_spark.plans import audit
+
+    df = ALL_QUERIES["tx_unigram_logprob"](spark, SF_DIR)
+    lp = df._jdf.queryExecution().logical().toString()
+    # exactly one ResolvedHint (the corpus-total crossJoin side)
+    assert lp.count("ResolvedHint") <= 1, lp
+    a = audit(df)
+    assert not a.has_row_python
+
+
+def test_decontaminate_broadcasts_bench_not_corpus(spark):
+    """Contamination check: the benchmark side broadcasts (eval-suite
+    sized), the training corpus never self-joins and shuffles only
+    8-byte hash keys."""
+    from etl_mapwarper_spark.plans import audit
+
+    a = audit(ALL_QUERIES["ds_decontaminate"](spark, SF_DIR))
+    assert a.n_broadcast_joins >= 2, "bench shingles + hits must broadcast"
+    assert a.n_shuffle_joins == 0, "corpus side must never shuffle-join"
+    assert not a.has_row_python
