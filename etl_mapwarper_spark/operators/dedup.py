@@ -851,3 +851,55 @@ _register(
     WHERE levenshtein(a.head, b.head) <= {LEV_MAX}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_dedup_apply — the APPLY half of dedup: given duplicate groups
+# (exact content hash here), emit the surviving corpus — one keeper
+# per group chosen by a quality policy (longest doc wins, doc_id
+# tiebreak), plus how many near-copies it displaced. Pair/group
+# *detection* operators (dd_exact_hash .. dd_cc_bigstar) answer
+# "what is duplicated"; training pipelines also need "which rows do I
+# actually train on", and survivor selection by quality is the
+# standard policy (keep the longest/cleanest copy, not an arbitrary
+# one). Scale shape: one shuffle on the 16-byte group key; the
+# row_number window partitions by that key (group-sized partitions,
+# never global).
+# ---------------------------------------------------------------------------
+
+
+def dd_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "n_chars", F.md5(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wg = Window.partitionBy("fp")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("group_size") - 1).alias("n_removed"),
+        )
+    )
+
+
+_register(
+    "dd_dedup_apply",
+    dd_dedup_apply,
+    """
+    SELECT doc_id, n_chars, n_removed FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY md5(text)) - 1 AS n_removed
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)

@@ -453,7 +453,7 @@ _register(
       GROUP BY 1
     )
     SELECT s.doc_id,
-           s.n_shingles,
+           s.n_shingles::INT AS n_shingles,
            coalesce(h.n_contaminated, 0) AS n_contaminated,
            coalesce(h.n_contaminating_docs, 0) AS n_contaminating_docs,
            round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles, 4)

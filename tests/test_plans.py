@@ -435,3 +435,24 @@ def test_decontaminate_broadcasts_bench_not_corpus(spark):
     assert a.n_broadcast_joins >= 2, "bench shingles + hits must broadcast"
     assert a.n_shuffle_joins == 0, "corpus side must never shuffle-join"
     assert not a.has_row_python
+
+
+def test_dedup_apply_single_shuffle_no_join(spark):
+    """Survivor selection is one shuffle on the group key with a
+    key-partitioned window — no joins, no global sort."""
+    from etl_mapwarper_spark.plans import audit
+
+    a = audit(ALL_QUERIES["dd_dedup_apply"](spark, SF_DIR))
+    assert a.is_join_free
+    assert a.n_exchanges <= 2  # parallelize repartition + group-key shuffle
+    plan = plan_of(spark, "dd_dedup_apply")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_lsh_recall_joins_only_topk_outputs(spark):
+    """The recall report compares two O(probes x k) top-k sets — every
+    join must be a broadcast; the corpus never re-shuffles for it."""
+    from etl_mapwarper_spark.plans import audit
+
+    a = audit(ALL_QUERIES["sim_lsh_recall"](spark, SF_DIR))
+    assert a.n_shuffle_joins == 0
