@@ -328,26 +328,45 @@ _register(
 # ---------------------------------------------------------------------------
 
 
-def q39_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_acctbal", "c_custkey"
-    )
-    n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    k: int,
+    out_col: str = "tile",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(k) OVER (ORDER BY value, tiebreak)``, distributed.
+
+    Range-buckets rows by approx-quantile cut-points on ``value_col``
+    (ties on a cut all land in one bucket, so bucket order == sort
+    order), collects per-bucket counts (O(buckets) scalars) to build
+    exact prefix offsets, and derives the global 0-based rank as
+    bucket-local ``row_number`` + offset — the window partitions by
+    bucket, never a single reducer. The ntile ceil/floor split is then
+    pure arithmetic on that rank: first ``n % k`` tiles get
+    ``n // k + 1`` rows, the rest ``n // k`` — bit-identical to the
+    single-reducer ``F.ntile``. (``tiebreak_col`` must make the order
+    total, as any deterministic ntile requires.)
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 8)
     cuts = sorted(
         set(
-            cust.approxQuantile(
-                "c_acctbal",
+            df.approxQuantile(
+                value_col,
                 [i / n_buckets for i in range(1, n_buckets)],
                 0.001,
             )
         )
     )
     cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
-    bucket = F.size(F.filter(cut_arr, lambda c: c < F.col("c_acctbal")))
-    bucketed = cust.withColumn("bucket", bucket)
+    bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(value_col)))
+    bucketed = df.withColumn("_nt_bucket", bucket)
     counts = {
-        r["bucket"]: r["cnt"]
-        for r in bucketed.groupBy("bucket")
+        r["_nt_bucket"]: r["cnt"]
+        for r in bucketed.groupBy("_nt_bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
@@ -360,21 +379,27 @@ def q39_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(
             *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
         ),
-        F.col("bucket"),
+        F.col("_nt_bucket"),
     )
-    w = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("_nt_bucket").orderBy(value_col, tiebreak_col)
     rn0 = F.row_number().over(w) + offset - F.lit(1)  # 0-based global rank
-    k = 10
     base, rem = n // k, n % k
     if base == 0:
-        decile = rn0 + F.lit(1)
+        tile = rn0 + F.lit(1)
     else:
         head = rem * (base + 1)
-        decile = F.when(
+        tile = F.when(
             rn0 < F.lit(head), F.floor(rn0 / F.lit(base + 1)) + 1
         ).otherwise(F.floor((rn0 - F.lit(head)) / F.lit(base)) + rem + 1)
+    return bucketed.withColumn(out_col, tile.cast("int")).drop("_nt_bucket")
+
+
+def q39_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_custkey"
+    )
     return (
-        bucketed.withColumn("decile", decile.cast("int"))
+        exact_ntile(cust, "c_acctbal", "c_custkey", 10, out_col="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

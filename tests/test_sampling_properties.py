@@ -67,3 +67,38 @@ def test_bucket_range_and_partitioning_invariance(spark):
     assert len(counts) == 100
     assert min(counts) > 0
     assert max(counts) < 150
+
+
+# ---------------------------------------------------------------------------
+# exact_ntile ≡ F.ntile: the distributed range-bucketed implementation
+# must be bit-identical to Spark's single-reducer window ntile on
+# arbitrary value distributions (duplicates, negatives, tiny n < k,
+# skewed ties) for arbitrary k.
+# ---------------------------------------------------------------------------
+
+_NTILE_VALS = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vals=_NTILE_VALS, k=st.integers(min_value=1, max_value=12))
+def test_exact_ntile_matches_builtin(spark, vals, k):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_mapwarper_spark.operators.relational_ext import exact_ntile
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(vals)], "val double, id long"
+    )
+    got = {
+        (r.id): r.tile
+        for r in exact_ntile(df, "val", "id", k, n_buckets=4).collect()
+    }
+    w = Window.orderBy("val", "id")
+    want = {
+        (r.id): r.tile
+        for r in df.withColumn("tile", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
