@@ -903,3 +903,74 @@ _register(
     ) WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_containment — asymmetric near-duplicate detection: containment
+# C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|. Jaccard misses
+# the "document A is pasted inside much-larger document B" case (the
+# union term dilutes the score); containment is the standard fix
+# (RefinedWeb/Dolma-style partial-dup scrubbing). Same hashed-shingle
+# index join as dd_ngram_jaccard — one CPU-wide repartition on the
+# 8-byte key, pairs only where shingles co-occur — emitting BOTH
+# directions of any pair whose containment clears the threshold, since
+# C is asymmetric.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = (
+        docs.select(
+            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
+        )
+        .select(
+            "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+        )
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+    )
+    sh = sh.repartition(spark.sparkContext.defaultParallelism, "h")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.n").alias("n_src"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.withColumn(
+            "containment", F.round(F.col("c") / F.col("n_src"), 4)
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("src", "dst", "containment")
+    )
+
+
+_register(
+    "dd_containment",
+    dd_containment,
+    _SH_CTE
+    + f"""
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT src, dst,
+           round(c * 1.0 / s.n, 4) AS containment
+    FROM common
+    JOIN sizes s ON src = s.doc_id
+    WHERE round(c * 1.0 / s.n, 4) >= {CONTAINMENT_THRESHOLD}
+    """,
+)

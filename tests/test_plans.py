@@ -456,3 +456,15 @@ def test_lsh_recall_joins_only_topk_outputs(spark):
 
     a = audit(ALL_QUERIES["sim_lsh_recall"](spark, SF_DIR))
     assert a.n_shuffle_joins == 0
+
+
+def test_containment_uses_hashed_index_join(spark):
+    """Containment rides the same 8-byte hashed-shingle index join as
+    Jaccard — shuffle keys are xxhash64 longs, never raw shingles."""
+    plan = plan_of(spark, "dd_containment")
+    assert "xxhash64" in plan
+    from etl_mapwarper_spark.plans import audit
+
+    a = audit(ALL_QUERIES["dd_containment"](spark, SF_DIR))
+    assert a.n_shuffle_joins + a.n_broadcast_joins == 1
+    assert not a.has_row_python
