@@ -481,7 +481,7 @@ _register(
     "mm_arrow_hist",
     mm_arrow_hist,
     f"""
-    SELECT ((doc_id + i.i) % 256) // (256 // {HIST_BUCKETS}) AS bucket,
+    SELECT (((doc_id + i.i) % 256) // (256 // {HIST_BUCKETS}))::INT AS bucket,
            count(*) AS n_bytes
     FROM documents CROSS JOIN (SELECT unnest(range(0, {W * H})) AS i) i
     WHERE doc_id < 200
