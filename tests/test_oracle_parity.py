@@ -24,12 +24,38 @@ CHECKED = sorted(k for k in ALL_QUERIES if k in ALL_ORACLE)
 ROWS_ONLY = sorted(k for k in ALL_QUERIES if k not in ALL_ORACLE)
 
 
+def _dtype_family(dt) -> str:
+    s = str(dt)
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s.startswith("datetime"):
+        return "ts"
+    if s == "bool":
+        return "bool"
+    return "obj"
+
+
 @pytest.mark.parametrize("name", CHECKED)
 def test_query_matches_oracle(spark, oracle_con, name):
     sdf = ALL_QUERIES[name](spark, SF_DIR)
     spark_pdf = sdf.toPandas()
     oracle_pdf = oracle_con(SF_DIR).execute(ALL_ORACLE[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf, name)
+    # The driver's value-hash is dtype-sensitive where this replica's
+    # canonicalizer is not (int 1 == float 1.0 here, hash-mismatch
+    # there — the round-2 q67 bug class). Pin dtype FAMILIES so a
+    # DuckDB HUGEINT->float64 or INT-width drift fails locally first.
+    fams = {
+        c: (_dtype_family(spark_pdf[c].dtype), _dtype_family(oracle_pdf[c].dtype))
+        for c in sorted(spark_pdf.columns)
+    }
+    drift = {c: f for c, f in fams.items() if f[0] != f[1]}
+    assert not drift, (
+        f"{name}: dtype-family drift (spark, oracle): {drift} — add a "
+        "::BIGINT/::INT/::DOUBLE cast to the oracle or cast the Spark side"
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
