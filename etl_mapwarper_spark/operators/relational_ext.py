@@ -328,26 +328,24 @@ _register(
 # ---------------------------------------------------------------------------
 
 
-def exact_ntile(
+def exact_global_row_number(
     df: DataFrame,
     value_col: str,
     tiebreak_col: str,
-    k: int,
-    out_col: str = "tile",
+    out_col: str = "_rn0",
     n_buckets: int | None = None,
-) -> DataFrame:
-    """EXACT ``ntile(k) OVER (ORDER BY value, tiebreak)``, distributed.
+) -> tuple[DataFrame, int]:
+    """EXACT 0-based ``row_number() OVER (ORDER BY value, tiebreak)``,
+    distributed, plus the total row count.
 
     Range-buckets rows by approx-quantile cut-points on ``value_col``
     (ties on a cut all land in one bucket, so bucket order == sort
     order), collects per-bucket counts (O(buckets) scalars) to build
-    exact prefix offsets, and derives the global 0-based rank as
-    bucket-local ``row_number`` + offset — the window partitions by
-    bucket, never a single reducer. The ntile ceil/floor split is then
-    pure arithmetic on that rank: first ``n % k`` tiles get
-    ``n // k + 1`` rows, the rest ``n // k`` — bit-identical to the
-    single-reducer ``F.ntile``. (``tiebreak_col`` must make the order
-    total, as any deterministic ntile requires.)
+    exact prefix offsets, and derives the global rank as bucket-local
+    ``row_number`` + offset — the window partitions by bucket, never a
+    single reducer. The primitive under exact ntile, percent_rank,
+    and cume_dist over a total order (``tiebreak_col`` must make the
+    order total).
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -382,7 +380,29 @@ def exact_ntile(
         F.col("_nt_bucket"),
     )
     w = Window.partitionBy("_nt_bucket").orderBy(value_col, tiebreak_col)
-    rn0 = F.row_number().over(w) + offset - F.lit(1)  # 0-based global rank
+    rn0 = F.row_number().over(w) + offset - F.lit(1)
+    return bucketed.withColumn(out_col, rn0).drop("_nt_bucket"), n
+
+
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    k: int,
+    out_col: str = "tile",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(k) OVER (ORDER BY value, tiebreak)``, distributed.
+
+    The ntile ceil/floor split is pure arithmetic on the exact global
+    rank (see exact_global_row_number): first ``n % k`` tiles get
+    ``n // k + 1`` rows, the rest ``n // k`` — bit-identical to the
+    single-reducer ``F.ntile``.
+    """
+    ranked, n = exact_global_row_number(
+        df, value_col, tiebreak_col, n_buckets=n_buckets
+    )
+    rn0 = F.col("_rn0")
     base, rem = n // k, n % k
     if base == 0:
         tile = rn0 + F.lit(1)
@@ -391,7 +411,7 @@ def exact_ntile(
         tile = F.when(
             rn0 < F.lit(head), F.floor(rn0 / F.lit(base + 1)) + 1
         ).otherwise(F.floor((rn0 - F.lit(head)) / F.lit(base)) + rem + 1)
-    return bucketed.withColumn(out_col, tile.cast("int")).drop("_nt_bucket")
+    return ranked.withColumn(out_col, tile.cast("int")).drop("_rn0")
 
 
 def q39_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -253,24 +253,28 @@ _register(
 # q47 — percent_rank / cume_dist window family (completes the ranking
 # surface beyond q28's rank/dense_rank and q39's ntile). Deterministic
 # only under a total order, so the sort key carries the unique
-# s_suppkey tiebreak in both engines. Supplier is the small table —
-# a global-order window over a dimension is fine; the same computation
-# over a fact would be partitioned (as in q28) or approximated via
-# quantile cut-points.
+# s_suppkey tiebreak in both engines — and BECAUSE the order is total
+# (no ties), percent_rank = rn0/(n-1) and cume_dist = (rn0+1)/n are
+# pure arithmetic on the exact global row number, computed distributed
+# via the range-bucket + prefix-offset primitive (exact_global_row_
+# number) — no single-reducer window even as the table scales 100x.
 # ---------------------------------------------------------------------------
 
 
 def q47_supplier_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational_ext import exact_global_row_number
+
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return sup.select(
+    ranked, n = exact_global_row_number(sup, "s_acctbal", "s_suppkey")
+    rn0 = F.col("_rn0")
+    return ranked.select(
         "s_suppkey",
         "s_nationkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(rn0 / F.lit(max(n - 1, 1)), 6).alias("pct_rank"),
+        F.round((rn0 + 1) / F.lit(n), 6).alias("cume"),
     )
 
 

@@ -468,3 +468,10 @@ def test_containment_uses_hashed_index_join(spark):
     a = audit(ALL_QUERIES["dd_containment"](spark, SF_DIR))
     assert a.n_shuffle_joins + a.n_broadcast_joins == 1
     assert not a.has_row_python
+
+
+def test_q47_rank_dist_has_no_global_window(spark):
+    """percent_rank/cume_dist over a total order are arithmetic on the
+    exact distributed row number — never a single-reducer window."""
+    plan = plan_of(spark, "q47_supplier_rank_dist")
+    assert "Exchange SinglePartition" not in plan
