@@ -277,3 +277,14 @@ _register(
     GROUP BY user_id
     """,
 )
+
+
+def st_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState twin of st_user_totals — NOT registered as a
+    driver entry: the TWS Python worker needs google.protobuf, absent
+    in this container (see ops.stateful_user_totals_tws docstring).
+    Kept callable so the gate is testable; registering it would put a
+    guaranteed-crash row in a driver window."""
+    raise NotImplementedError(
+        "use st_user_totals; transformWithState needs google.protobuf"
+    )

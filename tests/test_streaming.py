@@ -230,3 +230,30 @@ def test_foreach_batch_merge_invariant_to_batch_slicing(spark, tmp_path):
     )
     assert merged.exceptAll(expected).count() == 0
     assert expected.exceptAll(merged).count() == 0
+
+
+def test_transform_with_state_gate(spark):
+    """transformWithState is implemented but environment-gated: without
+    google.protobuf the TWS state server cannot start, so the operator
+    must fail fast with the documented NotImplementedError instead of
+    crashing mid-stream. If the dependency appears, this test flips to
+    exercising the real replay."""
+    import pytest
+
+    from etl_mapwarper_spark.streaming import ops
+    from etl_mapwarper_spark.streaming.queries import read_events_stream
+
+    ev = read_events_stream(spark, SF_DIR)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            ops.stateful_user_totals_tws(ev)
+    else:
+        df = ops.stateful_user_totals_tws(ev)
+        assert set(df.schema.fieldNames()) == {
+            "user_id", "n_events", "total_value"
+        }
