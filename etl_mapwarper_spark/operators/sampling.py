@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import token_count
 from ..sources.tables import load_table
 
 QUERIES = {}
@@ -424,6 +425,189 @@ def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contam_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ds_epoch_shuffle — deterministic per-epoch global shuffle order, the
+# data-ordering stage of every LLM training run: each epoch must visit
+# the corpus in a different pseudo-random order, the order must be
+# REPRODUCIBLE (resume-from-step, loss-spike forensics), and it must be
+# computable without a global sort. Position is a pure per-row hash of
+# (doc_id, epoch) — Knuth multiplicative mixing with a distinct odd
+# additive constant per epoch — so "shuffling" is just: assign pos,
+# range-partition on pos, sort within partitions. No single-reducer
+# orderBy anywhere; at 100 TB the writer shards are
+# repartitionByRange(pos) outputs and the within-shard sort is local
+# (tests/test_sampling_ext.py proves partition-local sorts reproduce
+# the exact global order). The oracle-checked result is the full
+# accounting of the assignment: per (epoch, writer shard) doc count,
+# a doc_id checksum (every doc's placement feeds it), and the pos
+# range — bit-identical in DuckDB because the hash is exact BIGINT
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 2
+_EPOCH_SALT = 2246822519  # xxHash PRIME32_2; any odd constant works
+# 31-bit odd multiplier (T. Mueller's lowbias32 round constant): the
+# mixed key is first reduced mod 2^32, so the product stays under
+# 2^63 — exact in both engines' INT64 arithmetic, no overflow. (The
+# 33-bit Knuth constant would overflow INT64 against a 32-bit key.)
+_MIX31 = 0x45D9F3B
+_SHUFFLE_SHARDS = 32
+_SHARD_DIV = _M32 // _SHUFFLE_SHARDS  # high bits pick the shard
+
+
+def shuffle_pos(key: Column, epoch: Column) -> Column:
+    """Deterministic shuffle position in [0, 2^32) for (key, epoch).
+
+    Multiplicative mixing randomizes the HIGH bits of the product, so
+    shard assignment divides (takes high bits) rather than mods.
+    """
+    return F.pmod(
+        F.pmod(key + (epoch + 1) * F.lit(_EPOCH_SALT), F.lit(_M32))
+        * F.lit(_MIX31),
+        F.lit(_M32),
+    )
+
+
+_POS_SQL = (
+    f"(((doc_id + (epoch + 1) * {_EPOCH_SALT}) % {_M32}) * {_MIX31})"
+    f" % {_M32}"
+)
+
+
+def ds_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    placed = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        shuffle_pos(F.col("doc_id"), F.col("epoch")).alias("pos"),
+    )
+    return (
+        placed.withColumn("shard", F.floor(F.col("pos") / _SHARD_DIV))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("docs_checksum"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+        )
+    )
+
+
+_register(
+    "ds_epoch_shuffle",
+    ds_epoch_shuffle,
+    f"""
+    WITH placed AS (
+      SELECT doc_id, epoch, {_POS_SQL} AS pos
+      FROM documents, unnest(range(0, {_EPOCHS})) AS e(epoch)
+    )
+    SELECT epoch::INT AS epoch,
+           (pos // {_SHARD_DIV})::BIGINT AS shard,
+           count(*) AS n_docs,
+           sum(doc_id)::BIGINT AS docs_checksum,
+           min(pos)::BIGINT AS min_pos,
+           max(pos)::BIGINT AS max_pos
+    FROM placed
+    GROUP BY 1, 2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ds_pack_sequences — fixed-budget sequence packing, the step that
+# turns a curated document stream into the fixed-length training
+# sequences an LLM actually consumes: concatenate documents in a
+# deterministic order and cut every BUDGET tokens (the GPT-style
+# "document-boundary-agnostic" packing). Layout here:
+#   shard  = content-hash bucket of doc_id (the packing worker);
+#   order  = doc_id within shard (deterministic, append-stable);
+#   start  = running token offset within the shard (window cumsum);
+#   seq    = start / BUDGET — the training sequence the doc STARTS in;
+#   spans_boundary — doc crosses a cut point (its tail continues into
+#   the next sequence), the attention-masking bookkeeping packers emit.
+# Scale shape: ONE shuffle (the per-shard window); per-shard state is
+# bounded because shard count scales with corpus size (tokens /
+# target-shard-tokens), so each window partition stays
+# executor-sized — never a global sort, never driver state. The
+# aggregate reuses the window's partitioning (same shard key), so AQE
+# plans it shuffle-free on top.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training sequence
+_PACK_SHARDS = 8
+
+
+def ds_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), _PACK_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("dl"),
+    ).filter(F.col("dl") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = docs.withColumn("cum", F.sum("dl").over(w)).select(
+        "shard",
+        "doc_id",
+        "dl",
+        F.floor((F.col("cum") - F.col("dl")) / _PACK_BUDGET).alias("seq"),
+        (
+            F.floor((F.col("cum") - 1) / _PACK_BUDGET)
+            > F.floor((F.col("cum") - F.col("dl")) / _PACK_BUDGET)
+        ).alias("spans_boundary"),
+    )
+    return placed.groupBy("shard", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("n_tokens_started"),
+        F.count_if(F.col("spans_boundary")).alias("n_spanning"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_BUCKET_SQL = f"((doc_id * {_KNUTH}) % {_M32}) % {_PACK_SHARDS}"
+
+_register(
+    "ds_pack_sequences",
+    ds_pack_sequences,
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             {_PACK_BUCKET_SQL} AS shard,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    placed AS (
+      SELECT shard, doc_id, dl,
+             sum(dl) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+      FROM docs
+    )
+    SELECT shard::BIGINT AS shard,
+           ((cum - dl) // {_PACK_BUDGET})::BIGINT AS seq,
+           count(*) AS n_docs,
+           sum(dl)::BIGINT AS n_tokens_started,
+           count(*) FILTER (
+             WHERE (cum - 1) // {_PACK_BUDGET}
+                   > (cum - dl) // {_PACK_BUDGET}
+           ) AS n_spanning,
+           min(doc_id)::BIGINT AS first_doc,
+           max(doc_id)::BIGINT AS last_doc
+    FROM placed
+    GROUP BY 1, 2
+    """,
+)
 
 
 _register(

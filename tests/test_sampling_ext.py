@@ -1,0 +1,96 @@
+"""Tests for the epoch-shuffle ordering and sequence-packing operators.
+
+``ds_epoch_shuffle``'s contract is that the scale path — range-
+partition on the shuffle position, then sort each partition LOCALLY —
+reproduces the exact global order a single-reducer ``orderBy`` would
+give, because range partitioning makes partition boundaries align
+with the global order. That equivalence is the whole reason the
+operator never needs a global sort at 100 TB, so it is pinned here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_mapwarper_spark.operators.sampling import (  # noqa: E402
+    _EPOCH_SALT,
+    _M32,
+    _MIX31,
+    _PACK_BUDGET,
+    ds_pack_sequences,
+    shuffle_pos,
+)
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def py_pos(key: int, epoch: int) -> int:
+    return (((key + (epoch + 1) * _EPOCH_SALT) % _M32) * _MIX31) % _M32
+
+
+def test_shuffle_pos_matches_python_model(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("key"))
+    got = {
+        (r.key, r.epoch): r.pos
+        for r in df.select(
+            "key",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+        )
+        .select(
+            "key", "epoch", shuffle_pos(F.col("key"), F.col("epoch")).alias("pos")
+        )
+        .collect()
+    }
+    for (k, e), p in got.items():
+        assert p == py_pos(k, e)
+    # different epochs permute differently (the point of the salt)
+    assert any(got[(k, 0)] != got[(k, 1)] for k in range(500))
+
+
+def test_range_partition_local_sort_equals_global_order(spark):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        shuffle_pos(F.col("id"), F.lit(0)).alias("pos"),
+    )
+    expected = [r.doc_id for r in docs.orderBy("pos", "doc_id").collect()]
+    sharded = docs.repartitionByRange(8, "pos").sortWithinPartitions(
+        "pos", "doc_id"
+    )
+    # toLocalIterator yields partitions in order, rows in partition order
+    got = [r.doc_id for r in sharded.toLocalIterator()]
+    assert got == expected
+
+
+def test_pack_sequences_accounting(spark):
+    packed = ds_pack_sequences(spark, SF_DIR).collect()
+    from etl_mapwarper_spark.functions.text import token_count
+    from etl_mapwarper_spark.operators.sampling import hash_bucket
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            hash_bucket(F.col("doc_id"), 8).alias("shard"),
+            token_count(F.col("text")).alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
+        .collect()
+    )
+    per_shard = {r.shard: (r.n, r.total) for r in docs}
+    for shard in per_shard:
+        rows = [r for r in packed if r.shard == shard]
+        n, total = per_shard[shard]
+        # every doc starts in exactly one sequence; tokens conserved
+        assert sum(r.n_docs for r in rows) == n
+        assert sum(r.n_tokens_started for r in rows) == total
+        # a sequence can't start more tokens than budget + one
+        # straddling doc's tail; the max seq id is bounded by the
+        # shard's total token count
+        assert max(r.seq for r in rows) <= total // _PACK_BUDGET
+        assert min(r.seq for r in rows) == 0
