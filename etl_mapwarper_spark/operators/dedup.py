@@ -974,3 +974,119 @@ _register(
     WHERE round(c * 1.0 / s.n, 4) >= {CONTAINMENT_THRESHOLD}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_chunk_dedup — chunk-level exact dedup (the practical form of
+# "exact substring deduplication": Lee et al. 2022 dedupe duplicated
+# ~50-token spans, not whole documents, because boilerplate repeats
+# inside otherwise-distinct pages). Each document's token stream is
+# cut into non-overlapping fixed-width chunks; a chunk occurrence is a
+# duplicate iff the identical chunk text appeared earlier in the
+# corpus (first occurrence by (doc_id, chunk_start) wins). Output is
+# the per-document retention report a scrubbing pass acts on.
+#
+# Scale shape: chunk rows are a narrow 1→n/C explode inside the scan
+# stage; the dedup shuffle key is xxhash64 of the chunk text (8-byte
+# keys, same trick as dd_ngram_jaccard — the oracle groups on the
+# text itself, identical result absent 64-bit collisions); one window
+# over the hash picks winners, one groupBy(doc_id) folds the report.
+# Two exchanges total, both on narrow keys, no joins, no all-pairs.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 16  # tokens per dedup chunk
+
+
+def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n_toks"))
+    occ = (
+        toked.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n_toks") - 1, F.lit(0)),
+                    F.lit(_CHUNK_W),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.slice(F.col("toks"), F.col("s") + 1, _CHUNK_W).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.size("c").alias("clen"),
+            F.xxhash64(F.array_join(F.col("c"), " ")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "s")
+    marked = occ.withColumn("kept", F.row_number().over(w) == 1)
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(F.col("kept")).alias("n_kept"),
+        F.sum("clen").alias("tokens_total"),
+        F.sum(F.when(F.col("kept"), F.col("clen")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    ).select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        "tokens_total",
+        "tokens_kept",
+        F.round(F.col("tokens_kept") / F.col("tokens_total"), 4).alias(
+            "retained_frac"
+        ),
+    )
+
+
+_register(
+    "dd_chunk_dedup",
+    dd_chunk_dedup,
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), {_CHUNK_W})) AS s
+      FROM t
+    ),
+    occ AS (
+      SELECT doc_id, s,
+             len(list_slice(toks, s + 1, least(s + {_CHUNK_W}, len(toks))))
+               AS clen,
+             array_to_string(
+               list_slice(toks, s + 1, least(s + {_CHUNK_W}, len(toks))), ' '
+             ) AS ctxt
+      FROM starts
+    ),
+    marked AS (
+      SELECT doc_id, s, clen,
+             row_number() OVER (PARTITION BY ctxt ORDER BY doc_id, s) = 1
+               AS kept
+      FROM occ
+    ),
+    rep AS (
+      SELECT doc_id,
+             count(*) AS n_chunks,
+             count(*) FILTER (WHERE kept) AS n_kept,
+             sum(clen)::BIGINT AS tokens_total,
+             coalesce(sum(clen) FILTER (WHERE kept), 0)::BIGINT
+               AS tokens_kept
+      FROM marked GROUP BY 1
+    )
+    SELECT doc_id, n_chunks, n_kept, tokens_total, tokens_kept,
+           round(tokens_kept * 1.0 / tokens_total, 4) AS retained_frac
+    FROM rep
+    """,
+)
