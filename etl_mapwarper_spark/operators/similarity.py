@@ -572,3 +572,284 @@ _register(
         approx_sql=ORACLE["sim_srp_lsh_topk"],
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_topk — product-quantization (PQ) ANN search, the COMPRESSION
+# scale path that complements IVF's pruning path (Jégou et al. 2011):
+# the 64-dim float vector becomes M=8 one-byte codes (32× smaller), so
+# at 100 TB the search scans/shuffles 8-byte codes instead of 256-byte
+# vectors, and query-time distance is a table lookup per subspace.
+#
+# Offline index build (three bounded driver artifacts, like
+# sim_ivf_topk's trained-index literal):
+#   1. INIT — random-partition k-means init (bucket = multiplicative
+#      hash of vec_id mod K): one hash-agg job of 64 per-dim means;
+#   2. LLOYD — one refinement step: assign every vector's subvectors
+#      to their nearest init centroid (narrow map over codebook
+#      literals), re-average per (subspace, code) — one explode(M)+agg
+#      job; the result (≤ M×K×8 doubles) is the PQ codebook artifact;
+#   3. ADC TABLES — at query time the probe vectors (the tiny query
+#      side) are collected and the probe→centroid distance table
+#      T[m][k] is precomputed on the driver — exactly the asymmetric-
+#      distance-computation tables a real PQ searcher builds per query.
+#
+# Online search plan: ONE narrow projection encodes the corpus
+# (argmin over codebook literals — no shuffle, no join), a literal
+# explode attaches the 3 probes' tables, adist = Σ_m T[m][code_m] is
+# pure column arithmetic, and the only exchange is the final per-probe
+# top-k window. All distances are rounded to 6 dp before every argmin
+# (and both engines break ties toward the smaller code), so the
+# trained codebooks — and therefore the codes — are bit-identical in
+# the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace
+_PQ_K = 16  # codes per subspace
+_PQ_KNUTH = 2654435761
+_PQ_M32 = 4294967296
+
+
+def _pq_d2(a: F.Column, b: F.Column) -> F.Column:
+    """Σ (a−b)² via zip_with+aggregate (JVM-side, codegen-small).
+
+    Unrolling the 8-term square distance per candidate per subspace
+    (M×K×D ≈ 1000 multiply terms in one projection) overflows janino's
+    method-size limit and silently drops the stage to interpreted
+    mode; the HOF form keeps the generated code constant-size.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_cands_lit(codebook_m: list) -> F.Column:
+    """Codebook literal: array<struct<k,cv>> in ascending-k order."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("k"),
+                F.array(*[F.lit(float(c)) for c in cv]).alias("cv"),
+            )
+            for k, cv in codebook_m
+        ]
+    )
+
+
+def _pq_code_expr(codebook_m: list, base: int) -> F.Column:
+    """Argmin code POSITION (index into the sorted-k codebook list)
+    for the subspace starting at 0-based dim ``base``: struct max over
+    (−round(d2,6), −k) picks min distance with min-k tiebreak."""
+    sub = F.slice(F.col("v"), base + 1, _PQ_D)
+    scored = F.transform(
+        _pq_cands_lit(codebook_m),
+        lambda c, i: F.struct(
+            (-F.round(_pq_d2(sub, c["cv"]), 6)).alias("nd"),
+            (-c["k"]).alias("nk"),
+            i.alias("pos"),
+        ),
+    )
+    return F.array_max(scored)["pos"]
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    plain = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    # 1. INIT — random-partition init: one hash-agg job, K×64 doubles.
+    r = F.pmod(F.col("vec_id") * F.lit(_PQ_KNUTH), F.lit(_PQ_M32)) % _PQ_K
+    init_rows = sorted(
+        plain.groupBy(r.alias("r"))
+        .agg(
+            *[
+                F.round(F.avg(F.col("v")[d]), 6).alias(f"d{d}")
+                for d in range(_PQ_M * _PQ_D)
+            ]
+        )
+        .collect(),
+        key=lambda row: row["r"],
+    )
+    init_cb = {
+        m: [
+            (int(row["r"]), [row[f"d{m * _PQ_D + j}"] for j in range(_PQ_D)])
+            for row in init_rows
+        ]
+        for m in range(_PQ_M)
+    }
+    # 2. LLOYD — one refinement pass: narrow assignment against the
+    # init literals, explode the M subspaces, re-average. ≤ M×K rows.
+    mc = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                _pq_code_expr(init_cb[m], m * _PQ_D).alias("pos"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    assigned = plain.select(
+        "vec_id", "v", F.explode(mc).alias("a")
+    ).select(
+        F.col("a.m").alias("m"),
+        F.col("a.pos").alias("pos"),
+        F.slice(F.col("v"), F.col("a.m") * _PQ_D + 1, _PQ_D).alias("sv"),
+    )
+    lloyd_rows = assigned.groupBy("m", "pos").agg(
+        *[
+            F.round(F.avg(F.col("sv")[j]), 6).alias(f"d{j}")
+            for j in range(_PQ_D)
+        ]
+    ).collect()
+    final_cb = {m: [] for m in range(_PQ_M)}
+    for row in lloyd_rows:
+        # position in init list maps back to the init bucket id k —
+        # keep k for the deterministic tiebreak order
+        k = init_cb[row["m"]][row["pos"]][0]
+        final_cb[row["m"]].append((k, [row[f"d{j}"] for j in range(_PQ_D)]))
+    for m in final_cb:
+        final_cb[m].sort(key=lambda kc: kc[0])
+    # 3. ADC tables — collect the (tiny) probe vectors, precompute
+    # T[m][pos] = round(d2(probe_sub_m, centroid), 6) on the driver.
+    probe_rows = sorted(
+        plain.filter(F.col("vec_id").isin(PROBE_IDS)).collect(),
+        key=lambda row: row["vec_id"],
+    )
+    ptab_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(row["vec_id"])).alias("probe_id"),
+                F.array(
+                    *[
+                        F.array(
+                            *[
+                                F.lit(
+                                    round(
+                                        sum(
+                                            (
+                                                row["v"][m * _PQ_D + j]
+                                                - cv[j]
+                                            )
+                                            ** 2
+                                            for j in range(_PQ_D)
+                                        ),
+                                        6,
+                                    )
+                                )
+                                for _k, cv in final_cb[m]
+                            ]
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                ).alias("tbl"),
+            )
+            for row in probe_rows
+        ]
+    )
+    # ONLINE SEARCH: encode corpus to M codes (narrow), literal-explode
+    # the probes, sum the table lookups, one top-k window.
+    coded = emb.select(
+        "vec_id",
+        *[
+            _pq_code_expr(final_cb[m], m * _PQ_D).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    adist = F.lit(0.0)
+    for m in range(_PQ_M):
+        adist = adist + F.element_at(
+            F.element_at(F.col("q.tbl"), m + 1), F.col(f"c{m}") + 1
+        )
+    scored = (
+        coded.select("vec_id", *[f"c{m}" for m in range(_PQ_M)],
+                     F.explode(ptab_lit).alias("q"))
+        .filter(F.col("vec_id") != F.col("q.probe_id"))
+        .select(
+            F.col("q.probe_id").alias("probe_id"),
+            "vec_id",
+            F.round(adist, 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "adist", "rank")
+    )
+
+
+_register(
+    "sim_pq_topk",
+    sim_pq_topk,
+    f"""
+    WITH vdims AS (
+      SELECT vec_id, ds.dim, (embedding::DOUBLE[])[ds.dim + 1] AS x
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range({_PQ_M * _PQ_D})) AS dim) ds
+    ),
+    init_cent AS (
+      SELECT ((vec_id * {_PQ_KNUTH}) % {_PQ_M32}) % {_PQ_K} AS k,
+             dim, round(avg(x), 6) AS c
+      FROM vdims GROUP BY 1, 2
+    ),
+    assign1 AS (
+      SELECT v.vec_id, ic.dim // {_PQ_D} AS m, ic.k,
+             round(sum((v.x - ic.c) * (v.x - ic.c)), 6) AS d2
+      FROM vdims v JOIN init_cent ic ON v.dim = ic.dim
+      GROUP BY 1, 2, 3
+    ),
+    codes1 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, k ASC) AS rn
+        FROM assign1
+      ) WHERE rn = 1
+    ),
+    final_cent AS (
+      SELECT c.m, c.k, v.dim, round(avg(v.x), 6) AS c
+      FROM codes1 c
+      JOIN vdims v ON v.vec_id = c.vec_id AND v.dim // {_PQ_D} = c.m
+      GROUP BY 1, 2, 3
+    ),
+    assign2 AS (
+      SELECT v.vec_id, fc.m, fc.k,
+             round(sum((v.x - fc.c) * (v.x - fc.c)), 6) AS d2
+      FROM vdims v JOIN final_cent fc ON v.dim = fc.dim
+      GROUP BY 1, 2, 3
+    ),
+    codes2 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, k ASC) AS rn
+        FROM assign2
+      ) WHERE rn = 1
+    ),
+    ptab AS (
+      SELECT v.vec_id AS probe_id, fc.m, fc.k,
+             round(sum((v.x - fc.c) * (v.x - fc.c)), 6) AS t
+      FROM vdims v JOIN final_cent fc ON v.dim = fc.dim
+      WHERE v.vec_id IN (0, 1, 2)
+      GROUP BY 1, 2, 3
+    ),
+    adist AS (
+      SELECT pt.probe_id, c.vec_id, round(sum(pt.t), 6) AS adist
+      FROM codes2 c
+      JOIN ptab pt ON pt.m = c.m AND pt.k = c.k
+      WHERE c.vec_id != pt.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id, adist, rank FROM (
+      SELECT probe_id, vec_id, adist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY adist ASC, vec_id ASC) AS rank
+      FROM adist
+    ) WHERE rank <= {TOP_K}
+    """,
+)
