@@ -645,3 +645,47 @@ _register(
     FROM sizes s LEFT JOIN hits h ON s.doc_id = h.bench_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_priority_sample — fixed-SIZE uniform sample (vs ds_hash_sample's
+# fixed-RATE): every row gets a deterministic pseudo-random priority
+# (the same multiplicative hash family as the other samplers) and the
+# sample is the k smallest priorities. This is the distributed,
+# deterministic equivalent of reservoir sampling: TakeOrdered keeps a
+# k-heap per partition and merges k×partitions rows on the driver —
+# no global sort, no second pass, mergeable across any partitioning —
+# and re-running on the same corpus reproduces the same sample
+# exactly. The final rank is a window over k rows only.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 25
+
+
+def ds_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_M32))
+    topk = (
+        docs.select("doc_id", "lang", "n_chars", pri.alias("priority"))
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(_PRIORITY_K)
+    )
+    w = Window.orderBy(F.asc("priority"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+_register(
+    "ds_priority_sample",
+    ds_priority_sample,
+    f"""
+    SELECT doc_id, lang, n_chars, priority, rank FROM (
+      SELECT doc_id, lang, n_chars,
+             (doc_id * {_KNUTH}) % {_M32} AS priority,
+             row_number() OVER (ORDER BY (doc_id * {_KNUTH}) % {_M32} ASC,
+                                doc_id ASC) AS rank
+      FROM documents
+    ) WHERE rank <= {_PRIORITY_K}
+    """,
+)

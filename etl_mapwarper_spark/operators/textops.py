@@ -956,3 +956,124 @@ _register(
     GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_heavy_hitters_cms — count-min-sketch heavy hitters (Cormode &
+# Muthukrishnan 2005), the sketch-based frequency primitive for corpus
+# vocabularies too large to count exactly: d independent hash rows of
+# w counters; every term increments one counter per row; the estimate
+# is the MIN across rows (always an overestimate, bounded by
+# collisions). The sketch is MERGEABLE — counters add — so at 100 TB
+# it builds with map-side partial aggregation into a fixed d×w ≈ 2K
+# cells regardless of vocabulary size, and ships as a broadcastable
+# artifact. This operator reports sketch accuracy against the exact
+# top-20 (the sim_lsh_recall pattern: approximate operator + ground
+# truth + quality metric in one query).
+#
+# Hashes are the engine-portable md5-hex-prefix trick
+# (dd_rolling_hash): exact integer arithmetic both engines, so the
+# sketch — and therefore every estimate — is bit-identical in DuckDB.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # counters per row
+_CMS_TOP = 20
+
+
+def _cms_bucket(term, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), term)), 1, 8), 16, 10
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def tx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), F.asc("term")).limit(_CMS_TOP)
+    sketch = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _cms_bucket(F.col("term"), i).alias("b"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("ib")
+        )
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = top.select(
+        "term",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("term"), i).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select("term", "n", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+    # the sketch is the bounded artifact (d×w cells) — broadcast side
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        probes.join(_bc(sketch), ["i", "b"])
+        .groupBy("term", "n")
+        .agg(F.min("c").alias("n_est"))
+        .select(
+            "term",
+            F.col("n").alias("n_exact"),
+            "n_est",
+            (F.col("n_est") - F.col("n")).alias("overcount"),
+        )
+    )
+
+
+_register(
+    "tx_heavy_hitters_cms",
+    tx_heavy_hitters_cms,
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    exact AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+    top AS (
+      SELECT term, n FROM exact ORDER BY n DESC, term ASC LIMIT {_CMS_TOP}
+    ),
+    hrows AS (SELECT unnest(range({_CMS_D})) AS i),
+    sk AS (
+      SELECT i,
+             TRY_CAST('0x' || substr(md5(concat(i::VARCHAR, '|', term)), 1, 8)
+                      AS BIGINT) % {_CMS_W} AS b,
+             count(*) AS c
+      FROM toks CROSS JOIN hrows
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT t.term, t.n, h.i,
+             TRY_CAST('0x' || substr(md5(concat(h.i::VARCHAR, '|', t.term)),
+                      1, 8) AS BIGINT) % {_CMS_W} AS b
+      FROM top t CROSS JOIN hrows h
+    )
+    SELECT p.term,
+           p.n AS n_exact,
+           min(sk.c)::BIGINT AS n_est,
+           (min(sk.c) - p.n)::BIGINT AS overcount
+    FROM probes p JOIN sk ON p.i = sk.i AND p.b = sk.b
+    GROUP BY 1, 2
+    """,
+)
