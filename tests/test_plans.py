@@ -475,3 +475,109 @@ def test_q47_rank_dist_has_no_global_window(spark):
     exact distributed row number — never a single-reducer window."""
     plan = plan_of(spark, "q47_supplier_rank_dist")
     assert "Exchange SinglePartition" not in plan
+
+
+def _with_confs(spark, confs):
+    """Set session confs, returning a restore callable."""
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def restore():
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    return restore
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's skew story is two-layer: explicit salting (q32)
+    for known-hot keys, and AQE skew-join for runtime-detected skew.
+    This pins the AQE layer: a join whose shuffle has one dominant
+    key partition must come out of AQE with the hot partition SPLIT
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed) — the 100 TB
+    behavior where a straggler reducer becomes N parallel tasks.
+    Thresholds are scaled down to the test's data size; at the real
+    scale the defaults (256 MB / factor 5) fire the same rule."""
+    import re as _re
+
+    restore = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.shuffle.partitions": "8",
+        },
+    )
+    try:
+        from pyspark.sql import functions as F
+
+        skewed = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pay"),
+        )
+        dim = spark.range(0, 50000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dv")
+        )
+        j = skewed.join(dim, "k").select(F.length("pay").alias("lp"))
+        j.collect()  # AQE decisions exist only on the executed plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert _re.search(r"SortMergeJoin\(skew=true\)|ShuffledHashJoin\(skew=true\)", plan), (
+            "hot-key join must be re-planned as a skew join"
+        )
+        assert "AQEShuffleRead skewed" in plan, (
+            "the skewed shuffle partition must be split for parallel reads"
+        )
+    finally:
+        restore()
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: a selective dim-side predicate
+    must inject a bloom filter (bloom_filter_agg on the creation side,
+    might_contain ahead of the fact join) so at 100 TB the fact rows
+    that cannot join die at the scan, not in the shuffle. The
+    application-side size threshold is lowered to the test SF; the
+    default (10 GB) fires the same rule at the real scale."""
+    restore = _with_confs(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        from pyspark.sql import functions as F
+
+        from etl_mapwarper_spark.sources.tables import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            F.sum("l_quantity").alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, (
+            "creation side must aggregate a bloom filter"
+        )
+        assert "might_contain" in plan, (
+            "fact side must pre-filter with might_contain"
+        )
+    finally:
+        restore()
