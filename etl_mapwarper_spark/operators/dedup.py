@@ -1090,3 +1090,89 @@ _register(
     FROM rep
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_pagerank_centrality — PageRank power iteration over the near-dup
+# graph (3 rounds, damping 0.85): within a duplicate cluster the
+# highest-centrality member is the best canonical-survivor candidate
+# (it is "most similar to the most documents" — the medoid-flavored
+# complement to dd_dedup_apply's quality policy), and centrality also
+# surfaces template/boilerplate hubs that pairwise scores miss.
+#
+# Scale shape: the classic Pregel-free DataFrame PageRank — per round
+# ONE equi-join (ranks onto the degree-annotated edge list, shuffle
+# keyed by src) and ONE aggregate (contributions summed per dst).
+# Work per round is edge-proportional; nothing corpus-sized is ever
+# broadcast or collected (the only driver scalar is n, the node
+# count). Rounds are FIXED (3) — no convergence collect at all. Each
+# round's ranks are rounded to 10 dp so the oracle's independently-
+# ordered double summation converges to bit-identical values; the
+# symmetric graph has no dangling nodes, so no rank mass correction
+# term is needed.
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ROUNDS = 3
+
+
+def dd_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # cut the simhash self-join lineage once
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ej = edges.join(deg, "src")
+    n = deg.count()  # node count: the single O(1) driver scalar
+    ranks = deg.select("src", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        ranks = (
+            ej.join(ranks, "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit((1.0 - _PR_DAMP)) / F.lit(float(n))
+                    + F.lit(_PR_DAMP) * F.sum(F.col("pr") / F.col("deg")),
+                    10,
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("src"), "pr")
+        )
+    return ranks.select(
+        F.col("src").alias("doc_id"), F.round("pr", 6).alias("pr")
+    )
+
+
+def _pagerank_sql() -> str:
+    base = "0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / d.deg)"
+    it = """
+    it{i} AS (
+      SELECT e.dst AS id, round({base}, 10) AS pr
+      FROM e JOIN it{prev} p ON e.src = p.id
+             JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    )"""
+    its = ",".join(
+        it.format(i=i, prev=i - 1, base=base) for i in range(1, _PR_ROUNDS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      {_CC_EDGE_SQL}
+    ),
+    e AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    it0 AS (SELECT src AS id, (SELECT 1.0 / n FROM nn) AS pr FROM deg),
+    {its}
+    SELECT id AS doc_id, round(pr, 6) AS pr FROM it{_PR_ROUNDS}
+    """
+
+
+_register("dd_pagerank_centrality", dd_pagerank_centrality, _pagerank_sql())
