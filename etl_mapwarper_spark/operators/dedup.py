@@ -1176,3 +1176,95 @@ def _pagerank_sql() -> str:
 
 
 _register("dd_pagerank_centrality", dd_pagerank_centrality, _pagerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# dd_cdc_chunks — content-defined chunking (the rsync/LBFS/restic
+# boundary trick applied to token streams): a chunk boundary falls
+# after any token where the rolling hash of the last w tokens ≡ 0
+# (mod D), giving variable-size chunks with expected length D that are
+# ROBUST TO INSERTIONS — edit one token and only the O(1) chunks
+# around the edit change, while fixed-width chunking (dd_chunk_dedup)
+# shifts every downstream boundary. That stability is what makes
+# chunk-hash dedup catch near-identical documents that differ by a
+# prepended header.
+#
+# Scale shape: the ENTIRE operator is a narrow per-row expression —
+# w-shingles via the shifted-slice zip, md5-prefix hash per shingle,
+# boundary count via filter(), zero shuffles before the final
+# per-doc aggregate-free projection. One codegen'd scan stage.
+# Insertion robustness is property-tested in tests/test_cdc.py.
+# ---------------------------------------------------------------------------
+
+_CDC_W = 4  # rolling window (tokens)
+_CDC_D = 8  # boundary divisor → expected chunk length
+
+def _cdc_boundary_count(toks) -> F.Column:
+    """Count of in-document boundaries: shingles ending strictly
+    before the last token whose hash ≡ 0 (mod D)."""
+    sh = word_shingles(toks, _CDC_W)
+    inner = F.slice(sh, 1, F.greatest(F.size(sh) - 1, F.lit(0)))
+    return F.size(
+        F.filter(
+            inner,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            % _CDC_D
+            == 0,
+        )
+    )
+
+
+def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        _cdc_boundary_count(F.col("toks")).alias("n_boundaries"),
+    )
+    return toked.select(
+        "doc_id",
+        "n_toks",
+        "n_boundaries",
+        (F.col("n_boundaries") + 1).alias("n_chunks"),
+        F.round(
+            F.col("n_toks") / (F.col("n_boundaries") + 1), 4
+        ).alias("avg_chunk_len"),
+    )
+
+
+_register(
+    "dd_cdc_chunks",
+    dd_cdc_chunks,
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             CASE WHEN len(toks) >= {_CDC_W} THEN
+               list_transform(range(1, len(toks) - {_CDC_W - 2}),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3])
+             ELSE [] END AS shingles
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, n_toks,
+             len(list_filter(
+               list_slice(shingles, 1, greatest(len(shingles) - 1, 0)),
+               s -> TRY_CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+                    % {_CDC_D} = 0
+             )) AS n_boundaries
+      FROM sh
+    )
+    SELECT doc_id,
+           n_toks::INT AS n_toks,
+           n_boundaries::INT AS n_boundaries,
+           (n_boundaries + 1)::INT AS n_chunks,
+           round(n_toks * 1.0 / (n_boundaries + 1), 4) AS avg_chunk_len
+    FROM b
+    """,
+)
