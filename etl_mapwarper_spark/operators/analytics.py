@@ -464,3 +464,48 @@ _register(
     q75_recursive_chains,
     _Q75_SQL.format(orders="orders"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q77_notin_null_semantics — NOT IN under three-valued logic, the
+# classic SQL correctness trap: `x NOT IN (subquery)` is an anti-join
+# ONLY while the subquery is null-free; one NULL in the list makes the
+# predicate UNKNOWN for every non-member, so the result is EMPTY.
+# Engines that compile NOT IN to a plain anti-join silently return
+# wrong rows. Spark plans the nullable branch as a null-aware anti
+# join (pinned in tests/test_plans.py); both branches are verified
+# against DuckDB in one result: the clean branch excludes real rows,
+# the null-poisoned branch excludes everything (count 0).
+# ---------------------------------------------------------------------------
+
+_Q77_SQL = """
+    SELECT 'clean' AS branch, count(*) AS n_kept
+    FROM {orders}
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM {customer} WHERE c_acctbal < 0
+    )
+    UNION ALL
+    SELECT 'with_null' AS branch, count(*) AS n_kept
+    FROM {orders}
+    WHERE o_custkey NOT IN (
+      SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END
+      FROM {customer} WHERE c_acctbal < 0
+    )
+"""
+
+
+def q77_notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).createOrReplaceTempView("q77_orders")
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).createOrReplaceTempView("q77_customer")
+    return spark.sql(_Q77_SQL.format(orders="q77_orders", customer="q77_customer"))
+
+
+_register(
+    "q77_notin_null_semantics",
+    q77_notin_null_semantics,
+    _Q77_SQL.format(orders="orders", customer="customer"),
+)

@@ -581,3 +581,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         )
     finally:
         restore()
+
+
+def test_q77_notin_compiles_to_null_aware_anti_joins(spark):
+    """NOT IN must become anti joins that honor three-valued logic —
+    the null-poisoned list key (CASE ... NULL) must appear as a join
+    key, not be filtered away into a plain anti join."""
+    plan = plan_of(spark, "q77_notin_null_semantics")
+    assert plan.count("LeftAnti") >= 2, "both NOT IN branches anti-join"
+    assert re.search(r"CASE WHEN.*THEN null.*END", plan, re.IGNORECASE), (
+        "null-producing list expression must survive into the join key"
+    )
