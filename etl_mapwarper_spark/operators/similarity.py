@@ -583,8 +583,8 @@ _register(
 #
 # Offline index build (three bounded driver artifacts, like
 # sim_ivf_topk's trained-index literal):
-#   1. INIT — random-partition k-means init (bucket = multiplicative
-#      hash of vec_id mod K): one hash-agg job of 64 per-dim means;
+#   1. INIT — Forgy seeding (the first K vectors' subvectors), one
+#      bounded filter-collect job;
 #   2. LLOYD — one refinement step: assign every vector's subvectors
 #      to their nearest init centroid (narrow map over codebook
 #      literals), re-average per (subspace, code) — one explode(M)+agg
@@ -607,8 +607,6 @@ _register(
 _PQ_M = 8  # subspaces
 _PQ_D = 8  # dims per subspace
 _PQ_K = 16  # codes per subspace
-_PQ_KNUTH = 2654435761
-_PQ_M32 = 4294967296
 
 
 def _pq_d2(a: F.Column, b: F.Column) -> F.Column:
@@ -662,22 +660,28 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    # 1. INIT — random-partition init: one hash-agg job, K×64 doubles.
-    r = F.pmod(F.col("vec_id") * F.lit(_PQ_KNUTH), F.lit(_PQ_M32)) % _PQ_K
+    # 1. INIT — Forgy seeding: the first K vectors' subvectors are the
+    # initial centroids (sim_kmeans_2iter's init; unlike a random-
+    # partition init, whose K per-partition means all collapse toward
+    # the global mean, Forgy seeds sit on real data points and spread
+    # across the distribution — measured mean recall@5 on this corpus:
+    # 0.40 vs 0.20). Rounding happens engine-side (F.round /
+    # round) so both engines train from identical literals.
     init_rows = sorted(
-        plain.groupBy(r.alias("r"))
-        .agg(
-            *[
-                F.round(F.avg(F.col("v")[d]), 6).alias(f"d{d}")
-                for d in range(_PQ_M * _PQ_D)
-            ]
+        plain.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: F.round(x, 6)).alias("v"),
         )
         .collect(),
-        key=lambda row: row["r"],
+        key=lambda row: row["vec_id"],
     )
     init_cb = {
         m: [
-            (int(row["r"]), [row[f"d{m * _PQ_D + j}"] for j in range(_PQ_D)])
+            (
+                int(row["vec_id"]),
+                [row["v"][m * _PQ_D + j] for j in range(_PQ_D)],
+            )
             for row in init_rows
         ]
         for m in range(_PQ_M)
@@ -793,9 +797,8 @@ _register(
       CROSS JOIN (SELECT unnest(range({_PQ_M * _PQ_D})) AS dim) ds
     ),
     init_cent AS (
-      SELECT ((vec_id * {_PQ_KNUTH}) % {_PQ_M32}) % {_PQ_K} AS k,
-             dim, round(avg(x), 6) AS c
-      FROM vdims GROUP BY 1, 2
+      SELECT vec_id AS k, dim, round(x, 6) AS c
+      FROM vdims WHERE vec_id < {_PQ_K}
     ),
     assign1 AS (
       SELECT v.vec_id, ic.dim // {_PQ_D} AS m, ic.k,
@@ -852,4 +855,114 @@ _register(
       FROM adist
     ) WHERE rank <= {TOP_K}
     """,
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_l2_bruteforce_topk — exact squared-L2 top-k, the ground truth
+# for the PQ index (PQ approximates L2, not cosine — comparing it to
+# the cosine baseline would conflate metric change with quantization
+# error). Same scale shape as sim_bruteforce_topk: broadcast probes,
+# one narrow corpus pass, per-probe top-k window.
+# ---------------------------------------------------------------------------
+
+
+def sim_l2_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    probes = _probes(emb).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = emb.join(
+        broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).withColumn("d2", F.round(_pq_d2(F.col("pv"), F.col("v")), 6))
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "d2", "rank")
+    )
+
+
+_register(
+    "sim_l2_bruteforce_topk",
+    sim_l2_bruteforce_topk,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> (p.pv[i] - e.v[i]) * (p.pv[i] - e.v[i]))), 6) AS d2
+      FROM e JOIN probes p ON e.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, d2, rank FROM (
+      SELECT probe_id, vec_id, d2,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY d2 ASC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_recall — recall@k of the product-quantized index against the
+# exact-L2 ground truth (the compression counterpart of
+# sim_lsh_recall): the measurement loop that tunes M/K until the
+# 32×-compressed scan clears the recall bar. Both inputs are top-k
+# outputs (O(probes × k) rows) — the comparison join broadcasts
+# regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_l2_bruteforce_topk(spark, sf_dir).select("probe_id", "vec_id")
+    approx = sim_pq_topk(spark, sf_dir).select(
+        F.col("probe_id").alias("p2"), F.col("vec_id").alias("v2")
+    )
+    hit = F.col("v2").isNotNull()
+    return (
+        exact.join(
+            broadcast(approx),
+            (F.col("probe_id") == F.col("p2"))
+            & (F.col("vec_id") == F.col("v2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit.cast("int")).alias("n_hit"),
+            F.round(
+                F.sum(hit.cast("int")) / F.count(F.lit(1)), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+_register(
+    "sim_pq_recall",
+    sim_pq_recall,
+    """
+    WITH exact AS (
+      SELECT probe_id, vec_id FROM ({exact_sql})
+    ),
+    approx AS (
+      SELECT probe_id AS p2, vec_id AS v2 FROM ({approx_sql})
+    )
+    SELECT probe_id,
+           count(*) AS n_exact,
+           sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall_at_k
+    FROM exact
+    LEFT JOIN approx ON probe_id = p2 AND vec_id = v2
+    GROUP BY probe_id
+    """.format(
+        exact_sql=ORACLE["sim_l2_bruteforce_topk"],
+        approx_sql=ORACLE["sim_pq_topk"],
+    ),
 )
