@@ -509,3 +509,67 @@ _register(
     q77_notin_null_semantics,
     _Q77_SQL.format(orders="orders", customer="customer"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q78_map_type_aggs — MapType surface: the one Spark type-lattice
+# member no other entry exercises. Per language, the per-source doc
+# counts are folded into a MAP column (map_from_entries over a sorted
+# entry list — deterministic key order), totals come from aggregate()
+# over map_values (JVM-side HOF fold), and the map explodes back to
+# rows for the oracle-comparable result. The map is the engine-facing
+# artifact (a per-group dictionary column, the shape feature stores
+# and config tables use); the oracle checks the VALUES via the
+# equivalent relational form, and the plan proves the map operators
+# run (no extra shuffle: the fold and explode are narrow).
+# ---------------------------------------------------------------------------
+
+
+def q78_map_type_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_src.groupBy("lang").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("source", "n")))
+        ).alias("m")
+    )
+    enriched = mapped.select(
+        "lang",
+        "m",
+        F.aggregate(
+            F.map_values(F.col("m")), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("lang_total"),
+        F.size(F.map_keys(F.col("m"))).alias("n_sources"),
+    )
+    return enriched.select(
+        "lang",
+        F.explode(F.col("m")).alias("source", "n"),
+        "lang_total",
+        "n_sources",
+    ).select(
+        "lang",
+        "source",
+        "n",
+        "lang_total",
+        "n_sources",
+        F.round(F.col("n") / F.col("lang_total"), 4).alias("share"),
+    )
+
+
+_register(
+    "q78_map_type_aggs",
+    q78_map_type_aggs,
+    """
+    WITH per_src AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n,
+           sum(n) OVER (PARTITION BY lang)::BIGINT AS lang_total,
+           count(*) OVER (PARTITION BY lang)::INT AS n_sources,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4) AS share
+    FROM per_src
+    """,
+)
