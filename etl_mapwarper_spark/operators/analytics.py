@@ -573,3 +573,53 @@ _register(
     FROM per_src
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q79_try_functions — ANSI-safe error-handling expression surface:
+# `try_divide` (division by zero → NULL instead of a job-killing
+# exception under ANSI mode) and `try_cast` (malformed input → NULL).
+# At 100 TB this is the difference between a 10-hour job dying at hour
+# nine on one dirty row and the row degrading to NULL and being
+# counted — which is why every production pipeline uses the try_
+# family in its projection layer. The oracle maps try_divide to
+# DuckDB's NULL-on-zero float division and try_cast to TRY_CAST.
+# ---------------------------------------------------------------------------
+
+
+def q79_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    mixed = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.col("l_linenumber").cast("string"),
+    ).otherwise(F.concat(F.col("l_returnflag"), F.col("l_linenumber")))
+    cast_ok = mixed.try_cast("int")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(ratio.isNull()).alias("n_zero_disc"),
+        F.round(F.avg(ratio), 2).alias("avg_ratio"),
+        F.count_if(cast_ok.isNotNull()).alias("n_cast_ok"),
+    )
+
+
+_register(
+    "q79_try_functions",
+    q79_try_functions,
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_extendedprice / l_discount IS NULL)
+             AS n_zero_disc,
+           round(avg(l_extendedprice / l_discount), 2) AS avg_ratio,
+           count(*) FILTER (
+             WHERE TRY_CAST(
+               CASE WHEN l_linenumber % 2 = 0
+                    THEN l_linenumber::VARCHAR
+                    ELSE l_returnflag || l_linenumber::VARCHAR END
+               AS INT) IS NOT NULL
+           ) AS n_cast_ok
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
