@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     # extension set (round 2): composed curation + repetition rules
     "ds_corpus_curation",
     "tx_repetition_filter",
+    # extension set (round 3): new north-star families — packing,
+    # chunk/CDC dedup, sketch heavy hitters, epoch shuffle
+    "ds_pack_sequences",
+    "ds_epoch_shuffle",
+    "dd_chunk_dedup",
+    "dd_cdc_chunks",
+    "tx_heavy_hitters_cms",
 ]
 
 
