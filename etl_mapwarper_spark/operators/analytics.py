@@ -623,3 +623,56 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q80_calendar_arith — calendar/date-function surface: quarter
+# bucketing, month arithmetic (months_between over month-truncated
+# dates — exact integers, no /31 fractional-day edge cases),
+# end-of-month detection (last_day), and weekday classification
+# (dayofweek; Spark counts Sun=1..Sat=7, DuckDB Sun=0..Sat=6 — the
+# oracle translates). Calendar arithmetic is where engines silently
+# disagree (leap years, month-end clamping, week conventions), so it
+# gets its own oracle-checked row.
+# ---------------------------------------------------------------------------
+
+_CAL_ANCHOR = "1998-12-01"
+
+
+def q80_calendar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    month_age = F.months_between(
+        F.lit(_CAL_ANCHOR).cast("date"), F.trunc(F.col("d"), "month")
+    )
+    return orders.groupBy(
+        F.year("d").alias("o_year"), F.quarter("d").alias("o_quarter")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg(month_age), 2).alias("avg_month_age"),
+        F.count_if(F.col("d") == F.last_day(F.col("d"))).alias("n_month_end"),
+        F.count_if(F.dayofweek("d").isin(1, 7)).alias("n_weekend"),
+    )
+
+
+_register(
+    "q80_calendar_arith",
+    q80_calendar_arith,
+    f"""
+    SELECT year(o_orderdate)::INT AS o_year,
+           quarter(o_orderdate)::INT AS o_quarter,
+           count(*) AS n_orders,
+           round(avg(date_diff('month',
+                               date_trunc('month', o_orderdate::DATE),
+                               DATE '{_CAL_ANCHOR}')), 2) AS avg_month_age,
+           count(*) FILTER (
+             WHERE o_orderdate::DATE = last_day(o_orderdate::DATE)
+           ) AS n_month_end,
+           count(*) FILTER (
+             WHERE dayofweek(o_orderdate::DATE) IN (0, 6)
+           ) AS n_weekend
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
