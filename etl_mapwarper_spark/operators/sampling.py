@@ -689,3 +689,111 @@ _register(
     ) WHERE rank <= {_PRIORITY_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_rag_index_stats — composed retrieval-index build (the RAG-side
+# counterpart of ds_corpus_curation's training-side composition):
+#   1. CHUNK   — non-overlapping fixed-width token chunks (the unit a
+#                retrieval index stores), a narrow 1→n/C explode;
+#   2. DEDUP   — drop exact-duplicate chunk text corpus-wide
+#                (first-occurrence wins; boilerplate chunks would
+#                otherwise dominate every posting list);
+#   3. INDEX   — explode surviving chunks to terms, count each term's
+#                posting-list length (distinct chunks containing it);
+#   4. REPORT  — the posting-length distribution (how many terms have
+#                how long a posting list), the number an index
+#                deployment sizes its storage and stop-lists from.
+# Scale shape: one window shuffle on the chunk hash, one term-keyed
+# aggregate, one tiny distribution aggregate — candidate volume never
+# quadratic, term keys are the only wide shuffle, and the final
+# report is vocabulary-sized.
+# ---------------------------------------------------------------------------
+
+_RAG_CHUNK_W = 32
+
+
+def ds_rag_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    chunks = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("toks") - 1, F.lit(0)),
+                    F.lit(_RAG_CHUNK_W),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.slice(F.col("toks"), F.col("s") + 1, _RAG_CHUNK_W).alias("c"),
+        )
+    )
+    w = Window.partitionBy(F.xxhash64(F.array_join(F.col("c"), " "))).orderBy(
+        "doc_id", "s"
+    )
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    postings = (
+        kept.select(
+            F.concat_ws("#", F.col("doc_id"), F.col("s")).alias("chunk_id"),
+            F.explode(F.array_distinct(F.col("c"))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("posting_len"))
+    )
+    return (
+        postings.groupBy("posting_len")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+    )
+
+
+_register(
+    "ds_rag_index_stats",
+    ds_rag_index_stats,
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, s,
+             list_slice(toks, s + 1, least(s + {_RAG_CHUNK_W}, len(toks)))
+               AS c
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks), 1), {_RAG_CHUNK_W})) AS s
+        FROM t
+      )
+    ),
+    kept AS (
+      SELECT doc_id, s, c FROM (
+        SELECT doc_id, s, c,
+               row_number() OVER (
+                 PARTITION BY array_to_string(c, ' ')
+                 ORDER BY doc_id, s) AS rn
+        FROM chunks
+      ) WHERE rn = 1
+    ),
+    postings AS (
+      SELECT term, count(*) AS posting_len
+      FROM (
+        SELECT doc_id || '#' || s AS chunk_id, unnest(list_distinct(c)) AS term
+        FROM kept
+      )
+      GROUP BY term
+    )
+    SELECT posting_len, count(*) AS n_terms
+    FROM postings
+    GROUP BY posting_len
+    """,
+)
