@@ -592,3 +592,59 @@ def test_q77_notin_compiles_to_null_aware_anti_joins(spark):
     assert re.search(r"CASE WHEN.*THEN null.*END", plan, re.IGNORECASE), (
         "null-producing list expression must survive into the join key"
     )
+
+
+def test_pq_search_plan_is_join_free(spark):
+    """PQ online search must stay a narrow encode + literal probe
+    explode + one top-k window: no joins, nothing corpus-sized
+    broadcast, no Python. (The training jobs run eagerly inside the
+    operator; this pins the SEARCH plan the index serves.)"""
+    plan = plan_of(spark, "sim_pq_topk")
+    body = plan.split("===== Subqueries =====")[0]
+    assert "Join" not in body, "PQ search must not join"
+    assert not re.search(r"\bBatchEvalPython\b", plan)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges <= 2, f"PQ search exchange budget: {n_exchanges}"
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing = one per-shard window; the downstream aggregate must
+    reuse the window's hash partitioning (same shard key)."""
+    plan = plan_of(spark, "ds_pack_sequences")
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges <= 2, f"pack_sequences exchanges: {n_exchanges}"
+    assert "Join" not in body
+
+
+def test_epoch_shuffle_is_single_aggregate(spark):
+    """Epoch placement is a narrow expression; the accounting report
+    is one hash aggregate — no sort, no join, no extra shuffle."""
+    plan = plan_of(spark, "ds_epoch_shuffle")
+    body = plan.split("===== Subqueries =====")[0]
+    assert len(re.findall(r"\(\d+\) Exchange\b", body)) <= 1
+    assert "Join" not in body
+
+
+def test_cdc_chunks_is_shuffle_free_scan(spark):
+    """CDC boundary counting is a pure per-row expression — the only
+    exchange allowed is the opt-in small-input repartition."""
+    plan = plan_of(spark, "dd_cdc_chunks")
+    body = plan.split("===== Subqueries =====")[0]
+    assert len(re.findall(r"\(\d+\) Exchange\b", body)) <= 1
+    assert "Join" not in body
+    assert "Sort" not in body
+
+
+def test_pagerank_never_broadcasts_corpus(spark):
+    """PageRank rounds are edge-proportional shuffle joins — at 100 TB
+    neither ranks nor edges may be hint-broadcast (both scale with the
+    graph)."""
+    plan = plan_of(spark, "dd_pagerank_centrality")
+    body = plan.split("===== Subqueries =====")[0]
+    assert "BroadcastHashJoin" not in body or "SortMergeJoin" in body or (
+        # at sf0.001 Catalyst may legitimately pick broadcast from real
+        # stats; what must NOT appear is a forced ResolvedHint
+        "ResolvedHint" not in body
+    )
+    assert not re.search(r"\bBatchEvalPython\b", plan)
