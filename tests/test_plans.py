@@ -648,3 +648,34 @@ def test_pagerank_never_broadcasts_corpus(spark):
         "ResolvedHint" not in body
     )
     assert not re.search(r"\bBatchEvalPython\b", plan)
+
+
+def test_observe_collects_metrics_without_extra_pass(spark):
+    """df.observe attaches accumulator-style metrics to a query — the
+    operational surface for row-count/quality gauges at 100 TB, where
+    a second counting pass over the input is unaffordable. The metrics
+    must match an independent aggregation exactly."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    obs = Observation("corpus_gauges")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_if(F.col("lang") == "en").alias("n_en"),
+    )
+    kept = observed.filter(F.col("n_chars") > 0).count()
+    expected = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_if(F.col("lang") == "en").alias("n_en"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == expected["n_rows"]
+    assert got["total_chars"] == expected["total_chars"]
+    assert got["n_en"] == expected["n_en"]
+    assert kept <= got["n_rows"]
