@@ -1077,3 +1077,85 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_udtf_analyze — POLYMORPHIC Python UDTF (Spark 4's analyze-time
+# schema resolution): the output schema is computed by the static
+# ``analyze()`` from the constant n argument — n-gram word parts come
+# back as n separate columns (w0..w{n-1}), which no fixed returnType
+# UDTF can express. This is the table-function surface parser/
+# extractor libraries need when their output shape depends on
+# configuration. Runs as the same Arrow-batched LATERAL join as
+# tx_tokens_udtf.
+# ---------------------------------------------------------------------------
+
+_UDTF_N = 2
+_UDTF_MIN = 3
+
+
+def _ngram_split_udtf_class():
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class NgramSplit:
+        @staticmethod
+        def analyze(n, doc_id, text):
+            schema = StructType().add("doc_id", LongType())
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema.add("cnt", IntegerType()))
+
+        def eval(self, n, doc_id, text):
+            from collections import Counter
+
+            toks = (text or "").split(" ")
+            grams = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            for g, c in grams.items():
+                yield (doc_id, *g, c)
+
+    return NgramSplit
+
+
+def tx_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    docs.createOrReplaceTempView("_docs_for_udtf_ngrams")
+    spark.udtf.register("ngram_split", _ngram_split_udtf_class())
+    return spark.sql(
+        f"""
+        SELECT t.doc_id, t.w0, t.w1, t.cnt
+        FROM _docs_for_udtf_ngrams,
+             LATERAL ngram_split({_UDTF_N}, doc_id, text) t
+        WHERE t.cnt >= {_UDTF_MIN}
+        """
+    )
+
+
+_register(
+    "tx_udtf_analyze",
+    tx_udtf_analyze,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> {{'w0': t[i], 'w1': t[i+1]}})) AS g
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id, g.w0 AS w0, g.w1 AS w1, count(*)::INT AS cnt
+    FROM bg
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= {_UDTF_MIN}
+    """,
+)
