@@ -488,3 +488,151 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_neardups — perceptual-hash near-duplicate detection, the
+# multimodal counterpart of text dedup and the standard image-dedup
+# pass in multimodal training pipelines (LAION-style): aHash = pool
+# the image to a coarse grid, threshold each cell against the image
+# mean, compare hashes by Hamming distance with banded blocking (the
+# dd_simhash_pairs shape — candidates only within matching 4-bit
+# bands, never all-pairs). The decode+pool stage is the REAL
+# mapInPandas path (resize_avgpool); everything after the pooled grid
+# is JVM-side string/window arithmetic.
+#
+# On the synthetic gradient fixture most images collapse into one
+# perceptual cluster (their normalized shape is identical — that IS
+# the correct aHash answer for gradients; wrap-around images near
+# media_id 192+ form the second cluster). The oracle reproduces the
+# full pipeline from the closed-form byte pattern.
+# ---------------------------------------------------------------------------
+
+_PH_BANDS = 4
+_PH_BITS = 16  # 4×4 pooled grid
+_PH_MAX_HAMMING = 2
+
+
+def mm_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pooled = resize_avgpool(synthetic_media(spark, sf_dir))
+    wm = Window.partitionBy("media_id")
+    bits = pooled.withColumn("m", F.avg("pooled").over(wm)).withColumn(
+        "bit", (F.col("pooled") > F.col("m")).cast("int")
+    )
+    ahash = bits.groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("y", "x", "bit"))),
+                lambda s: s["bit"].cast("string"),
+            ),
+            "",
+        ).alias("ahash")
+    )
+    bands = ahash.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "ahash", b * (_PH_BITS // _PH_BANDS) + 1,
+                            _PH_BITS // _PH_BANDS,
+                        ).alias("bv"),
+                    )
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_id", "ahash", F.col("c.band"), F.col("c.bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("d1"),
+            F.col("b.media_id").alias("d2"),
+            F.col("a.ahash").alias("h1"),
+            F.col("b.ahash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {_PH_BITS}), 0, (acc, i) -> "
+        "acc + IF(substring(h1, i, 1) = substring(h2, i, 1), 0, 1))"
+    )
+    pairs = cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= _PH_MAX_HAMMING
+    )
+    counts = (
+        pairs.select(F.col("d1").alias("media_id"))
+        .union(pairs.select(F.col("d2").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ahash.join(counts, "media_id", "left").select(
+        "media_id",
+        "ahash",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neardups"),
+    )
+
+
+_register(
+    "mm_phash_neardups",
+    mm_phash_neardups,
+    f"""
+    WITH cells AS (
+      SELECT doc_id, y.y::INT AS y, x.x::INT AS x
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, {H // 2})) AS y) y
+      CROSS JOIN (SELECT unnest(range(0, {W // 2})) AS x) x
+      WHERE doc_id < 200
+    ), contrib AS (
+      SELECT doc_id, y, x,
+             (doc_id + ((2 * y + dy.dy) * {W} + (2 * x + dx.dx))) % 256 AS px
+      FROM cells
+      CROSS JOIN (VALUES (0), (1)) dy(dy)
+      CROSS JOIN (VALUES (0), (1)) dx(dx)
+    ), pooled AS (
+      SELECT doc_id, y, x, avg(px) AS p FROM contrib GROUP BY 1, 2, 3
+    ), meaned AS (
+      SELECT doc_id, y, x, p,
+             avg(p) OVER (PARTITION BY doc_id) AS m
+      FROM pooled
+    ), bits AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN p > m THEN '1' ELSE '0' END, ''
+                        ORDER BY y, x) AS ahash
+      FROM meaned GROUP BY 1
+    ), bands AS (
+      SELECT doc_id, ahash, b.b AS band,
+             substr(ahash, b.b * {_PH_BITS // _PH_BANDS} + 1,
+                    {_PH_BITS // _PH_BANDS}) AS bv
+      FROM bits CROSS JOIN (SELECT unnest(range({_PH_BANDS})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+             a.ahash AS h1, c.ahash AS h2
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+    ), ham AS (
+      SELECT d1, d2 FROM cand
+      WHERE len(list_filter(range(1, {_PH_BITS + 1}),
+                i -> substr(h1, i::INT, 1) != substr(h2, i::INT, 1)))
+            <= {_PH_MAX_HAMMING}
+    ), cnt AS (
+      SELECT id, count(*) AS n FROM (
+        SELECT d1 AS id FROM ham UNION ALL SELECT d2 AS id FROM ham
+      ) GROUP BY 1
+    )
+    SELECT b.doc_id AS media_id, b.ahash,
+           coalesce(c.n, 0)::BIGINT AS n_neardups
+    FROM bits b LEFT JOIN cnt c ON b.doc_id = c.id
+    """,
+)
