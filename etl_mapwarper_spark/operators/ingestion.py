@@ -446,3 +446,50 @@ _register(
     FROM merged
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource V2 WRITE path (SURVEY.md §2.B sinks row): the
+# registered custom sink with the real two-phase task-commit protocol
+# (staging files + driver-side rename + _SUCCESS; see
+# sources/ndjson_datasource.py). The roundtrip writes documents
+# through df.write.format("ndjson_sink"), reads the committed files
+# back schema-first, and aggregates — the oracle aggregates the
+# original table, so the check proves the custom writer published
+# exactly the input rows (no dupes from staging, no partial files).
+# ---------------------------------------------------------------------------
+
+
+def src_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ndjson_datasource import register_ndjson_sink
+
+    register_ndjson_sink(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="pyds_sink_") + "/documents"
+    docs.write.format("ndjson_sink").mode("append").save(path)
+    back = spark.read.schema(
+        T.StructType(
+            [f for f in SCHEMAS["documents"].fields if f.name != "text"]
+        )
+    ).json(path + "/part-*.ndjson")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_register(
+    "src_pyds_write_roundtrip",
+    src_pyds_write_roundtrip,
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY source
+    """,
+)
