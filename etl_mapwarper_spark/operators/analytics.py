@@ -676,3 +676,61 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q81_gap_fill_locf — last-observation-carried-forward, the canonical
+# time-series gap fill (sensor dropouts, sparse metrics): null
+# readings (here: 'error' events deterministically null their value)
+# take the most recent non-null value in the same entity's timeline.
+# This is the IGNORE NULLS window surface — `last(col, ignorenulls)`
+# over a running frame — which no other entry exercises. One shuffle
+# on the entity key; the window frame is running (no full-partition
+# buffering).
+# ---------------------------------------------------------------------------
+
+
+def q81_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("raw"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.withColumn("filled", F.last("raw", ignorenulls=True).over(w))
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("raw").isNull()).alias("n_raw_nulls"),
+        F.round(F.sum("filled"), 2).alias("filled_checksum"),
+    )
+
+
+_register(
+    "q81_gap_fill_locf",
+    q81_gap_fill_locf,
+    """
+    WITH base AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type != 'error' THEN value END AS raw
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id, raw,
+             last_value(raw IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM base
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE raw IS NULL) AS n_raw_nulls,
+           round(sum(filled), 2) AS filled_checksum
+    FROM filled
+    GROUP BY 1
+    """,
+)

@@ -679,3 +679,28 @@ def test_observe_collects_metrics_without_extra_pass(spark):
     assert got["total_chars"] == expected["total_chars"]
     assert got["n_en"] == expected["n_en"]
     assert kept <= got["n_rows"]
+
+
+def test_hll_sketches_merge_across_subcorpora(spark):
+    """The DataSketches HLL surface: per-shard sketches built
+    independently must UNION into one whose estimate matches the
+    whole-corpus sketch — the mergeability that lets 1000 executors
+    count distincts with bounded memory and a tiny shuffle."""
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    exact = orders.select("o_custkey").distinct().count()
+    halves = orders.withColumn("half", F.col("o_orderkey") % 2)
+    sketches = halves.groupBy("half").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    whole = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == whole, "sketch union must equal the one-pass sketch"
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
