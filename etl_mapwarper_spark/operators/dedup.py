@@ -1268,3 +1268,60 @@ _register(
     FROM b
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_triangle_count — triangle counting on the near-dup graph (the
+# third classic graph primitive next to connected components and
+# PageRank): triangles measure cluster density — a duplicate group
+# whose members all pairwise match (dense, high triangle count) can
+# be collapsed aggressively, while a chain of borderline matches
+# (sparse, zero triangles) warrants review before merging. Standard
+# ordered-edge algorithm: orient every edge toward the larger id
+# (a<b), join wedges (a,b)+(b,c) and close them against (a,c) — each
+# triangle counted exactly once. Work is two edge-keyed equi-joins:
+# wedge volume is Σ deg², bounded by banding upstream, never a
+# corpus-sized product.
+# ---------------------------------------------------------------------------
+
+
+def dd_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    e = pairs  # already oriented d1 < d2 by construction
+    ab = e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    bc = e.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    ac = e.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    wedges = ab.join(bc, "b")
+    triangles = wedges.join(ac, ["a", "c"])
+    per_node = (
+        triangles.select(F.col("a").alias("doc_id"))
+        .union(triangles.select(F.col("b").alias("doc_id")))
+        .union(triangles.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+_register(
+    "dd_triangle_count",
+    dd_triangle_count,
+    f"""
+    WITH pairs AS (
+      {_CC_EDGE_SQL}
+    ),
+    e AS (SELECT d1 AS a, d2 AS b FROM pairs),
+    tri AS (
+      SELECT ab.a, ab.b, bc.c
+      FROM e ab
+      JOIN (SELECT a AS b, b AS c FROM e) bc ON ab.b = bc.b
+      JOIN (SELECT a, b AS c FROM e) ac ON ab.a = ac.a AND bc.c = ac.c
+    )
+    SELECT doc_id, count(*) AS n_triangles FROM (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY 1
+    """,
+)
