@@ -1325,3 +1325,73 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_lsh_tuning_report — index-quality report for the TEXT dedup path
+# (the sim_lsh_recall pattern applied to MinHash-LSH): recall and
+# precision of the banded-LSH near-dup pairs against the exact
+# n-gram-Jaccard ground truth. This is the measurement loop that
+# tunes bands×rows until the S-curve puts the knee at the target
+# threshold. Both inputs are pair sets (output-sized, not
+# corpus-sized), so the comparison join broadcasts.
+# ---------------------------------------------------------------------------
+
+
+def dd_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast as _bc
+
+    exact = dd_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    approx = dd_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").alias("a1"), F.col("d2").alias("a2")
+    )
+    hit = (
+        exact.join(
+            _bc(approx),
+            (F.col("d1") == F.col("a1")) & (F.col("d2") == F.col("a2")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count_if(F.col("a1").isNotNull()).alias("n_hit"),
+        )
+    )
+    n_approx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        hit.crossJoin(_bc(n_approx))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_approx"), 4).alias("precision"),
+        )
+    )
+
+
+_register(
+    "dd_lsh_tuning_report",
+    dd_lsh_tuning_report,
+    """
+    WITH exact AS (
+      SELECT d1, d2 FROM ({exact_sql})
+    ),
+    approx AS (
+      SELECT d1 AS a1, d2 AS a2 FROM ({approx_sql})
+    ),
+    hits AS (
+      SELECT count(*) AS n_exact,
+             count(*) FILTER (WHERE a1 IS NOT NULL) AS n_hit
+      FROM exact LEFT JOIN approx ON d1 = a1 AND d2 = a2
+    )
+    SELECT n_exact,
+           (SELECT count(*) FROM approx) AS n_approx,
+           n_hit,
+           round(n_hit * 1.0 / n_exact, 4) AS recall,
+           round(n_hit * 1.0 / (SELECT count(*) FROM approx), 4) AS precision
+    FROM hits
+    """.format(
+        exact_sql=ORACLE["dd_ngram_jaccard"],
+        approx_sql=ORACLE["dd_minhash_lsh"],
+    ),
+)
