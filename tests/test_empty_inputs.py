@@ -1,0 +1,67 @@
+"""Empty-input robustness: a 100 TB pipeline's first production run
+is usually against an empty or partially-landed dataset — operators
+must degrade to empty (or empty-group) results, never throw.
+
+A temp sf-dir is materialized with every catalog table present but
+zero rows, and a representative operator from each family runs
+against it. Operators whose offline training step genuinely cannot
+produce an artifact from zero rows (IVF/PQ/k-means) are exempt here;
+they raise on collect of an empty training set, which is the honest
+contract for "train an index on nothing".
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from etl_mapwarper_spark.sources.tables import SCHEMAS, TABLE_NAMES  # noqa: E402
+
+# One representative per family; all should yield a (possibly empty)
+# result without raising.
+EMPTY_SAFE = [
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q22_asof_last_order",
+    "q77_notin_null_semantics",
+    "dd_exact_hash",
+    "dd_ngram_jaccard",
+    "dd_chunk_dedup",
+    "dd_cdc_chunks",
+    "ds_hash_sample",
+    "ds_pack_sequences",
+    "ds_epoch_shuffle",
+    "tx_token_stats",
+    "tx_heavy_hitters_cms",
+    "tx_bm25_topk",
+    "sim_bruteforce_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark):
+    d = tempfile.mkdtemp(prefix="empty_sf_")
+    for name in TABLE_NAMES:
+        spark.createDataFrame([], SCHEMAS[name]).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{name}.parquet")
+    return d
+
+
+# Global (non-grouped) aggregates legitimately emit their zero-count
+# rows on empty input — one row per UNION branch for q77.
+_EXPECTED_ROWS = {"q77_notin_null_semantics": 2}
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_operator_survives_empty_input(spark, empty_sf_dir, name):
+    df = entrymod.queries()[name](spark, empty_sf_dir)
+    rows = df.collect()
+    assert len(rows) == _EXPECTED_ROWS.get(name, 0)
+    assert len(df.schema.fields) > 0
