@@ -1159,3 +1159,88 @@ _register(
     HAVING count(*) >= {_UDTF_MIN}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_bigram_logprob — bigram-LM quality proxy with add-k smoothing
+# (the upgrade path from tx_unigram_logprob toward a kenlm-style
+# n-gram scorer): score each document by the mean conditional
+# log-probability of its bigrams,
+#   log P(w2|w1) = ln( (c(w1,w2) + k) / (c(w1) + k·V) ),
+# where V is the unigram vocabulary size. A repetitive or scrambled
+# document scores very differently under conditional probabilities
+# than under unigram frequencies — bigram scoring is what catches
+# word-salad that unigram filtering passes.
+# Scale shape: ONE tokenize+shingle pass feeds both count tables and
+# the scoring join; the (bigram → count) side is vocab²-bounded and
+# joins on an 8-byte xxhash64 key (never broadcast-forced — AQE
+# decides); V and the context counts ride the same join. No UDFs.
+# ---------------------------------------------------------------------------
+
+_BLM_K = 0.5  # add-k smoothing
+
+
+def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = tokens(F.col("text"))
+    length = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(bigrams).alias("b")
+    ).select("doc_id", F.xxhash64("b").alias("bh"), F.split("b", " ")[0].alias("w1"))
+    uni = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    c12 = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c12"))
+    lp = F.log(
+        (F.col("c12") + F.lit(_BLM_K))
+        / (F.col("c1") + F.lit(_BLM_K) * F.col("v"))
+    )
+    return (
+        bg.join(c12, "bh")
+        .join(c1, bg.w1 == c1.term)
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )
+
+
+_register(
+    "tx_bigram_logprob",
+    tx_bigram_logprob,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgk AS (
+      SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg
+    ),
+    uni AS (
+      SELECT unnest(t) AS term FROM toks
+    ),
+    c1 AS (SELECT term, count(*) AS c1 FROM uni GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM c1),
+    c12 AS (SELECT b, count(*) AS c12 FROM bgk GROUP BY 1)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((c12 + {_BLM_K})
+                        / (c1.c1 + {_BLM_K} * v))), 4) AS avg_logprob
+    FROM bgk
+    JOIN c12 USING (b)
+    JOIN c1 ON bgk.w1 = c1.term
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
