@@ -797,3 +797,77 @@ _register(
     GROUP BY posting_len
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_dedup_aware_split — leakage-safe train/test splitting: hashing
+# DOCUMENTS into splits lets two copies of the same content land in
+# train AND test (the eval-contamination bug); hashing the duplicate
+# GROUP (its keeper id) sends whole groups to one side. This operator
+# is the audit that quantifies the difference: for both strategies,
+# how many duplicate groups straddle the train/test boundary. The
+# group-keyed strategy is zero by construction — the report proves it
+# on real data rather than asserting it.
+# Scale shape: one fingerprint window to attach the group keeper, two
+# conditional aggregates over the same pass — no joins, 2 exchanges.
+# ---------------------------------------------------------------------------
+
+
+def ds_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dd_connected_components
+
+    # group key = near-dup cluster label (connected component of the
+    # simhash pair graph) — the grouping under which leakage actually
+    # happens; exact-fingerprint groups are singletons on this corpus
+    grouped = dd_connected_components(spark, sf_dir)
+    by_doc = F.when(hash_bucket(F.col("doc_id")) < 90, "train").otherwise(
+        "test"
+    )
+    by_group = F.when(
+        hash_bucket(F.col("component")) < 90, "train"
+    ).otherwise("test")
+    per_group = grouped.select(
+        "component", by_doc.alias("s_doc"), by_group.alias("s_grp")
+    ).groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("s_doc").alias("k_doc"),
+        F.count_distinct("s_grp").alias("k_grp"),
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(F.col("n_docs") > 1).alias("n_dup_groups"),
+        F.count_if(F.col("k_doc") > 1).alias("straddle_doc_keyed"),
+        F.count_if(F.col("k_grp") > 1).alias("straddle_group_keyed"),
+    )
+
+
+_register(
+    "ds_dedup_aware_split",
+    ds_dedup_aware_split,
+    f"""
+    WITH comp AS (
+      {{cc_sql}}
+    ),
+    labeled AS (
+      SELECT component,
+             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS s_doc,
+             CASE WHEN ((component * 2654435761) % 4294967296) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS s_grp
+      FROM comp
+    ),
+    per_group AS (
+      SELECT component, count(*) AS n_docs,
+             count(DISTINCT s_doc) AS k_doc,
+             count(DISTINCT s_grp) AS k_grp
+      FROM labeled GROUP BY 1
+    )
+    SELECT count(*) AS n_groups,
+           count(*) FILTER (WHERE n_docs > 1) AS n_dup_groups,
+           count(*) FILTER (WHERE k_doc > 1) AS straddle_doc_keyed,
+           count(*) FILTER (WHERE k_grp > 1) AS straddle_group_keyed
+    FROM per_group
+    """.format(cc_sql=__import__(
+        "etl_mapwarper_spark.operators.dedup", fromlist=["dedup"]
+    ).ORACLE["dd_connected_components"]),
+)
