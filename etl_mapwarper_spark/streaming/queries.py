@@ -279,6 +279,139 @@ _register(
 )
 
 
+_STCMS_D = 4
+_STCMS_W = 64
+_STCMS_TOP = 10
+
+
+def _stcms_bucket(col, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _STCMS_W
+    )
+
+
+def st_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min-sketch maintenance via foreachBatch.
+
+    The mergeable-sketch counterpart of st_foreach_batch_merge: each
+    micro-batch builds its OWN d×w partial counter table over the
+    user_id stream and appends it to the landing zone; the reader
+    sums counters per (row, bucket) — exact because CMS counters are
+    additive — and serves heavy-hitter estimates from the merged
+    sketch. This is how a streaming pipeline keeps an always-current
+    frequency sketch with bounded state (d×w cells per batch) and no
+    streaming aggregation state at all. Estimates are checked against
+    the exact top-10 (the tx_heavy_hitters_cms report shape); the
+    merged sketch is bit-identical to a one-pass batch sketch, which
+    is what the DuckDB oracle computes.
+    """
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir).select("user_id")
+    land = tempfile.mkdtemp(prefix="st_cms_") + "/partials"
+
+    def write_partial_sketch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("i"),
+                                _stcms_bucket(F.col("user_id"), i).alias("b"),
+                            )
+                            for i in range(_STCMS_D)
+                        ]
+                    )
+                ).alias("ib")
+            )
+            .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    run_foreach_batch(ev, write_partial_sketch, output_mode="append")
+    sketch = (
+        spark.read.parquet(land)
+        .groupBy("i", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    from ..sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(_STCMS_TOP)
+    probes = top.select(
+        "user_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _stcms_bucket(F.col("user_id"), i).alias("b"),
+                    )
+                    for i in range(_STCMS_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select("user_id", "n", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("n_est"))
+        .select(
+            "user_id",
+            F.col("n").alias("n_exact"),
+            "n_est",
+            (F.col("n_est") - F.col("n")).alias("overcount"),
+        )
+    )
+
+
+_register(
+    "st_cms_topk",
+    st_cms_topk,
+    f"""
+    WITH ids AS (SELECT user_id FROM events),
+    exact AS (SELECT user_id, count(*) AS n FROM ids GROUP BY 1),
+    top AS (
+      SELECT user_id, n FROM exact
+      ORDER BY n DESC, user_id ASC LIMIT {_STCMS_TOP}
+    ),
+    hrows AS (SELECT unnest(range({_STCMS_D})) AS i),
+    sk AS (
+      SELECT i,
+             TRY_CAST('0x' || substr(md5(concat(i::VARCHAR, '|',
+                      user_id::VARCHAR)), 1, 8) AS BIGINT)
+               % {_STCMS_W} AS b,
+             count(*) AS c
+      FROM ids CROSS JOIN hrows
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT t.user_id, t.n, h.i,
+             TRY_CAST('0x' || substr(md5(concat(h.i::VARCHAR, '|',
+                      t.user_id::VARCHAR)), 1, 8) AS BIGINT)
+               % {_STCMS_W} AS b
+      FROM top t CROSS JOIN hrows h
+    )
+    SELECT p.user_id,
+           p.n AS n_exact,
+           min(sk.c)::BIGINT AS n_est,
+           (min(sk.c) - p.n)::BIGINT AS overcount
+    FROM probes p JOIN sk ON p.i = sk.i AND p.b = sk.b
+    GROUP BY 1, 2
+    """,
+)
+
+
 def st_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithState twin of st_user_totals — NOT registered as a
     driver entry: the TWS Python worker needs google.protobuf, absent
