@@ -86,3 +86,51 @@ def test_compact_partitioned_per_partition_counts(spark):
     assert before.select("doc_id").exceptAll(
         after.select("doc_id")
     ).count() == 0
+
+
+def test_dynamic_partition_overwrite_backfills_one_partition(spark):
+    """Idempotent partition-level backfill: with dynamic overwrite
+    mode, rewriting ONE partition's data must replace only that
+    directory and leave every other partition byte-untouched — the
+    op a 100 TB pipeline runs nightly to correct a late-arriving day
+    without rewriting the table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    path = tempfile.mkdtemp(prefix="dpo_") + "/events"
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill: the 'click' partition is corrected to a halved set
+        fixed = ev.filter(
+            (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)
+        )
+        fixed.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert after["click"] == fixed.count()
+    for k, v in before.items():
+        if k != "click":
+            assert after[k] == v, f"partition {k} must be untouched"
