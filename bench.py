@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "dd_chunk_dedup",
     "dd_cdc_chunks",
     "tx_heavy_hitters_cms",
+    "tx_bigram_logprob",
+    "ds_rag_index_stats",
 ]
 
 
