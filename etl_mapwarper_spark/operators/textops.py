@@ -1244,3 +1244,89 @@ _register(
     GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_ndcg_eval — ranking-quality evaluation (NDCG@k) of the BM25
+# retrieval against a deterministic graded-relevance label (rel(doc) =
+# how many distinct query terms the doc contains, 0..3 — the label a
+# term-coverage heuristic would assign). Every retrieval deployment
+# closes the loop with exactly this metric; it composes the BM25
+# top-k with a corpus-side label pass:
+#   DCG@k  = Σ_i (2^rel_i − 1) / log2(i+1)   over the ranked list,
+#   IDCG@k = the same over the k best labels corpus-wide,
+#   NDCG   = DCG / IDCG.
+# Scale shape: labels are a narrow per-row expression; the ideal-k
+# side is TakeOrdered (orderBy().limit(k)); the ranked list is k rows
+# — every join here is k-row-sized.
+# ---------------------------------------------------------------------------
+
+
+def tx_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = BM25_TOPK
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens(F.col("text"))),
+                F.array(*[F.lit(t) for t in BM25_QUERY]),
+            )
+        ).alias("rel"),
+    )
+    ranked = tx_bm25_topk(spark, sf_dir).join(docs, "doc_id")
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / (
+        F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))
+    )
+    dcg = ranked.agg(F.sum(gain).alias("dcg"))
+    ideal = (
+        docs.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+        ))
+    )
+    idcg = ideal.agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1)
+            / (F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0)))
+        ).alias("idcg")
+    )
+    return dcg.crossJoin(idcg).select(
+        F.round("dcg", 4).alias("dcg"),
+        F.round("idcg", 4).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+    )
+
+
+_register(
+    "tx_ndcg_eval",
+    tx_ndcg_eval,
+    f"""
+    WITH labels AS (
+      SELECT doc_id,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                                {list(BM25_QUERY)})) AS rel
+      FROM documents
+    ),
+    ranked AS (
+      SELECT r.rank, l.rel
+      FROM ({ORACLE["tx_bm25_topk"]}) r JOIN labels l USING (doc_id)
+    ),
+    dcg AS (
+      SELECT sum((pow(2.0, rel) - 1) / (ln(rank + 1.0) / ln(2.0))) AS dcg
+      FROM ranked
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+      FROM labels ORDER BY rel DESC, doc_id ASC LIMIT {BM25_TOPK}
+    ),
+    idcg AS (
+      SELECT sum((pow(2.0, rel) - 1) / (ln(rank + 1.0) / ln(2.0))) AS idcg
+      FROM ideal
+    )
+    SELECT round(dcg, 4) AS dcg,
+           round(idcg, 4) AS idcg,
+           round(dcg / idcg, 4) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
