@@ -966,3 +966,98 @@ _register(
         approx_sql=ORACLE["sim_pq_topk"],
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_mips_topk — maximum-inner-product search via the augmentation
+# reduction (Shrivastava & Li 2014 / Neyshabur & Srebro 2015): MIPS
+# has no direct LSH, but appending one dimension
+#   x̂ = [x, sqrt(M² − ‖x‖²)],   q̂ = [q, 0]     (M = max corpus norm)
+# makes cosine order of (q̂, x̂) equal inner-product order of (q, x) —
+# so every cosine-ANN index (SRP, IVF, PQ above) serves dot-product
+# retrieval, which is what recommendation and un-normalized embedding
+# scores need. The Spark side runs the REDUCED path (augment → cosine
+# rank → recover the dot as cos·‖q̂‖·M); the oracle computes the dot
+# DIRECTLY — parity is a check of the reduction itself, not just the
+# arithmetic. M is a 1-double query-time artifact (one max-aggregate
+# job); the search is the brute-force shape (broadcast probes, one
+# corpus pass, per-probe top-k window).
+# ---------------------------------------------------------------------------
+
+
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    m2 = emb.agg(
+        F.max(dot(F.col("v"), F.col("v"))).alias("m2")
+    ).collect()[0]["m2"]
+    aug = emb.select(
+        "vec_id",
+        F.concat(
+            F.col("v"),
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(float(m2)) - dot(F.col("v"), F.col("v")),
+                        F.lit(0.0),
+                    )
+                )
+            ),
+        ).alias("xa"),
+    )
+    probes = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(PROBE_IDS))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.concat(
+                to_double_array(F.col("embedding")), F.array(F.lit(0.0))
+            ).alias("qa"),
+        )
+    )
+    scored = aug.join(
+        broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).withColumn(
+        # recover ⟨q,x⟩ from the reduced-space cosine: cos·‖q̂‖·‖x̂‖,
+        # and ‖x̂‖ = M for every augmented corpus vector by design
+        "dot",
+        F.round(
+            cosine_similarity(F.col("qa"), F.col("xa"))
+            * l2_norm(F.col("qa"))
+            * F.sqrt(F.lit(float(m2))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "dot", "rank")
+    )
+
+
+_register(
+    "sim_mips_topk",
+    sim_mips_topk,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, v AS q FROM e WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id,
+             round(list_sum(list_transform(range(1, 65),
+                   i -> p.q[i] * e.v[i])), 6) AS dot
+      FROM e JOIN probes p ON e.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, dot, rank FROM (
+      SELECT probe_id, vec_id, dot,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dot DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
