@@ -636,3 +636,76 @@ _register(
     FROM bits b LEFT JOIN cnt c ON b.doc_id = c.id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_vad — energy-threshold voice-activity detection over the
+# windowed-RMS stage: frames above the energy threshold are "speech",
+# contiguous active runs are segments (run-length via lag), and the
+# per-clip report (frames, active frames, segment count, active
+# fraction) is what an ASR-corpus pipeline uses to trim silence and
+# drop dead clips. Layering: the frame features come from the REAL
+# mapInPandas stage (audio_rms); the segmentation on top is pure JVM
+# window arithmetic — the decode boundary is crossed exactly once.
+# ---------------------------------------------------------------------------
+
+_VAD_THRESH = 128.0
+
+
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    frames = audio_rms(synthetic_media(spark, sf_dir, kind="audio"))
+    w = Window.partitionBy("media_id").orderBy("win_idx")
+    act = frames.withColumn(
+        "active", F.col("rms") > _VAD_THRESH
+    ).withColumn(
+        "seg_start",
+        F.col("active")
+        & ~F.coalesce(F.lag("active").over(w), F.lit(False)),
+    )
+    return act.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count_if(F.col("active")).alias("n_active"),
+        F.count_if(F.col("seg_start")).alias("n_segments"),
+        F.round(F.avg(F.col("active").cast("int")), 4).alias("active_frac"),
+    )
+
+
+_register(
+    "mm_audio_vad",
+    mm_audio_vad,
+    f"""
+    WITH wins AS (
+      SELECT doc_id, w.w::INT AS win_idx
+      FROM documents
+      CROSS JOIN (SELECT unnest(range({(W * H) // AUDIO_WINDOW})) AS w) w
+      WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, win_idx,
+             (doc_id + (win_idx * {AUDIO_WINDOW} + j.j)) % 256 AS v
+      FROM wins
+      CROSS JOIN (SELECT unnest(range({AUDIO_WINDOW})) AS j) j
+    ),
+    fr AS (
+      SELECT doc_id, win_idx, sqrt(avg(v * v)) AS rms
+      FROM px GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, win_idx, rms > {_VAD_THRESH} AS active,
+             lag(rms > {_VAD_THRESH}) OVER (
+               PARTITION BY doc_id ORDER BY win_idx) AS prev
+      FROM fr
+    )
+    SELECT doc_id AS media_id,
+           count(*) AS n_frames,
+           count(*) FILTER (WHERE active) AS n_active,
+           count(*) FILTER (WHERE active AND NOT coalesce(prev, false))
+             AS n_segments,
+           round(avg(CASE WHEN active THEN 1.0 ELSE 0.0 END), 4)
+             AS active_frac
+    FROM act
+    GROUP BY 1
+    """,
+)
