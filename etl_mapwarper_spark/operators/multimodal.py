@@ -709,3 +709,74 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_shot_detect — shot-boundary detection over the video frame stage:
+# consecutive-frame difference above a threshold marks a cut, shots =
+# boundaries + 1 (the video-curation primitive behind keyframe
+# selection and per-shot sampling in multimodal training sets). Same
+# layering as mm_audio_vad: frame checksums come from the REAL
+# mapInPandas stage (frame_sample, stride 1 — every frame), the
+# boundary logic is JVM lag/window arithmetic.
+# ---------------------------------------------------------------------------
+
+_SHOT_THRESH = 5000
+
+
+def mm_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    frames = frame_sample(
+        synthetic_media(spark, sf_dir, kind="video"), every=1
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "jump",
+        F.abs(
+            F.col("frame_sum")
+            - F.lag("frame_sum").over(w)
+        ),
+    )
+    return d.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        (F.count_if(F.col("jump") > _SHOT_THRESH) + 1).alias("n_shots"),
+        F.coalesce(F.max("jump"), F.lit(0)).alias("max_jump"),
+    )
+
+
+_register(
+    "mm_shot_detect",
+    mm_shot_detect,
+    f"""
+    WITH frames AS (
+      SELECT doc_id, f.f::INT AS frame_idx
+      FROM documents
+      CROSS JOIN (SELECT unnest(range({FRAMES})) AS f) f
+      WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, frame_idx,
+             (doc_id + (frame_idx * {W * H} + j.j)) % 256 AS v
+      FROM frames
+      CROSS JOIN (SELECT unnest(range({W * H})) AS j) j
+    ),
+    fs AS (
+      SELECT doc_id, frame_idx, sum(v)::BIGINT AS frame_sum
+      FROM px GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id,
+             abs(frame_sum - lag(frame_sum) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx)) AS jump
+      FROM fs
+    )
+    SELECT doc_id AS media_id,
+           count(*) AS n_frames,
+           (count(*) FILTER (WHERE jump > {_SHOT_THRESH}) + 1)::BIGINT
+             AS n_shots,
+           coalesce(max(jump), 0)::BIGINT AS max_jump
+    FROM d
+    GROUP BY 1
+    """,
+)
