@@ -68,3 +68,10 @@ def test_rows_only_query_runs(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
+
+
+def test_every_entry_is_oracle_backed_except_known_rows_only():
+    """Guard: a new queries() entry without an oracle_sql() twin drops
+    silently to the driver's weaker rows-only check — keep that set
+    explicit so coverage loss is a deliberate decision, not a drift."""
+    assert set(ROWS_ONLY) == {"q29_approx_distinct"}, ROWS_ONLY
