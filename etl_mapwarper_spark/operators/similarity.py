@@ -1061,3 +1061,71 @@ _register(
     ) WHERE rank <= {TOP_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_graph — k-NN graph construction over the WHOLE corpus (not
+# just probes): every vector's top-k cosine neighbors within its
+# SRP-LSH bucket. This graph is the input artifact for graph-based
+# ANN (NSW-style search), SemDeDup-style semantic clustering, and
+# label propagation — building it is the batch job, searching it is
+# someone else's runtime. Scale shape: candidates are generated by a
+# bucket self-join (volume Σ bucket², controlled by the bit count —
+# never corpus²), and per-source top-k is a window over each source's
+# OWN candidates. Vectors in buckets smaller than k+1 get fewer
+# neighbors (reported as-is; multi-probe closes that gap at scale).
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    a = emb.alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("nv"),
+        F.col("bucket").alias("nbucket"),
+    )
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("nbucket"))
+        & (F.col("a.vec_id") != F.col("nbr_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("nbr_id").alias("dst"),
+        F.round(cosine_similarity(F.col("a.v"), F.col("nv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("src", "rank", "dst", "cos")
+    )
+
+
+_register(
+    "sim_knn_graph",
+    sim_knn_graph,
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT src, rank, dst, cos FROM (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst ASC) AS rank
+      FROM cand
+    ) WHERE rank <= {_KNN_K}
+    """,
+)
