@@ -871,3 +871,181 @@ _register(
         "etl_mapwarper_spark.operators.dedup", fromlist=["dedup"]
     ).ORACLE["dd_connected_components"]),
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_llm_pipeline — the COMPLETE LLM preprocessing pipeline as one
+# declarative plan, chaining six north-star stages end-to-end (the
+# superset of ds_corpus_curation, adding decontamination and packing):
+#   1. QUALITY       — C4-style predicate (narrow scan filter);
+#   2. DEDUP         — normalization-fingerprint, keep smallest doc_id
+#                      (one fp-keyed window);
+#   3. DECONTAMINATE — drop training docs sharing any 5-gram with the
+#                      held-out bench slice (hashed shingles, bench
+#                      side broadcast, LEFT ANTI join);
+#   4. SPLIT         — deterministic content-hash train/valid/test;
+#   5. PACK          — token-budget sequence assignment per hash shard
+#                      (one bounded window, the ds_pack_sequences
+#                      shape);
+#   6. ACCOUNT       — per split: docs, tokens, training sequences,
+#                      distinct sources — the numbers a training run
+#                      is provisioned from.
+# Corpus-sized shuffles: fp window, shingle distinct, pack window,
+# and the accounting aggregates — bounded per stage regardless of
+# corpus size (PLAN_AUDIT: 12 exchanges incl. broadcasts/repartition,
+# 4 broadcast joins, 0 shuffle joins) — the whole preprocessing chain
+# ships as a single job.
+# ---------------------------------------------------------------------------
+
+
+def ds_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast as _bc
+    from pyspark.sql.window import Window
+
+    from ..functions.text import doc_fingerprint, tokens, word_shingles
+    from .textops import c4_kept_expr
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    is_bench = F.col("doc_id") % 50 == 0
+    # 1-2. quality filter, fingerprint dedup (training side only)
+    kept = docs.filter(c4_kept_expr(F.col("text")) & ~is_bench).select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("dl"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    wfp = Window.partitionBy("fp")
+    deduped = kept.withColumn("kmin", F.min("doc_id").over(wfp)).filter(
+        F.col("doc_id") == F.col("kmin")
+    )
+    # 3. decontamination: bench 5-gram hashes (eval-suite-sized →
+    # broadcast), LEFT ANTI on any shared shingle hash
+    bench_h = (
+        docs.filter(is_bench)
+        .select(
+            F.explode(word_shingles(tokens(F.col("text")), 5)).alias("s")
+        )
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    doc_h = deduped.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 5)).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    contaminated = doc_h.join(_bc(bench_h), "h").select("doc_id").distinct()
+    clean = deduped.drop("toks").join(_bc(contaminated), "doc_id", "left_anti")
+    # 4-5. split + shard + sequence packing
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    placed = clean.select(
+        "doc_id",
+        "source",
+        "dl",
+        split.alias("split"),
+        hash_bucket(F.col("doc_id"), _PACK_SHARDS).alias("shard"),
+    ).filter(F.col("dl") > 0)
+    wp = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seqd = placed.withColumn(
+        "seq", F.floor((F.sum("dl").over(wp) - F.col("dl")) / _PACK_BUDGET)
+    )
+    # 6. accounting: sequence counts fold per (split, shard) first
+    # (reuses the window's partitioning), then per split
+    per_shard = seqd.groupBy("split", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("n_tokens"),
+        (F.max("seq") + 1).alias("n_seqs"),
+        F.count_distinct("source").alias("n_sources_shard"),
+    )
+    counts = per_shard.groupBy("split").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_seqs").alias("n_sequences"),
+    )
+    sources = seqd.groupBy("split").agg(
+        F.count_distinct("source").alias("n_sources")
+    )
+    return counts.join(_bc(sources), "split")
+
+
+def _llm_pipeline_sql() -> str:
+    from .textops import C4_KEPT_COND_SQL, C4_SCORED_COLS_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars, text,
+{C4_SCORED_COLS_SQL}
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS dl,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             string_split(text, ' ') AS toks
+      FROM scored WHERE ({C4_KEPT_COND_SQL}) AND doc_id % 50 != 0
+    ),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+    ),
+    bench_sh AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                         || t[i+3] || ' ' || t[i+4])) AS s
+      FROM (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 5)
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+        FROM deduped WHERE len(toks) >= 5
+      ) JOIN bench_sh USING (s)
+    ),
+    clean AS (
+      SELECT d.doc_id, d.source, d.dl FROM deduped d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated) AND d.dl > 0
+    ),
+    placed AS (
+      SELECT doc_id, source, dl,
+             CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             {_PACK_BUCKET_SQL} AS shard
+      FROM clean
+    ),
+    seqd AS (
+      SELECT split, shard, doc_id, source, dl,
+             ((sum(dl) OVER (PARTITION BY split, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - dl)
+              // {_PACK_BUDGET}) AS seq
+      FROM placed
+    ),
+    per_shard AS (
+      SELECT split, shard, count(*) AS n_docs, sum(dl) AS n_tokens,
+             max(seq) + 1 AS n_seqs
+      FROM seqd GROUP BY 1, 2
+    )
+    SELECT split,
+           sum(n_docs)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(n_seqs)::BIGINT AS n_sequences,
+           (SELECT count(DISTINCT source) FROM seqd s
+            WHERE s.split = per_shard.split) AS n_sources
+    FROM per_shard
+    GROUP BY split
+    """
+
+
+_register("ds_llm_pipeline", ds_llm_pipeline, _llm_pipeline_sql())
