@@ -58,10 +58,12 @@ def _registries():
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from etl_mapwarper_spark.operators.relational import q05_region_revenue
+    """Flagship on /root/testdata/sf0.001: the end-to-end LLM
+    preprocessing pipeline (quality → dedup → decontaminate → split →
+    pack → account) as one declarative plan."""
+    from etl_mapwarper_spark.operators.sampling import ds_llm_pipeline
 
-    return q05_region_revenue(spark, "/root/testdata/sf0.001")
+    return ds_llm_pipeline(spark, "/root/testdata/sf0.001")
 
 
 # Entries pulled to the FRONT of the merged registry. Round-3 window:
