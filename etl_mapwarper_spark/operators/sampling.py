@@ -1049,3 +1049,90 @@ def _llm_pipeline_sql() -> str:
 
 
 _register("ds_llm_pipeline", ds_llm_pipeline, _llm_pipeline_sql())
+
+
+# ---------------------------------------------------------------------------
+# ds_dataset_card — the per-source "dataset card" statistics table
+# (what a data team publishes alongside a corpus release): volume,
+# token count, quality pass-rate, exact-duplicate rate, and dominant
+# language per source. One corpus scan; the duplicate flag is a
+# fingerprint window, everything else is conditional aggregation —
+# two exchanges total. The dominant language is a deterministic
+# padded-string argmax — max(lpad(count) || lang) — so count ties
+# break toward the lexicographically larger code in both engines.
+# ---------------------------------------------------------------------------
+
+
+def ds_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import doc_fingerprint
+    from .textops import c4_kept_expr
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    wfp = Window.partitionBy(doc_fingerprint(F.col("text")))
+    flagged = docs.withColumn(
+        "is_dup", F.min("doc_id").over(wfp) != F.col("doc_id")
+    ).withColumn("kept", c4_kept_expr(F.col("text")))
+    per_lang = flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(token_count(F.col("text"))).alias("toks"),
+        F.count_if(F.col("kept")).alias("n_kept"),
+        F.count_if(F.col("is_dup")).alias("n_dup"),
+    )
+    return per_lang.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.round(F.sum("n_kept") / F.sum("n"), 4).alias("quality_rate"),
+        F.round(F.sum("n_dup") / F.sum("n"), 4).alias("dup_rate"),
+        F.substring(
+            F.max(
+                F.concat(
+                    F.lpad(F.col("n").cast("string"), 12, "0"),
+                    F.col("lang"),
+                )
+            ),
+            13,
+            64,
+        ).alias("top_lang"),
+    )
+
+
+def _dataset_card_sql() -> str:
+    from .textops import C4_KEPT_COND_SQL, C4_SCORED_COLS_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+{C4_SCORED_COLS_SQL}
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, lang,
+             len(string_split(text, ' ')) AS toks,
+             ({C4_KEPT_COND_SQL}) AS kept,
+             min(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(text),
+                                               '[^a-z0-9]', '', 'g'))
+             ) != doc_id AS is_dup
+      FROM scored
+    ),
+    per_lang AS (
+      SELECT source, lang, count(*) AS n, sum(toks) AS toks,
+             count(*) FILTER (WHERE kept) AS n_kept,
+             count(*) FILTER (WHERE is_dup) AS n_dup
+      FROM flagged GROUP BY 1, 2
+    )
+    SELECT source,
+           sum(n)::BIGINT AS n_docs,
+           sum(toks)::BIGINT AS n_tokens,
+           round(sum(n_kept) * 1.0 / sum(n), 4) AS quality_rate,
+           round(sum(n_dup) * 1.0 / sum(n), 4) AS dup_rate,
+           substr(max(concat(lpad(n::VARCHAR, 12, '0'), lang)), 13, 64)
+             AS top_lang
+    FROM per_lang
+    GROUP BY source
+    """
+
+
+_register("ds_dataset_card", ds_dataset_card, _dataset_card_sql())
