@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "tx_heavy_hitters_cms",
     "tx_bigram_logprob",
     "ds_rag_index_stats",
+    "ds_llm_pipeline",
 ]
 
 

@@ -1330,3 +1330,57 @@ _register(
     FROM dcg CROSS JOIN idcg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_zipf_fit — Zipf's-law diagnostic: OLS fit of ln(frequency) vs
+# ln(rank) over the corpus vocabulary. Natural text sits near slope
+# −1; synthetic/templated corpora (like this one) flatten toward 0 —
+# making the slope a cheap corpus-authenticity signal data teams
+# track across crawl snapshots. The rank window is unpartitioned BY
+# DESIGN: it runs over the vocabulary, a dictionary-sized artifact
+# that grows sublinearly with the corpus (the q47 dimension-window
+# justification), never over corpus rows. The fit itself is the
+# built-in regr_* aggregate family (exact same aggregation in DuckDB).
+# ---------------------------------------------------------------------------
+
+
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    freqs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    ranked = freqs.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(
+            F.regr_slope(F.log(F.col("tf")), F.log(F.col("r"))), 4
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_r2(F.log(F.col("tf")), F.log(F.col("r"))), 4
+        ).alias("fit_r2"),
+    )
+
+
+_register(
+    "tx_zipf_fit",
+    tx_zipf_fit,
+    """
+    WITH freqs AS (
+      SELECT term, count(*) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY 1
+    ),
+    ranked AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS r
+      FROM freqs
+    )
+    SELECT count(*) AS vocab_size,
+           round(regr_slope(ln(tf), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(tf), ln(r)), 4) AS fit_r2
+    FROM ranked
+    """,
+)
