@@ -41,6 +41,11 @@ EMPTY_SAFE = [
     "tx_heavy_hitters_cms",
     "tx_bm25_topk",
     "sim_bruteforce_topk",
+    "sim_knn_graph",
+    "mm_image_stats",
+    "ds_llm_pipeline",
+    "q78_map_type_aggs",
+    "tx_zipf_fit",
 ]
 
 
@@ -55,8 +60,9 @@ def empty_sf_dir(spark):
 
 
 # Global (non-grouped) aggregates legitimately emit their zero-count
-# rows on empty input — one row per UNION branch for q77.
-_EXPECTED_ROWS = {"q77_notin_null_semantics": 2}
+# rows on empty input — one row per UNION branch for q77, one
+# null-statistics row for the global Zipf fit.
+_EXPECTED_ROWS = {"q77_notin_null_semantics": 2, "tx_zipf_fit": 1}
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE)
