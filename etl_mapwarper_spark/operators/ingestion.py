@@ -493,3 +493,79 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-NDJSON quarantine (the JSON twin of src_csv_malformed and
+# the failure mode the reference's NDJSON handoff would hit on a
+# truncated write): PERMISSIVE JSON parsing with a corrupt-record
+# column turns broken lines into quarantine DATA. The fixture is the
+# documents projection exported as NDJSON with deterministic garbage
+# lines interleaved; one scan serves the good aggregate and the
+# quarantine count.
+# ---------------------------------------------------------------------------
+
+_NDJSON_BAD_EVERY = 20  # one garbage line per 20 good lines
+
+
+def src_ndjson_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    rows = sorted(
+        ((r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect())
+    )
+    path = tempfile.mkdtemp(prefix="ndjson_bad_")
+    with open(os.path.join(path, "part-0.ndjson"), "w") as f:
+        for i, (doc_id, lang, n_chars) in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {"doc_id": doc_id, "lang": lang, "n_chars": n_chars}
+                )
+                + "\n"
+            )
+            if i % _NDJSON_BAD_EVERY == 0:
+                f.write('{"doc_id": ' + str(i) + ", TRUNCATED\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("n_chars"))
+        ).alias("sum_chars"),
+        F.count_distinct(
+            F.when(F.col("_corrupt").isNull(), F.col("lang"))
+        ).alias("n_langs"),
+    )
+
+
+_register(
+    "src_ndjson_malformed",
+    src_ndjson_malformed,
+    f"""
+    SELECT count(*) AS n_good,
+           (count(*) + {_NDJSON_BAD_EVERY - 1}) // {_NDJSON_BAD_EVERY}
+             AS n_quarantined,
+           sum(n_chars)::BIGINT AS sum_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
