@@ -569,3 +569,43 @@ _register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution UNION (the API complement of src_parquet_evolution's
+# mergeSchema scan): two snapshot generations with different columns
+# combine via unionByName(allowMissingColumns=True) — missing columns
+# null-fill BY NAME, not by position, which is what makes appending a
+# new column to a landed dataset a non-event for downstream unions.
+# v1 rows (no n_chars) are identifiable downstream as the null rows.
+# ---------------------------------------------------------------------------
+
+
+def src_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    # v2 adds a column AND reorders — by-name matching must not care
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "n_chars", "lang", "doc_id"
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("n_chars").isNull()).alias("n_v1"),
+        F.sum("n_chars").alias("sum_chars_v2"),
+    )
+
+
+_register(
+    "src_union_by_name",
+    src_union_by_name,
+    """
+    SELECT lang,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE doc_id % 2 = 0) AS n_v1,
+           sum(n_chars) FILTER (WHERE doc_id % 2 = 1)::BIGINT
+             AS sum_chars_v2
+    FROM documents
+    GROUP BY lang
+    """,
+)
