@@ -734,3 +734,103 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q82_three_step_funnel — the general k-step strict-order funnel
+# (view → click → purchase), extending q53's two-step pattern: each
+# stage's anchor is the user's first qualifying event AT OR AFTER the
+# previous stage's anchor, so out-of-order events don't count. All
+# three anchors are conditional window-mins over the SAME user
+# partition (one window spec → ONE shuffle, no event self-joins —
+# the only scalable shape for k-step funnels at 100 TB); the final
+# one-row report aggregates stage survivors and conversion rates.
+# ---------------------------------------------------------------------------
+
+
+def q82_three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = ev.withColumn("t_view", t_view).withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("v"),
+        F.max("t_click").alias("c"),
+        F.max("t_purchase").alias("p"),
+    )
+    return per_user.agg(
+        F.count_if(F.col("v").isNotNull()).alias("n_view"),
+        F.count_if(F.col("c").isNotNull()).alias("n_click"),
+        F.count_if(F.col("p").isNotNull()).alias("n_purchase"),
+        F.round(
+            F.count_if(F.col("c").isNotNull())
+            / F.count_if(F.col("v").isNotNull()),
+            4,
+        ).alias("rate_click"),
+        F.round(
+            F.count_if(F.col("p").isNotNull())
+            / F.count_if(F.col("c").isNotNull()),
+            4,
+        ).alias("rate_purchase"),
+    )
+
+
+_register(
+    "q82_three_step_funnel",
+    q82_three_step_funnel,
+    """
+    WITH s1 AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS v
+      FROM events GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, s1.v,
+             min(e.ts) FILTER (
+               WHERE e.event_type = 'click' AND e.ts >= s1.v
+             ) AS c
+      FROM events e JOIN s1 USING (user_id)
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT e.user_id, s2.v, s2.c,
+             min(e.ts) FILTER (
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.c
+             ) AS p
+      FROM events e JOIN s2 USING (user_id)
+      GROUP BY 1, 2, 3
+    )
+    SELECT count(*) FILTER (WHERE v IS NOT NULL) AS n_view,
+           count(*) FILTER (WHERE c IS NOT NULL) AS n_click,
+           count(*) FILTER (WHERE p IS NOT NULL) AS n_purchase,
+           round(count(*) FILTER (WHERE c IS NOT NULL) * 1.0
+                 / count(*) FILTER (WHERE v IS NOT NULL), 4) AS rate_click,
+           round(count(*) FILTER (WHERE p IS NOT NULL) * 1.0
+                 / count(*) FILTER (WHERE c IS NOT NULL), 4)
+             AS rate_purchase
+    FROM s3
+    """,
+)
