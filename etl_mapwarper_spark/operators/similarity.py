@@ -1129,3 +1129,71 @@ _register(
     ) WHERE rank <= {_KNN_K}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_norm_report — embedding-corpus QA (the sanity pass before any
+# index build): per-label L2-norm statistics and outlier counts
+# against a global mean+3σ threshold. Degenerate embeddings (zero
+# vectors, exploded norms from a bad checkpoint) poison both cosine
+# buckets and PQ codebooks — this report is how they get caught
+# upstream. One narrow norm projection, one 1-row global aggregate
+# broadcast back, one per-label aggregate. Norms and the threshold
+# are rounded to 6 dp before comparison so the outlier decision is
+# bit-identical in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def sim_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(dot(
+                to_double_array(F.col("embedding")),
+                to_double_array(F.col("embedding")),
+            )),
+            6,
+        ).alias("nrm"),
+    )
+    glob = emb.agg(
+        F.round(F.avg("nrm") + 3 * F.stddev_samp("nrm"), 6).alias("thresh")
+    )
+    return (
+        emb.crossJoin(broadcast(glob))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.count_if(F.col("nrm") > F.col("thresh")).alias("n_outliers"),
+        )
+    )
+
+
+_register(
+    "sim_norm_report",
+    sim_norm_report,
+    """
+    WITH norms AS (
+      SELECT vec_id, label,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))), 6) AS nrm
+      FROM embeddings
+    ),
+    g AS (
+      SELECT round(avg(nrm) + 3 * stddev_samp(nrm), 6) AS thresh FROM norms
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           count(*) FILTER (WHERE nrm > thresh) AS n_outliers
+    FROM norms CROSS JOIN g
+    GROUP BY label
+    """,
+)
