@@ -834,3 +834,68 @@ _register(
     FROM s3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q83_explode_outer_semantics — the explode / explode_outer semantics
+# corner: plain explode DROPS rows whose array is empty (documents
+# without the probe token silently vanish — the classic silent-data-
+# loss bug in flattening pipelines); explode_outer preserves them
+# with a NULL element. Both variants run over the same filtered-token
+# array and report row/doc/null accounting side by side; the oracle
+# pairs DuckDB's unnest (drop semantics) with a LEFT JOIN LATERAL
+# unnest (preserve semantics).
+# ---------------------------------------------------------------------------
+
+
+def q83_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda t: t == "spark").alias("hits"),
+    )
+    inner = docs.select("doc_id", F.explode("hits").alias("t")).agg(
+        F.lit("explode").alias("variant"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_if(F.col("t").isNull()).alias("n_nulls"),
+    )
+    outer = docs.select("doc_id", F.explode_outer("hits").alias("t")).agg(
+        F.lit("explode_outer").alias("variant"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_if(F.col("t").isNull()).alias("n_nulls"),
+    )
+    return inner.union(outer)
+
+
+_register(
+    "q83_explode_outer_semantics",
+    q83_explode_outer_semantics,
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t = 'spark') AS hits
+      FROM documents
+    ),
+    inner_rows AS (
+      SELECT doc_id, unnest(hits) AS t FROM h
+    ),
+    outer_rows AS (
+      SELECT h.doc_id, u.t
+      FROM h LEFT JOIN LATERAL (SELECT unnest(h.hits) AS t) u ON true
+    )
+    SELECT 'explode' AS variant,
+           count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) FILTER (WHERE t IS NULL) AS n_nulls
+    FROM inner_rows
+    UNION ALL
+    SELECT 'explode_outer',
+           count(*),
+           count(DISTINCT doc_id),
+           count(*) FILTER (WHERE t IS NULL)
+    FROM outer_rows
+    """,
+)
