@@ -899,3 +899,71 @@ _register(
     FROM outer_rows
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q84_interval_overlap_join — interval×interval OVERLAP join (the
+# general temporal join; q22/q23 cover as-of and point-in-range):
+# per-user-per-day activity intervals [first_ts, last_ts] joined
+# against a literal set of maintenance windows on the standard
+# overlap predicate (a.start <= b.end AND a.end >= b.start). The
+# window side is tiny → broadcast nested-loop is the correct plan;
+# at scale, interval binning (bucketing both sides by coarse time
+# buckets and joining on bucket) turns this into an equi-join — the
+# same blocking idea the dedup family uses.
+# ---------------------------------------------------------------------------
+
+_MAINT_WINDOWS = [
+    ("w1", "2024-01-05 00:00:00", "2024-01-05 12:00:00"),
+    ("w2", "2024-01-10 06:00:00", "2024-01-11 06:00:00"),
+    ("w3", "2024-01-20 00:00:00", "2024-01-22 00:00:00"),
+    ("w4", "2024-02-01 00:00:00", "2024-02-03 00:00:00"),
+]
+
+
+def q84_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    wins = spark.createDataFrame(
+        _MAINT_WINDOWS, "window_id string, ws string, we string"
+    ).select(
+        "window_id",
+        F.col("ws").cast("timestamp").alias("ws"),
+        F.col("we").cast("timestamp").alias("we"),
+    )
+    overlap = intervals.join(
+        F.broadcast(wins),
+        (F.col("s") <= F.col("we")) & (F.col("e") >= F.col("ws")),
+    )
+    return overlap.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def _overlap_sql() -> str:
+    wins = " UNION ALL ".join(
+        f"SELECT '{wid}' AS window_id, TIMESTAMP '{ws}' AS ws,"
+        f" TIMESTAMP '{we}' AS we"
+        for wid, ws, we in _MAINT_WINDOWS
+    )
+    return f"""
+    WITH intervals AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    wins AS ({wins})
+    SELECT window_id,
+           count(*) AS n_user_days,
+           count(DISTINCT user_id) AS n_users
+    FROM intervals JOIN wins ON s <= we AND e >= ws
+    GROUP BY window_id
+    """
+
+
+_register(
+    "q84_interval_overlap_join", q84_interval_overlap_join, _overlap_sql()
+)
