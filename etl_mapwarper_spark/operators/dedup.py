@@ -1395,3 +1395,70 @@ _register(
         approx_sql=ORACLE["dd_minhash_lsh"],
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_incremental_dedup — the ONLINE dedup shape: a newly-landed batch
+# is checked against the already-ingested corpus (not against itself)
+# and only unseen content is admitted. This is how dedup actually
+# runs day-to-day — the corpus-wide pass (dd_exact_hash et al.)
+# bootstraps, then every increment anti-joins its fingerprints
+# against the landed fingerprint index. Here: corpus = doc_id < 400
+# (landed), batch = the rest; report admits/rejects per source. At
+# 100 TB the landed side is a bucketed fingerprint table (co-located
+# join, sources/bucketing.py) with a bloom-filter pre-screen (the
+# runtime bloom pinned in tests/test_plans.py) killing most probes at
+# the scan.
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT = 400
+
+
+def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    landed = docs.filter(F.col("doc_id") < _INCR_SPLIT).select("fp").distinct()
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    admitted = batch.join(landed, "fp", "left_anti")
+    rejected = batch.join(landed, "fp", "left_semi")
+    return (
+        admitted.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .join(
+            rejected.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_rejected")
+            ),
+            "source",
+            "full_outer",
+        )
+        .select(
+            "source",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        )
+    )
+
+
+_register(
+    "dd_incremental_dedup",
+    dd_incremental_dedup,
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    landed AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id < {_INCR_SPLIT}
+    ),
+    batch AS (SELECT * FROM fps WHERE doc_id >= {_INCR_SPLIT})
+    SELECT source,
+           count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM landed))
+             AS n_admitted,
+           count(*) FILTER (WHERE fp IN (SELECT fp FROM landed))
+             AS n_rejected
+    FROM batch
+    GROUP BY source
+    """,
+)
