@@ -74,20 +74,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # local sf0.01 replica) rotates into round 4 alongside canary re-checks
 # of earlier greens.
 #
-# ROUND-4 ROTATION TODO: front-load q64 plus every round-3 addition
-# (never driver-checked; find them as the registry entries absent from
-# CORRECTNESS_r01+r02+r03): ds_epoch_shuffle, ds_pack_sequences,
-# ds_priority_sample, ds_rag_index_stats, ds_dedup_aware_split,
-# ds_llm_pipeline, ds_dataset_card, dd_chunk_dedup, dd_cdc_chunks,
-# dd_pagerank_centrality, dd_triangle_count, dd_lsh_tuning_report,
-# sim_pq_topk, sim_l2_bruteforce_topk, sim_pq_recall, sim_mips_topk,
-# sim_knn_graph, tx_heavy_hitters_cms, tx_udtf_analyze,
-# tx_bigram_logprob, tx_ndcg_eval, mm_phash_neardups, mm_audio_vad,
-# mm_shot_detect, st_cms_topk, src_pyds_write_roundtrip,
-# q77_notin_null_semantics, q78_map_type_aggs, q79_try_functions,
-# q80_calendar_arith, q81_gap_fill_locf — that is 32 of the 50 slots;
-# fill the rest with canary re-checks of rounds-1/2 greens (rotate
-# through families: relational, dedup, mapwarper, streaming).
+# ROUND-4 ROTATION TODO: the driver has never checked any entry added
+# in round 3 — enumerate them as the registry keys with no row in
+# CORRECTNESS_r01/r02/r03 (30+ entries: the ds_/dd_/sim_/tx_/mm_/st_/
+# src_/q77+ additions) plus q64 (deferred from the round-3 window).
+# They exceed the 50-slot window together with canaries, so
+# prioritize: (1) streaming/multimodal/source entries (weakest local
+# evidence class), (2) the composed flagships (ds_llm_pipeline,
+# ds_rag_index_stats, ds_dataset_card), (3) the remaining q77-q84 and
+# report ops; rotate whatever spills plus canary re-checks of
+# rounds-1/2 greens into round 5.
 _PRIORITY = [
     # streaming (8)
     "st_tumbling_counts",
