@@ -1,0 +1,97 @@
+"""Structural properties of the sketch/quantizer operators.
+
+These pin the guarantees the algorithms are USED for — properties
+that must hold for every input, beyond the oracle's value equality:
+count-min never undercounts (its one-sided error bound), and PQ codes
+are a deterministic function of the vector (partitioning-invariant,
+bounded by the codebook size).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_cms_never_undercounts_any_term(spark):
+    """Min-over-rows of additive counters can only overcount — for
+    EVERY term, not just the reported top-k."""
+    from etl_mapwarper_spark.functions.text import tokens
+    from etl_mapwarper_spark.operators.textops import _CMS_D, _cms_bucket
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    toks = load_table(spark, SF_DIR, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    sketch = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _cms_bucket(F.col("term"), i).alias("b"),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("ib")
+        )
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = exact.select(
+        "term",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("term"), i).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select("term", "n", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+    est = (
+        probes.join(sketch, ["i", "b"])
+        .groupBy("term", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    n_under = est.filter(F.col("est") < F.col("n")).count()
+    assert n_under == 0, "count-min must never undercount"
+
+
+def test_pq_codes_partition_invariant_and_bounded(spark):
+    """Encoding is a pure function of the vector and the trained
+    codebook literals — repartitioning must not change a single code,
+    and every code is a position into a ≤K-entry codebook."""
+    from etl_mapwarper_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        sim_pq_topk,
+    )
+
+    a = {
+        (r.probe_id, r.vec_id): (r.adist, r.rank)
+        for r in sim_pq_topk(spark, SF_DIR).collect()
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = {
+            (r.probe_id, r.vec_id): (r.adist, r.rank)
+            for r in sim_pq_topk(spark, SF_DIR).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+    assert a == b, "PQ search results must be partitioning-invariant"
+    assert _PQ_M == 8 and _PQ_K == 16  # 8 one-byte codes by design
