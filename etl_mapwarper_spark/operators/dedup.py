@@ -499,6 +499,12 @@ _register(
 
 
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs — the ALL-PAIRS baseline
+    (same role as dd_ngram_jaccard for text: the exact ground truth
+    the bucketed variants are tuned against; quadratic by definition,
+    so it is NOT the production path). The scale path is SRP-bucketed
+    candidate generation — dd_semantic_clusters below, sim_srp_lsh /
+    sim_knn_graph on the search side."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
@@ -1461,4 +1467,111 @@ _register(
     FROM batch
     GROUP BY source
     """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dd_semantic_clusters — SemDeDup-style semantic duplicate clustering
+# (Abbas et al. 2023): embedding-space near-dup pairs generated inside
+# SRP-LSH buckets (the scale path — candidate volume is Σ bucket²,
+# never corpus²; dd_embedding_neardup is the exact all-pairs baseline
+# this trades recall against), then connected components by iterative
+# min-label propagation so transitive semantic duplicates collapse
+# into one cluster. Output: every vector's cluster label (= min
+# vec_id reachable through the bucketed similarity graph).
+# ---------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.45
+
+
+def dd_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _bucket_expr
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos",
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 4),
+        )
+        .filter(F.col("cos") >= _SEM_THRESHOLD)
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+    )
+    edges = _cc_checkpoint(
+        pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
+        .union(pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst")))
+        .distinct()
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("vec_id").alias("cluster")
+    )
+    prev_sum = None
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.vec_id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        labels = _cc_checkpoint(
+            labels.join(nbr_min, labels.vec_id == nbr_min.src, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+        )
+        cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def _semantic_clusters_sql() -> str:
+    from .similarity import _SRP_BUCKET_SQL
+
+    return f"""
+    WITH RECURSIVE bucketed AS (
+      SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4)
+            >= {_SEM_THRESHOLD}
+    ),
+    edges AS (
+      SELECT v1 AS src, v2 AS dst FROM pairs
+      UNION
+      SELECT v2 AS src, v1 AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, min(dst) AS min_reach FROM reach GROUP BY src
+    )
+    SELECT e.vec_id,
+           least(e.vec_id, coalesce(c.min_reach, e.vec_id)) AS cluster
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    """
+
+
+_register(
+    "dd_semantic_clusters", dd_semantic_clusters, _semantic_clusters_sql()
 )
