@@ -1384,3 +1384,85 @@ _register(
     FROM ranked
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_js_divergence — distribution-shift detection: Jensen-Shannon
+# divergence between each source's unigram distribution P and the
+# corpus distribution Q (JSD = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q)).
+# This is the metric curation teams track across crawl snapshots — a
+# source whose JSD jumps has changed character (spam influx, format
+# drift) before any individual document filter notices. Zero-prob
+# terms contribute 0 to their own KL side (0·ln0 ≡ 0), handled by a
+# full-outer term join with null-safe arithmetic. Scale shape: two
+# frequency aggregates (term-keyed shuffles), a term-keyed join, one
+# per-source fold — vocabulary-proportional work throughout.
+# ---------------------------------------------------------------------------
+
+
+def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_src = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("src_n"))
+    corp = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    corp_tot = corp.agg(F.sum("cc").alias("n"))
+    # full (source × vocabulary) domain so absent terms contribute
+    # their q-side mass (p=0 ⇒ q·ln2/2 per term) — the domain is
+    # vocabulary-proportional, never corpus-row-proportional
+    domain = src_tot.crossJoin(F.broadcast(corp))
+    joined = (
+        domain.join(per_src, ["source", "term"], "left")
+        .crossJoin(F.broadcast(corp_tot))
+        .withColumn(
+            "p", F.coalesce(F.col("c") / F.col("src_n"), F.lit(0.0))
+        )
+        .withColumn("q", F.col("cc") / F.col("n"))
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term_div = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    ) / 2 + F.col("q") * F.log(F.col("q") / m) / 2
+    return joined.groupBy("source").agg(
+        F.round(F.sum(term_div), 6).alias("jsd_vs_corpus")
+    )
+
+
+_register(
+    "tx_js_divergence",
+    tx_js_divergence,
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    per_src AS (
+      SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT source, sum(c) AS src_n FROM per_src GROUP BY 1),
+    corp AS (SELECT term, count(*) AS cc FROM toks GROUP BY 1),
+    corp_tot AS (SELECT sum(cc) AS n FROM corp),
+    domain AS (
+      SELECT s.source, c.term, c.cc FROM (SELECT DISTINCT source FROM per_src) s
+      CROSS JOIN corp c
+    ),
+    joined AS (
+      SELECT d.source, d.term,
+             coalesce(ps.c * 1.0 / st.src_n, 0.0) AS p,
+             d.cc * 1.0 / ct.n AS q
+      FROM domain d
+      LEFT JOIN per_src ps ON d.source = ps.source AND d.term = ps.term
+      JOIN src_tot st ON d.source = st.source
+      CROSS JOIN corp_tot ct
+    )
+    SELECT source,
+           round(sum(
+             CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END / 2
+             + q * ln(q / ((p + q) / 2)) / 2
+           ), 6) AS jsd_vs_corpus
+    FROM joined
+    GROUP BY source
+    """,
+)
