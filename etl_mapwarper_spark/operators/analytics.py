@@ -967,3 +967,70 @@ def _overlap_sql() -> str:
 _register(
     "q84_interval_overlap_join", q84_interval_overlap_join, _overlap_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# q85_chi2_independence — Pearson chi-squared test of independence
+# between two categorical columns (lang × source), the categorical
+# counterpart of q43's continuous correlation aggregates: expected
+# cell counts come from the marginals, the statistic sums over the
+# FULL category cross-product (zero-observed cells still contribute
+# their expected mass — the classic implementation bug this entry
+# pins). Marginals are dimension-sized broadcasts; the only
+# corpus-sized work is the one contingency aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q85_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = obs.groupBy("lang").agg(F.sum("o").alias("lt"))
+    col_tot = obs.groupBy("source").agg(F.sum("o").alias("st"))
+    n = obs.agg(F.sum("o").alias("n"))
+    domain = row_tot.crossJoin(F.broadcast(col_tot)).crossJoin(
+        F.broadcast(n)
+    )
+    cells = domain.join(obs, ["lang", "source"], "left").select(
+        F.coalesce("o", F.lit(0)).alias("o"),
+        (F.col("lt") * F.col("st") / F.col("n")).alias("e"),
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 4
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).crossJoin(
+        F.broadcast(
+            row_tot.agg(F.count(F.lit(1)).alias("n_langs")).crossJoin(
+                col_tot.agg(F.count(F.lit(1)).alias("n_sources"))
+            )
+        )
+    ).select(
+        "chi2",
+        "n_cells",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+    )
+
+
+_register(
+    "q85_chi2_independence",
+    q85_chi2_independence,
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT lang, sum(o) AS lt FROM obs GROUP BY 1),
+    col_tot AS (SELECT source, sum(o) AS st FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT coalesce(ob.o, 0) AS o, r.lt * c.st * 1.0 / t.n AS e
+      FROM row_tot r CROSS JOIN col_tot c CROSS JOIN tot t
+      LEFT JOIN obs ob ON ob.lang = r.lang AND ob.source = c.source
+    )
+    SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           count(*) AS n_cells,
+           ((SELECT count(*) FROM row_tot) - 1)
+             * ((SELECT count(*) FROM col_tot) - 1) AS dof
+    FROM cells
+    """,
+)
