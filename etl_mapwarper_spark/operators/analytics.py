@@ -1034,3 +1034,61 @@ _register(
     FROM cells
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q86_skyline — 2-D skyline / Pareto front (maximize both p_size and
+# p_retailprice): the multi-criteria "best tradeoffs" query that no
+# single ORDER BY can answer. Scale shape: the skyline operator is
+# MERGEABLE — skyline(S) = skyline(∪ skyline(partition_i)) — so a
+# per-bucket window prune (sort by x desc, keep rows whose y exceeds
+# the running prefix max: sound, removes only dominated points)
+# shrinks the corpus to a small survivor set, and one exact
+# dominance anti-join over the survivors resolves the final front.
+# Points are deduped first so strict dominance (neither of two equal
+# points dominates the other) is preserved exactly; the oracle is the
+# naive NOT-EXISTS dominance definition.
+# ---------------------------------------------------------------------------
+
+
+def q86_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            F.col("p_size").alias("x"),
+            F.round("p_retailprice", 2).alias("y"),
+        )
+        .distinct()
+    )
+    bucket = F.pmod(F.xxhash64("x", "y"), F.lit(16))
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy(F.desc("x"), F.desc("y"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survivors = pts.withColumn("pm", F.max("y").over(w)).filter(
+        F.col("pm").isNull() | (F.col("y") > F.col("pm"))
+    ).select("x", "y")
+    b = survivors.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    dominated = (
+        (F.col("bx") >= F.col("x"))
+        & (F.col("by") >= F.col("y"))
+        & ((F.col("bx") > F.col("x")) | (F.col("by") > F.col("y")))
+    )
+    return survivors.join(F.broadcast(b), dominated, "left_anti")
+
+
+_register(
+    "q86_skyline",
+    q86_skyline,
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_size AS x, round(p_retailprice, 2) AS y FROM part
+    )
+    SELECT x, y FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+    )
+    """,
+)
