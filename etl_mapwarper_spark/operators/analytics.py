@@ -1092,3 +1092,51 @@ _register(
     )
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q87_mad_robust_stats — median absolute deviation, the robust
+# dispersion measure (stddev is dominated by outliers; MAD is the
+# robust-statistics standard for anomaly thresholds): per return
+# flag, MAD(quantity) = median(|q − median(q)|). Two exact-median
+# aggregates with the group median joined back between them —
+# medians are per-GROUP (bounded groups), never a global sort.
+# ---------------------------------------------------------------------------
+
+
+def q87_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med"), 2).alias("median_qty"),
+            F.round(
+                F.median(F.abs(F.col("l_quantity") - F.col("med"))), 2
+            ).alias("mad_qty"),
+            F.round(F.stddev_samp("l_quantity"), 2).alias("stddev_qty"),
+        )
+    )
+
+
+_register(
+    "q87_mad_robust_stats",
+    q87_mad_robust_stats,
+    """
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           round(any_value(m.med), 2) AS median_qty,
+           round(median(abs(l.l_quantity - m.med)), 2) AS mad_qty,
+           round(stddev_samp(l.l_quantity), 2) AS stddev_qty
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY 1
+    """,
+)

@@ -1466,3 +1466,49 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_entropy — per-source unigram Shannon entropy (lexical-diversity
+# metric, the within-source complement of tx_js_divergence's
+# between-distribution shift): low entropy flags templated/repetitive
+# sources before any document-level rule fires. One frequency
+# aggregate and one per-source fold — vocabulary-proportional.
+# ---------------------------------------------------------------------------
+
+
+def tx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        per.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+    )
+
+
+_register(
+    "tx_entropy",
+    tx_entropy,
+    """
+    WITH per AS (
+      SELECT source, term, count(*) AS c FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM per GROUP BY 1)
+    SELECT source,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy_nats,
+           count(*) AS vocab
+    FROM per JOIN tot USING (source)
+    GROUP BY source
+    """,
+)
