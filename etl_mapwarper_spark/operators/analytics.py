@@ -1140,3 +1140,48 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q88_argmax_aggregate — the min_by/max_by aggregate surface: per
+# nation, the single highest-balance customer WITHOUT a window or
+# self-join — one hash aggregate with an argmax accumulator (the
+# shape that beats rank-and-filter when only the top-1 row matters:
+# map-side combinable, no sort). Ties are made impossible by packing
+# (cents, inverted custkey) into one bigint ordering key, so both
+# engines pick the identical row.
+# ---------------------------------------------------------------------------
+
+
+def q88_argmax_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    key = F.col("cents") * 10_000_000 + (10_000_000 - F.col("c_custkey"))
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", key).alias("top_custkey"),
+        (F.max("cents") / 100.0).alias("top_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+_register(
+    "q88_argmax_aggregate",
+    q88_argmax_aggregate,
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             round(c_acctbal * 100, 0)::BIGINT AS cents
+      FROM customer
+    )
+    SELECT c_nationkey,
+           max_by(c_custkey,
+                  cents * 10000000 + (10000000 - c_custkey)) AS top_custkey,
+           max(cents) / 100.0 AS top_acctbal,
+           count(*) AS n_customers
+    FROM c
+    GROUP BY c_nationkey
+    """,
+)

@@ -1512,3 +1512,96 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_pmi_collocations — pointwise mutual information over bigrams
+# (the word2vec-style phrase-mining step that decides which token
+# pairs deserve a merged vocabulary entry): PMI = ln(p(xy)/(p(x)p(y)))
+# over bigrams with support ≥ 5; high-PMI pairs co-occur far more
+# than their unigram frequencies predict. Unigram probabilities join
+# onto the bigram table by term (two vocabulary-keyed joins — AQE
+# picks broadcast when the vocab side is small); top-15 by TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 15
+
+
+def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = tokens(F.col("text"))
+    length = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
+        lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2")),
+    )
+    bg = docs.select(F.explode(bigrams).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    n_bg = bg.count()
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    uni = docs.select(F.explode(t).alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    n_uni = uni.agg(F.sum("cu")).collect()[0][0]
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") / F.lit(float(n_bg)))
+        / (
+            (F.col("c1") / F.lit(float(n_uni)))
+            * (F.col("c2") / F.lit(float(n_uni)))
+        )
+    )
+    scored = (
+        bgc.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1", "w2", "c12", F.round(pmi, 4).alias("pmi")
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOPK)
+
+
+_register(
+    "tx_pmi_collocations",
+    tx_pmi_collocations,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                    i -> {{'w1': t[i], 'w2': t[i+1]}})) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgf AS (SELECT g.w1 AS w1, g.w2 AS w2 FROM bg),
+    nbg AS (SELECT count(*)::DOUBLE AS n FROM bgf),
+    bgc AS (
+      SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    uni AS (
+      SELECT term, count(*) AS cu FROM (
+        SELECT unnest(t) AS term FROM toks
+      ) GROUP BY 1
+    ),
+    nuni AS (SELECT sum(cu)::DOUBLE AS n FROM uni)
+    SELECT w1, w2, c12,
+           round(ln((c12 / (SELECT n FROM nbg))
+                    / ((u1.cu / (SELECT n FROM nuni))
+                       * (u2.cu / (SELECT n FROM nuni)))), 4) AS pmi
+    FROM bgc
+    JOIN uni u1 ON bgc.w1 = u1.term
+    JOIN uni u2 ON bgc.w2 = u2.term
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {_PMI_TOPK}
+    """,
+)
