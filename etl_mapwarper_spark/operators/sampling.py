@@ -1136,3 +1136,158 @@ def _dataset_card_sql() -> str:
 
 
 _register("ds_dataset_card", ds_dataset_card, _dataset_card_sql())
+
+
+# ---------------------------------------------------------------------------
+# ds_quality_ablation — stage-attribution ablation for the curation
+# pipeline: how many documents/tokens does EACH filter remove on its
+# own, and how many survive all of them together? This is the table a
+# data team reads before shipping a filter change (a stage that
+# removes 40% alone but 1% marginally is redundant; one that removes
+# little alone but much jointly is interacting). One annotated corpus
+# pass (quality flag, duplicate flag via fingerprint window,
+# contamination flag via the bench-shingle broadcast join), then one
+# conditional aggregate per ablation row over the SAME frame.
+# ---------------------------------------------------------------------------
+
+
+def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast as _bc
+    from pyspark.sql.window import Window
+
+    from ..functions.text import doc_fingerprint, tokens, word_shingles
+    from .textops import c4_kept_expr
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id",
+        token_count(F.col("text")).alias("dl"),
+        c4_kept_expr(F.col("text")).alias("q_ok"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    wfp = Window.partitionBy("fp")
+    flagged = docs.withColumn(
+        "d_ok", F.min("doc_id").over(wfp) == F.col("doc_id")
+    )
+    bench_h = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(word_shingles(tokens(F.col("text")), 5)).alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        flagged.select(
+            "doc_id", F.explode(word_shingles(F.col("toks"), 5)).alias("s")
+        )
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .join(_bc(bench_h), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(True))
+    )
+    ann = (
+        flagged.drop("toks")
+        .join(_bc(contaminated), "doc_id", "left")
+        .withColumn("c_ok", F.col("contam").isNull())
+    )
+
+    def row(name, cond):
+        return ann.agg(
+            F.lit(name).alias("ablation"),
+            F.count_if(cond).alias("n_docs"),
+            F.sum(F.when(cond, F.col("dl")).otherwise(0)).alias("n_tokens"),
+            F.round(
+                F.sum(F.when(cond, F.col("dl")).otherwise(0))
+                / F.sum("dl"),
+                4,
+            ).alias("token_frac"),
+        )
+
+    all_ok = F.col("q_ok") & F.col("d_ok") & F.col("c_ok")
+    return (
+        row("raw", F.lit(True))
+        .union(row("quality_only", F.col("q_ok")))
+        .union(row("dedup_only", F.col("d_ok")))
+        .union(row("decontam_only", F.col("c_ok")))
+        .union(row("all_filters", all_ok))
+    )
+
+
+def _ablation_sql() -> str:
+    from .textops import C4_KEPT_COND_SQL, C4_SCORED_COLS_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+{C4_SCORED_COLS_SQL}
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             ({C4_KEPT_COND_SQL}) AS q_ok,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             string_split(text, ' ') AS toks
+      FROM scored
+    ),
+    flagged AS (
+      SELECT doc_id, dl, q_ok, toks,
+             min(doc_id) OVER (PARTITION BY fp) = doc_id AS d_ok
+      FROM base
+    ),
+    bench_sh AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                         || t[i+3] || ' ' || t[i+4])) AS s
+      FROM (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 5)
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+        FROM flagged WHERE len(toks) >= 5
+      ) JOIN bench_sh USING (s)
+    ),
+    ann AS (
+      SELECT f.doc_id, f.dl, f.q_ok, f.d_ok,
+             f.doc_id NOT IN (SELECT doc_id FROM contaminated) AS c_ok
+      FROM flagged f
+    )
+    SELECT 'raw' AS ablation, count(*) AS n_docs,
+           sum(dl)::BIGINT AS n_tokens,
+           round(sum(dl) * 1.0 / sum(dl), 4) AS token_frac
+    FROM ann
+    UNION ALL
+    SELECT 'quality_only', count(*) FILTER (WHERE q_ok),
+           coalesce(sum(dl) FILTER (WHERE q_ok), 0)::BIGINT,
+           round(coalesce(sum(dl) FILTER (WHERE q_ok), 0) * 1.0
+                 / sum(dl), 4)
+    FROM ann
+    UNION ALL
+    SELECT 'dedup_only', count(*) FILTER (WHERE d_ok),
+           coalesce(sum(dl) FILTER (WHERE d_ok), 0)::BIGINT,
+           round(coalesce(sum(dl) FILTER (WHERE d_ok), 0) * 1.0
+                 / sum(dl), 4)
+    FROM ann
+    UNION ALL
+    SELECT 'decontam_only', count(*) FILTER (WHERE c_ok),
+           coalesce(sum(dl) FILTER (WHERE c_ok), 0)::BIGINT,
+           round(coalesce(sum(dl) FILTER (WHERE c_ok), 0) * 1.0
+                 / sum(dl), 4)
+    FROM ann
+    UNION ALL
+    SELECT 'all_filters', count(*) FILTER (WHERE q_ok AND d_ok AND c_ok),
+           coalesce(sum(dl) FILTER (WHERE q_ok AND d_ok AND c_ok),
+                    0)::BIGINT,
+           round(coalesce(sum(dl) FILTER (WHERE q_ok AND d_ok AND c_ok), 0)
+                 * 1.0 / sum(dl), 4)
+    FROM ann
+    """
+
+
+_register("ds_quality_ablation", ds_quality_ablation, _ablation_sql())
