@@ -438,3 +438,66 @@ _register(
     GROUP BY k
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mw_tile_coords — slippy-map tile math (OSM/Map Warper tile scheme,
+# the arithmetic behind the reference's tile URL templates,
+# mapwarper.js:277/:418): tile_x = ⌊(lon+180)/360·2^z⌋ and tile_y
+# from the Web-Mercator projection ⌊(1 − ln(tan φ + sec φ)/π)/2·2^z⌋.
+# Bucketing points into tiles is the geospatial PARTITIONING
+# primitive — the tile id is a spatial hash key, so tile-grouped
+# counts are exactly how a 100 TB point set shards for map serving.
+# The Mercator expression is rounded to 9 dp before ⌊⌋ so libm/JVM
+# last-ulp differences cannot flip a tile boundary between engines.
+# ---------------------------------------------------------------------------
+
+_TILE_Z = 12
+
+
+def mw_tile_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    pts = sup.select(
+        "s_suppkey",
+        (F.lit(-74.05) + (F.col("s_suppkey") % 50) * 0.004).alias("lon"),
+        (F.lit(40.55) + ((F.col("s_suppkey") * 3) % 50) * 0.006).alias("lat"),
+    )
+    n = F.lit(float(2 ** _TILE_Z))
+    lat_r = F.radians(F.col("lat"))
+    merc = (
+        F.lit(1.0)
+        - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r)) / F.lit(3.141592653589793)
+    ) / 2
+    tx = F.floor(F.round((F.col("lon") + 180.0) / 360.0 * n, 9)).cast("int")
+    ty = F.floor(F.round(merc * n, 9)).cast("int")
+    return (
+        pts.select(tx.alias("tile_x"), ty.alias("tile_y"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+_register(
+    "mw_tile_coords",
+    mw_tile_coords,
+    f"""
+    WITH pts AS (
+      SELECT CAST(-74.05 AS DOUBLE) + (s_suppkey % 50) * CAST(0.004 AS DOUBLE) AS lon,
+             CAST(40.55 AS DOUBLE) + ((s_suppkey * 3) % 50) * CAST(0.006 AS DOUBLE) AS lat
+      FROM supplier
+    ),
+    tiles AS (
+      SELECT floor(round((lon + 180.0) / 360.0 * {float(2 ** _TILE_Z)}, 9))::INT
+               AS tile_x,
+             floor(round((1.0 - ln(tan(radians(lat))
+                                   + 1.0 / cos(radians(lat))) / pi())
+                         / 2 * {float(2 ** _TILE_Z)}, 9))::INT AS tile_y
+      FROM pts
+    )
+    SELECT tile_x, tile_y, count(*) AS n_points
+    FROM tiles
+    GROUP BY 1, 2
+    """,
+)
