@@ -1291,3 +1291,46 @@ def _ablation_sql() -> str:
 
 
 _register("ds_quality_ablation", ds_quality_ablation, _ablation_sql())
+
+
+# ---------------------------------------------------------------------------
+# ds_length_histogram — token-length distribution in log2 buckets per
+# source (the standard dataset-release histogram: truncation-rate
+# planning for a given context window reads straight off it). Bucket
+# = ⌊log2(dl)⌋ as exact integer bit-length arithmetic (no float log —
+# engine-portable), one conditional aggregate per scan.
+# ---------------------------------------------------------------------------
+
+
+def ds_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("dl")
+    ).filter(F.col("dl") > 0)
+    # floor(log2(dl)) via bit length: exact for integers on any engine
+    bucket = (F.length(F.conv(F.col("dl").cast("string"), 10, 2)) - 1).cast(
+        "int"
+    )
+    return docs.groupBy("source", bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("dl").alias("min_len"),
+        F.max("dl").alias("max_len"),
+    )
+
+
+_register(
+    "ds_length_histogram",
+    ds_length_histogram,
+    """
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS dl FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT source,
+           (length(ltrim(bin(dl), '0')) - 1)::INT AS log2_bucket,
+           count(*) AS n_docs,
+           min(dl)::INT AS min_len,
+           max(dl)::INT AS max_len
+    FROM d
+    GROUP BY 1, 2
+    """,
+)
