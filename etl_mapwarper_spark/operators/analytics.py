@@ -1185,3 +1185,62 @@ _register(
     GROUP BY c_nationkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q90_asof_forward — FORWARD as-of join (q22's mirror): for each order,
+# the customer's first event at second-or-later granularity after the
+# order date — the "next reading after the fact" direction used for
+# treatment-effect and next-touch attribution. Same scale shape as
+# q22: the argmin over candidates packs (seconds-since-order, event_id)
+# into ONE bigint so the aggregate stays a primitive-buffer
+# HashAggregate with map-side combine (min(struct) would fall back to
+# SortAggregate). Packing contract: gaps < 2^30 seconds (~34 years),
+# event_id < 2^33; ties within one second resolve to the smallest
+# event_id in both engines.
+# ---------------------------------------------------------------------------
+
+
+def q90_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    j = orders.join(ev, orders.o_custkey == ev.user_id).filter(
+        F.col("ts") >= F.col("o_orderdate")
+    )
+    delta_s = (
+        F.expr("unix_seconds(ts)") - F.expr("unix_seconds(o_orderdate)")
+    )
+    packed = F.shiftleft(delta_s, 33) + F.col("event_id")
+    return (
+        j.groupBy("o_orderkey", "o_custkey")
+        .agg(F.min(packed).alias("p"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("p").bitwiseAND(F.lit((1 << 33) - 1)).alias("event_id"),
+            F.shiftright(F.col("p"), 33).alias("gap_seconds"),
+        )
+    )
+
+
+_register(
+    "q90_asof_forward",
+    q90_asof_forward,
+    """
+    SELECT o_orderkey, o_custkey, event_id, gap_seconds
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, e.event_id,
+             date_diff('second', o.o_orderdate, e.ts) AS gap_seconds,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY date_diff('second', o.o_orderdate, e.ts) ASC,
+                        e.event_id ASC) AS rn
+      FROM orders o JOIN events e ON o.o_custkey = e.user_id
+      WHERE e.ts >= o.o_orderdate AND o.o_orderkey < 2000
+    ) WHERE rn = 1
+    """,
+)
