@@ -1334,3 +1334,68 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_pack_efficiency — packing-waste report for ds_pack_sequences'
+# layout: per shard, how full the budget-sized training sequences
+# actually are (fill = tokens / (sequences × budget)). The unfilled
+# tail of each shard's last sequence is padding a trainer pays for —
+# this report is how a packing config (budget, shard count) gets
+# tuned before a run. Same single bounded window as the packer, one
+# per-shard aggregate on its partitioning.
+# ---------------------------------------------------------------------------
+
+
+def ds_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), _PACK_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("dl"),
+    ).filter(F.col("dl") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seqd = docs.withColumn("cum", F.sum("dl").over(w))
+    per_shard = seqd.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cum").alias("n_tokens"),
+        (F.ceil(F.max("cum") / _PACK_BUDGET)).alias("n_seqs"),
+    )
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_seqs",
+        F.round(
+            F.col("n_tokens") / (F.col("n_seqs") * _PACK_BUDGET), 4
+        ).alias("fill_frac"),
+    )
+
+
+_register(
+    "ds_pack_efficiency",
+    ds_pack_efficiency,
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_PACK_BUCKET_SQL} AS shard,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    per_shard AS (
+      SELECT shard, count(*) AS n_docs, sum(dl) AS n_tokens,
+             ceil(sum(dl) * 1.0 / {_PACK_BUDGET})::BIGINT AS n_seqs
+      FROM d GROUP BY 1
+    )
+    SELECT shard::BIGINT AS shard, n_docs, n_tokens::BIGINT AS n_tokens,
+           n_seqs,
+           round(n_tokens * 1.0 / (n_seqs * {_PACK_BUDGET}), 4) AS fill_frac
+    FROM per_shard
+    """,
+)
