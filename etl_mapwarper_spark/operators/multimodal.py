@@ -780,3 +780,66 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_entropy — per-image byte-histogram entropy, the standard
+# blank/flat-image detector (a solid-color or heavily-compressed-
+# artifact image has near-zero byte entropy; a natural photo is
+# high): bucket the pixel bytes, H = −Σ p·ln p over the bucket
+# distribution. Entropy is computed inside the Arrow-batched decode
+# stage (one pass over the payload, no per-byte rows on the JVM);
+# the oracle reproduces it from the closed-form byte pattern.
+# ---------------------------------------------------------------------------
+
+_ENT_BUCKETS = 16
+
+
+def mm_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def ent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "entropy": [],
+                "n_buckets_used": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = decode_fake(payload).astype(np.int64) // (
+                    256 // _ENT_BUCKETS
+                )
+                counts = np.bincount(b, minlength=_ENT_BUCKETS).astype(
+                    np.float64
+                )
+                p = counts[counts > 0] / counts.sum()
+                out["media_id"].append(mid)
+                out["entropy"].append(round(float(-(p * np.log(p)).sum()), 6))
+                out["n_buckets_used"].append(int((counts > 0).sum()))
+            yield pd.DataFrame(out)
+
+    return synthetic_media(spark, sf_dir).mapInPandas(
+        ent, schema="media_id bigint, entropy double, n_buckets_used int"
+    )
+
+
+_register(
+    "mm_image_entropy",
+    mm_image_entropy,
+    f"""
+    WITH px AS (
+      SELECT doc_id, ((doc_id + i.i) % 256) // (256 // {_ENT_BUCKETS}) AS b
+      FROM documents
+      CROSS JOIN (SELECT unnest(range({W * H})) AS i) i
+      WHERE doc_id < 200
+    ),
+    counts AS (
+      SELECT doc_id, b, count(*) AS c FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY 1)
+    SELECT c.doc_id AS media_id,
+           round(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 6)
+             AS entropy,
+           count(*)::INT AS n_buckets_used
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY 1
+    """,
+)
