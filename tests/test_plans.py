@@ -704,3 +704,19 @@ def test_hll_sketches_merge_across_subcorpora(spark):
     ).collect()[0]["est"]
     assert merged == whole, "sketch union must equal the one-pass sketch"
     assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+def test_llm_pipeline_exchange_budget_and_no_row_python(spark):
+    """The six-stage flagship must stay inside its audited plan
+    budget: bounded exchanges (12 at audit time — fp window, shingle
+    distinct, pack window, accounting aggregates, broadcasts and the
+    opt-in repartition), no shuffle joins (all four joins broadcast
+    the bounded side), and no Python anywhere."""
+    plan = plan_of(spark, "ds_llm_pipeline")
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges <= 13, f"flagship exchange budget blown: {n_exchanges}"
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", body), (
+        "flagship joins must broadcast their bounded sides"
+    )
+    assert not re.search(r"\bBatchEvalPython\b", plan)
