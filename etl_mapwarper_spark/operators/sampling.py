@@ -1399,3 +1399,72 @@ _register(
     FROM per_shard
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_anneal_schedule — quality-annealing training schedule: early
+# epochs see the full corpus, the final epoch anneals to the
+# high-quality subset (the curriculum used by recent model recipes:
+# breadth first, quality last). Epoch membership is a pure predicate
+# (epoch 0 = everything, epoch 1 = C4-kept only), so the schedule is
+# one explode + conditional filter inside the scan stage; the
+# accounting aggregate tells the trainer its per-epoch token budget
+# per source.
+# ---------------------------------------------------------------------------
+
+_ANNEAL_EPOCHS = 2
+
+
+def ds_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import c4_kept_expr
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("dl"),
+        c4_kept_expr(F.col("text")).alias("q_ok"),
+    )
+    sched = docs.select(
+        "source",
+        "dl",
+        "q_ok",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_ANNEAL_EPOCHS - 1))
+        ).alias("epoch"),
+    ).filter((F.col("epoch") == 0) | F.col("q_ok"))
+    return sched.groupBy("epoch", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("n_tokens"),
+    )
+
+
+def _anneal_sql() -> str:
+    from .textops import C4_KEPT_COND_SQL, C4_SCORED_COLS_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+{C4_SCORED_COLS_SQL}
+      FROM documents
+    ),
+    base AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS dl,
+             ({C4_KEPT_COND_SQL}) AS q_ok
+      FROM scored
+    ),
+    sched AS (
+      SELECT source, dl, q_ok, e.epoch
+      FROM base CROSS JOIN (SELECT unnest(range({_ANNEAL_EPOCHS}))
+                            AS epoch) e
+      WHERE e.epoch = 0 OR q_ok
+    )
+    SELECT epoch::INT AS epoch, source,
+           count(*) AS n_docs,
+           sum(dl)::BIGINT AS n_tokens
+    FROM sched
+    GROUP BY 1, 2
+    """
+
+
+_register("ds_anneal_schedule", ds_anneal_schedule, _anneal_sql())
