@@ -1575,3 +1575,46 @@ def _semantic_clusters_sql() -> str:
 _register(
     "dd_semantic_clusters", dd_semantic_clusters, _semantic_clusters_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_shingle_df_profile — document-frequency profile of the shingle
+# index (the tuning data behind dd_ngram_jaccard's df_cap): how many
+# shingle keys sit at each document frequency, and how many candidate
+# PAIRS each df stratum would generate (df·(df−1)/2 per key — the
+# quadratic term a stop-shingle cap truncates). Reading this table is
+# how the cap is chosen at 100 TB: cut where cumulative pair volume
+# explodes while key count is negligible.
+# ---------------------------------------------------------------------------
+
+
+def dd_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    df_per_key = sh.distinct().groupBy("h").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return df_per_key.groupBy("df").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.count(F.lit(1)) * F.first("df") * (F.first("df") - 1) / 2)
+        .cast("long")
+        .alias("pair_volume"),
+    )
+
+
+_register(
+    "dd_shingle_df_profile",
+    dd_shingle_df_profile,
+    _SH_CTE
+    + """
+    , dfk AS (
+      SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1
+    )
+    SELECT df::BIGINT AS df,
+           count(*) AS n_keys,
+           (count(*) * df * (df - 1) / 2)::BIGINT AS pair_volume
+    FROM dfk
+    GROUP BY df
+    """,
+)

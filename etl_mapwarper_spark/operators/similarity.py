@@ -1197,3 +1197,44 @@ _register(
     GROUP BY label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_bucket_balance — SRP-LSH bucket-occupancy report (the index-
+# tuning twin of dd_shingle_df_profile): candidate volume per probe
+# is the probe bucket's size, so skewed buckets decide both recall
+# and cost. Reports per-bucket occupancy plus the share of the
+# corpus in the largest bucket — the number that says whether to add
+# hyperplane bits before the index ships.
+# ---------------------------------------------------------------------------
+
+
+def sim_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        _bucket_expr("embedding").alias("bucket")
+    )
+    per_bucket = emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_bucket.agg(F.sum("n").alias("total"))
+    return (
+        per_bucket.crossJoin(broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("frac"),
+        )
+    )
+
+
+_register(
+    "sim_bucket_balance",
+    sim_bucket_balance,
+    f"""
+    WITH b AS (
+      SELECT {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    per AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM per)
+    SELECT bucket, n, round(n * 1.0 / total, 4) AS frac
+    FROM per CROSS JOIN t
+    """,
+)
