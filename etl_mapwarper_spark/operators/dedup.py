@@ -171,9 +171,16 @@ def dd_ngram_jaccard(
         sh = sh.join(keep.select("h"), "h")
     # Pair expansion is the CPU-heavy stage; partition the index by its
     # join key at full core width so the self-join runs co-partitioned
-    # and parallel even under a narrow static shuffle config.
+    # and parallel even under a narrow static shuffle config. The
+    # shuffle_hash hint pins a shuffled hash join: both sides are the
+    # SAME repartitioned subtree, so the planner reuses one exchange
+    # (one shingle pass, not two) — a broadcast here would both
+    # double-compute the index and be impossible at corpus scale, and
+    # SMJ would add two sorts the hash join doesn't need. Build side =
+    # one hash partition of the index, bounded by partition width, not
+    # corpus size.
     sh = sh.repartition(spark.sparkContext.defaultParallelism, "h")
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
     common = (
         a.join(
             b,

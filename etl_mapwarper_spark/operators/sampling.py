@@ -957,22 +957,27 @@ def ds_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq", F.floor((F.sum("dl").over(wp) - F.col("dl")) / _PACK_BUDGET)
     )
     # 6. accounting: sequence counts fold per (split, shard) first
-    # (reuses the window's partitioning), then per split
+    # (reuses the window's partitioning — no extra exchange), then per
+    # split. Distinct sources ride the same two-level fold as a
+    # collect_set per shard (the source domain is a bounded catalog of
+    # corpus names, not corpus-sized) flattened per split — no second
+    # corpus aggregation branch and no join.
     per_shard = seqd.groupBy("split", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("n_tokens"),
         (F.max("seq") + 1).alias("n_seqs"),
-        F.count_distinct("source").alias("n_sources_shard"),
+        F.collect_set("source").alias("shard_sources"),
     )
-    counts = per_shard.groupBy("split").agg(
+    return per_shard.groupBy("split").agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         F.sum("n_seqs").alias("n_sequences"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("shard_sources")))
+        )
+        .cast("long")
+        .alias("n_sources"),
     )
-    sources = seqd.groupBy("split").agg(
-        F.count_distinct("source").alias("n_sources")
-    )
-    return counts.join(_bc(sources), "split")
 
 
 def _llm_pipeline_sql() -> str:
