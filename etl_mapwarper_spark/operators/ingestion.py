@@ -609,3 +609,122 @@ _register(
     GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# src_bucketed_join — bucketed-table co-located join (SURVEY §2.B
+# joins/scans; the "repartition/bucketing for co-located joins" scale
+# technique). Both fact tables are written bucketed by the join key
+# (one file per bucket, write tasks aligned to buckets), so the
+# sort-merge join needs NO Exchange: the shuffle was paid once at
+# write time. At 100 TB this is how repeated fact-fact joins
+# (orders ⋈ lineitem on every query) amortize their dominant cost;
+# the plan audit pins `Bucketed: true` scans and zero exchanges below
+# the final aggregation. (The SMJ's per-bucket Sorts remain: since
+# SPARK-28632 the scan does not advertise sortBy order — they are
+# cheap local sorts of single-bucket runs, not shuffles.)
+# External-table paths keep all bytes in scratch dirs (no
+# managed-warehouse writes in the driver session).
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
+    scratch = tempfile.mkdtemp(prefix="bucketed_")
+    names = {}
+    for tbl, key, cols in (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        (
+            "lineitem",
+            "l_orderkey",
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+    ):
+        name = f"b_{tbl}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .select(*cols)
+            # align write tasks to buckets (same Murmur3 hash family),
+            # one file per bucket — required for the scan to report
+            # per-bucket ordering so the SMJ skips its Sorts too
+            .repartition(_N_BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .option("path", f"{scratch}/{name}")
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+    orders = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    # merge hint: the demonstration is the co-located SMJ — a broadcast
+    # would hide the bucketing (and is impossible for two fact tables
+    # at scale anyway).
+    joined = orders.hint("merge").join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_register(
+    "src_bucketed_join",
+    src_bucketed_join,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# src_partitioned_pruning — Hive-style partitioned layout + partition
+# pruning (SURVEY §2.B scans; the data-skipping half of "push down and
+# prune"). Events are written partitionBy(event_type); the read
+# filters to one type, which must resolve as a PartitionFilter — the
+# scan lists ONE directory and never opens the others' files. At
+# 100 TB the partition column is the difference between scanning a
+# single partition and the whole lake; the plan audit pins the filter
+# on the partition column, not the data.
+# ---------------------------------------------------------------------------
+
+
+def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="events_part_") + "/events_by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_register(
+    "src_partitioned_pruning",
+    src_partitioned_pruning,
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY event_type
+    """,
+)

@@ -1188,25 +1188,43 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
         lambda s: F.concat_ws(" ", s["0"], s["1"]),
     )
-    bg = docs.select(
-        "doc_id", F.explode(bigrams).alias("b")
-    ).select("doc_id", F.xxhash64("b").alias("bh"), F.split("b", " ")[0].alias("w1"))
+    # Instance stream: (doc_id, bh) only — the context word w1 rides
+    # the TYPE table, not every instance, so the corpus-sized side
+    # shuffles 16-byte rows exactly twice (score join + doc groupBy)
+    # instead of carrying strings through three joins.
+    inst = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.xxhash64("b").alias("bh")
+    )
+    types = docs.select(F.explode(bigrams).alias("b")).select(
+        F.xxhash64("b").alias("bh"), F.split("b", " ")[0].alias("w1")
+    )
     uni = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
-    c12 = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("c12"))
-    lp = F.log(
-        (F.col("c12") + F.lit(_BLM_K))
-        / (F.col("c1") + F.lit(_BLM_K) * F.col("v"))
+    # lp is a function of the bigram TYPE alone: resolve it once per
+    # type on the vocab²-bounded count table (w1 is functionally
+    # determined by bh, so min() just carries it through the groupBy),
+    # then score instances with a single hash-keyed equi-join.
+    c12 = types.groupBy("bh").agg(
+        F.count(F.lit(1)).alias("c12"), F.min("w1").alias("w1")
+    )
+    lptab = (
+        c12.join(c1, c12.w1 == c1.term)
+        .crossJoin(broadcast(vocab))
+        .select(
+            "bh",
+            F.log(
+                (F.col("c12") + F.lit(_BLM_K))
+                / (F.col("c1") + F.lit(_BLM_K) * F.col("v"))
+            ).alias("lp"),
+        )
     )
     return (
-        bg.join(c12, "bh")
-        .join(c1, bg.w1 == c1.term)
-        .crossJoin(broadcast(vocab))
+        inst.join(lptab, "bh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(lp), 4).alias("avg_logprob"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
 

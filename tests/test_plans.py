@@ -720,3 +720,30 @@ def test_llm_pipeline_exchange_budget_and_no_row_python(spark):
         "flagship joins must broadcast their bounded sides"
     )
     assert not re.search(r"\bBatchEvalPython\b", plan)
+
+
+def test_src_bucketed_join_no_shuffle(spark):
+    """Bucketed co-located join: both scans read bucketed tables and
+    the SMJ runs with no Exchange anywhere below the final aggregation
+    — the join's shuffle was paid once at table-write time."""
+    plan = plan_of(spark, "src_bucketed_join")
+    body = plan.split("===== Subqueries =====")[0]
+    assert "SortMergeJoin" in body
+    assert len(re.findall(r"Bucketed: true", body)) == 2, (
+        "both sides must scan bucketed tables"
+    )
+    # the only exchange is the final groupBy's
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges == 1, f"bucketed join must not shuffle: {n_exchanges}"
+
+
+def test_src_partitioned_pruning_partition_filter(spark):
+    """Partition-layout pruning: the event_type predicate must resolve
+    as a PartitionFilter (directory pruning), never a data filter, and
+    the partition column must not appear in the read schema."""
+    plan = plan_of(spark, "src_partitioned_pruning")
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", plan)
+    assert m, "event_type must prune partitions at the scan"
+    assert not re.search(r"DataFilters: \[[^\]]*event_type", plan), (
+        "event_type must not be evaluated as a data filter"
+    )
