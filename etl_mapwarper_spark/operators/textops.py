@@ -1623,3 +1623,83 @@ _register(
     LIMIT {_PMI_TOPK}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_hashed_linear_score — fastText/CCNet-style quality-classifier
+# INFERENCE as pure column math (the shape used to score every
+# pre-training document against a trained linear model): each token
+# hashes into one of _HLS_FEATS weight buckets, the document's score
+# is the mean bucket weight plus a bias, squashed by a sigmoid. The
+# trained model ships INSIDE the plan as a literal weight array (the
+# same artifact-inlining pattern as sim_ivf_topk's centroids) — at
+# 100 TB the scoring pass is a zero-shuffle narrow scan: no join, no
+# UDF, no Python; a different model is a different literal. Weights
+# here are derived from a fixed formula so the DuckDB oracle can
+# reconstruct them and verify the arithmetic end-to-end; a real
+# deployment would paste trained weights into the same literal.
+# ---------------------------------------------------------------------------
+
+_HLS_FEATS = 256
+_HLS_BIAS = 0.05
+
+
+def _hls_weight(b: int) -> float:
+    # fixed, engine-portable pseudo-weights standing in for a trained
+    # model: w(b) ∈ [-1, 1] with a deterministic integer formula
+    return ((b * 37) % 201 - 100) / 100.0
+
+
+def tx_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    weights = F.array(
+        *[F.lit(_hls_weight(b)) for b in range(_HLS_FEATS)]
+    )
+    toks = tokens(F.col("text"))
+    bucket = lambda t: (  # noqa: E731 — md5-int bucket, oracle-portable
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % _HLS_FEATS
+    )
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(weights, (bucket(t) + 1).cast("int")),
+    )
+    n = F.size(toks)
+    raw = F.when(n > 0, total / n + F.lit(_HLS_BIAS)).otherwise(
+        F.lit(_HLS_BIAS)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    return docs.select(
+        "doc_id",
+        F.round(prob, 4).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+_register(
+    "tx_hashed_linear_score",
+    tx_hashed_linear_score,
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS t,
+             list_sum(list_transform(string_split(text, ' '),
+               tok -> (((TRY_CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                         % {_HLS_FEATS}) * 37) % 201 - 100) / 100.0
+             )) AS total
+      FROM documents
+    ),
+    raw AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0
+                  THEN coalesce(total, 0.0) / len(t) + {_HLS_BIAS}
+                  ELSE {_HLS_BIAS} END AS raw
+      FROM scored
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-raw)), 4) AS quality_prob,
+           (1.0 / (1.0 + exp(-raw))) >= 0.5 AS keep
+    FROM raw
+    """,
+)

@@ -747,3 +747,14 @@ def test_src_partitioned_pruning_partition_filter(spark):
     assert not re.search(r"DataFilters: \[[^\]]*event_type", plan), (
         "event_type must not be evaluated as a data filter"
     )
+
+
+def test_tx_hashed_linear_score_zero_shuffle_inference(spark):
+    """Model inference as column math: the hashed-linear scoring pass
+    must be a narrow scan — no joins, no aggregation exchange beyond
+    the small-input repartition, and no Python."""
+    plan = plan_of(spark, "tx_hashed_linear_score")
+    assert "join" not in plan.lower()
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges <= 1, f"scoring must not shuffle: {n_exchanges}"
+    assert not re.search(r"\bBatchEvalPython\b|ArrowEvalPython", plan)
