@@ -1703,3 +1703,147 @@ _register(
     FROM raw
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_bpe_train_merges — distributed BPE tokenizer TRAINING (merge-rule
+# learning), the missing half of tx_bpe_tokens (which only applies a
+# fixed vocabulary). Classic BPE trains on the word-frequency
+# dictionary, so after ONE corpus scan (explode → groupBy word) every
+# iteration runs on vocab-bounded data — the scale-correct shape: at
+# 100 TB the corpus is touched once and the merge loop never sees it
+# again. Each round (a) counts adjacent symbol pairs weighted by word
+# frequency, (b) takes the arg-max pair (count desc, pair asc — the
+# deterministic tie-break), (c) rewrites every word's symbol array by
+# a left-to-right greedy fold (the exact merge semantics of reference
+# BPE implementations). Only the per-round winner row is collected —
+# O(1) driver traffic per round, like sim_kmeans_2iter's centroids.
+# Symbols are joined on U+001F inside the fold; corpus text is assumed
+# not to contain that control character (true of any sane corpus).
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+_BPE_US = "\x1f"
+
+
+def _bpe_pair_counts(cur: DataFrame) -> DataFrame:
+    ln = F.greatest(F.size(F.col("syms")) - 1, F.lit(0))
+    pairs = F.transform(
+        F.arrays_zip(F.slice("syms", 1, ln), F.slice("syms", 2, ln)),
+        lambda s: F.concat(s["0"], F.lit(_BPE_US), s["1"]),
+    )
+    return (
+        cur.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
+def _bpe_apply_merge(cur: DataFrame, p1: str, p2: str) -> DataFrame:
+    # left-to-right greedy merge: fold symbols into a US-joined string
+    # (always a leading US), replacing a trailing "<US>p1" + incoming
+    # p2 with the merged symbol; re-split afterwards. Merged symbols
+    # differ from their parts, so overlapping runs ("a a a") merge
+    # non-overlapping exactly like reference BPE.
+    merged = p1 + p2
+    joined = F.aggregate(
+        F.col("syms"),
+        F.lit(""),
+        lambda acc, x: F.when(
+            (F.length(acc) > 0)
+            & (F.substring_index(acc, _BPE_US, -1) == F.lit(p1))
+            & (x == F.lit(p2)),
+            F.concat(
+                F.substring(acc, 1, F.length(acc) - len(p1)),
+                F.lit(merged),
+            ),
+        ).otherwise(F.concat(acc, F.lit(_BPE_US), x)),
+    )
+    return cur.select(
+        "cnt",
+        F.split(F.substring(joined, 2, 1 << 30), _BPE_US).alias("syms"),
+    )
+
+
+def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = vocab.select(
+        "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+    )
+    rows = []
+    for r in range(_BPE_ROUNDS):
+        winners = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.desc("total"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not winners:  # empty corpus / no adjacent pairs left
+            break
+        top = winners[0]
+        p1, p2 = top["p"].split(_BPE_US)
+        rows.append((r + 1, p1, p2, p1 + p2, top["total"]))
+        cur = _bpe_apply_merge(cur, p1, p2)
+    return spark.createDataFrame(
+        rows, "merge_round int, p1 string, p2 string, merged string, pair_count long"
+    )
+
+
+def _bpe_sql() -> str:
+    def pair_cte(s: str) -> str:
+        return f"""
+      SELECT p, sum(cnt) AS total FROM (
+        SELECT cnt, unnest(list_transform(range(1, greatest(len(syms), 1)),
+               i -> syms[i] || chr(31) || syms[i+1])) AS p
+        FROM {s})
+      GROUP BY p"""
+
+    def top_cte(pc: str) -> str:
+        return f"""
+      SELECT string_split(p, chr(31))[1] AS a,
+             string_split(p, chr(31))[2] AS b, total
+      FROM {pc} ORDER BY total DESC, p ASC LIMIT 1"""
+
+    def apply_cte(s: str, m: str) -> str:
+        return f"""
+      SELECT cnt, string_split(substr(list_reduce(list_prepend('', syms),
+               (acc, x) -> CASE WHEN length(acc) > 0
+                                 AND string_split(acc, chr(31))[-1] = {m}.a
+                                 AND x = {m}.b
+                           THEN substr(acc, 1, length(acc) - length({m}.a))
+                                || {m}.a || {m}.b
+                           ELSE acc || chr(31) || x END), 2),
+             chr(31)) AS syms
+      FROM {s}, {m}"""
+
+    return f"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    s1 AS (SELECT cnt, regexp_extract_all(w, '.') AS syms FROM words),
+    pc1 AS ({pair_cte('s1')}),
+    m1 AS ({top_cte('pc1')}),
+    s2 AS ({apply_cte('s1', 'm1')}),
+    pc2 AS ({pair_cte('s2')}),
+    m2 AS ({top_cte('pc2')}),
+    s3 AS ({apply_cte('s2', 'm2')}),
+    pc3 AS ({pair_cte('s3')}),
+    m3 AS ({top_cte('pc3')})
+    SELECT 1 AS merge_round, a AS p1, b AS p2, a || b AS merged,
+           total::BIGINT AS pair_count FROM m1
+    UNION ALL
+    SELECT 2, a, b, a || b, total::BIGINT FROM m2
+    UNION ALL
+    SELECT 3, a, b, a || b, total::BIGINT FROM m3
+    """
+
+
+_register("tx_bpe_train_merges", tx_bpe_train_merges, _bpe_sql())

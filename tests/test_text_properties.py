@@ -130,3 +130,39 @@ def test_ngram_jaccard_df_cap_is_subset_of_exact(spark):
     for r in capped:
         assert (r.d1, r.d2) in exact
         assert r.jacc <= exact[(r.d1, r.d2)] + 1e-9
+
+
+def test_bpe_merge_fold_semantics(spark):
+    """The BPE merge fold must be left-to-right greedy and
+    non-overlapping: merging (a, a) over 'a a a a a' gives
+    [aa, aa, a], never [aa, aa, aa-overlap] — and a merged symbol
+    never re-matches its parts within the same round."""
+    import pyspark.sql.functions as F
+
+    from etl_mapwarper_spark.operators.textops import _bpe_apply_merge
+
+    cur = spark.createDataFrame(
+        [(1, ["a", "a", "a", "a", "a"]), (1, ["b", "a", "a", "b"])],
+        "cnt int, syms array<string>",
+    )
+    out = {
+        tuple(r["syms"])
+        for r in _bpe_apply_merge(cur, "a", "a").collect()
+    }
+    assert out == {("aa", "aa", "a"), ("b", "aa", "b")}
+
+
+def test_bpe_train_merges_empty_corpus(spark, tmp_path):
+    """An empty corpus yields an empty merge table with the stable
+    schema, not an IndexError from the per-round winner collect."""
+    import pyspark.sql.types as T
+
+    from etl_mapwarper_spark.operators.textops import tx_bpe_train_merges
+    from etl_mapwarper_spark.sources.tables import SCHEMAS
+
+    spark.createDataFrame([], SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = tx_bpe_train_merges(spark, str(tmp_path))
+    assert out.columns == ["merge_round", "p1", "p2", "merged", "pair_count"]
+    assert out.count() == 0
