@@ -1238,3 +1238,113 @@ _register(
     FROM per CROSS JOIN t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_embedding_covariance — one-pass distributed covariance matrix of
+# the embedding corpus (the input artifact for PCA / whitening /
+# Mahalanobis outlier scoring). Each row contributes its d² outer
+# product as a single flattened array (one posexplode, no self-join);
+# the groupBy then reduces to exactly d² cells with map-side partial
+# aggregation, so the SHUFFLE IS d²-BOUNDED REGARDLESS OF CORPUS SIZE
+# — at 100 TB the only corpus-sized work is the narrow scan. Means
+# ride a second tiny aggregate broadcast onto the cell table
+# (cov = E[xy] − E[x]E[y]).
+#
+# Reproducibility: floating-point sums are order-dependent, and a
+# distributed reduction has no fixed order — so each product/element
+# is floor-quantized to 1e-8 FIXED-POINT and summed as exact int64
+# (|x|≈1 ⇒ ~1e8 per element; int64 overflows only past ~9e10 rows).
+# Identical integers on every engine/partitioning ⇒ bit-identical
+# covariance — the standard trick for run-to-run reproducible
+# distributed statistics, and what lets DuckDB verify the values
+# exactly instead of within a tolerance.
+# ---------------------------------------------------------------------------
+
+_COV_D = 64
+_COV_FP = 10**8  # fixed-point scale
+
+
+def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    x = to_double_array(F.col("embedding"))
+    outer = F.flatten(
+        F.transform(
+            x,
+            lambda xi: F.transform(
+                x,
+                lambda xj: F.floor(xi * xj * _COV_FP).cast("long"),
+            ),
+        )
+    )
+    cells = (
+        emb.select(F.posexplode(outer).alias("p", "v"))
+        .groupBy("p")
+        .agg(F.sum("v").alias("sxy"), F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.col("p") / _COV_D).cast("int").alias("i"),
+            (F.col("p") % _COV_D).alias("j"),
+            (F.col("sxy") / _COV_FP / F.col("n")).alias("exy"),
+        )
+    )
+    means = (
+        emb.select(
+            F.posexplode(
+                F.transform(
+                    x, lambda xi: F.floor(xi * _COV_FP).cast("long")
+                )
+            ).alias("i", "xi")
+        )
+        .groupBy("i")
+        .agg((F.sum("xi") / _COV_FP / F.count(F.lit(1))).alias("mean"))
+    )
+    mi = means.select(F.col("i"), F.col("mean").alias("mean_i"))
+    mj = means.select(F.col("i").alias("j"), F.col("mean").alias("mean_j"))
+    return (
+        cells.join(broadcast(mi), "i")
+        .join(broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 normalizes IEEE negative zero for the comparator
+            (
+                F.round(
+                    F.col("exy") - F.col("mean_i") * F.col("mean_j"), 4
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+_register(
+    "sim_embedding_covariance",
+    sim_embedding_covariance,
+    f"""
+    WITH cells AS (
+      SELECT (p - 1) // {_COV_D} AS i, (p - 1) % {_COV_D} AS j,
+             sum(v) / {_COV_FP} / count(*) AS exy
+      FROM (
+        SELECT unnest(range(1, {_COV_D} * {_COV_D} + 1)) AS p,
+               unnest(flatten(list_transform(embedding,
+                 x -> list_transform(embedding,
+                      y -> floor(x::DOUBLE * y::DOUBLE * {_COV_FP})::BIGINT
+                 )))) AS v
+        FROM embeddings)
+      GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT i - 1 AS i, sum(xi) / {_COV_FP} / count(*) AS mean
+      FROM (SELECT unnest(range(1, {_COV_D} + 1)) AS i,
+                   unnest(list_transform(embedding,
+                     x -> floor(x::DOUBLE * {_COV_FP})::BIGINT)) AS xi
+            FROM embeddings)
+      GROUP BY 1
+    )
+    SELECT c.i, c.j,
+           round(c.exy - a.mean * b.mean, 4) + 0.0 AS cov
+    FROM cells c
+    JOIN means a ON c.i = a.i
+    JOIN means b ON c.j = b.i
+    """,
+)
