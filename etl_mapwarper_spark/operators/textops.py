@@ -1847,3 +1847,99 @@ def _bpe_sql() -> str:
 
 
 _register("tx_bpe_train_merges", tx_bpe_train_merges, _bpe_sql())
+
+
+# ---------------------------------------------------------------------------
+# tx_pii_redact — PII scrubbing pass (the email/phone/IP redaction
+# every pre-training pipeline runs before release). Pure narrow scan:
+# three nested regexp_replace calls (JVM regex, no UDF), occurrence
+# counts via regexp_extract_all, and an md5 over the scrubbed text so
+# the oracle verifies the REDACTED BYTES exactly, not just the counts.
+# The synthetic corpus contains no PII (no digits at all), so the
+# fixture is synthesized inline from doc_id — both engines build the
+# same enriched text, which makes this a machinery check in the same
+# spirit as the fixture-backed mapwarper entries. Patterns stay in the
+# Java∩RE2 regex subset so Spark and DuckDB match identically.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PII_IP = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+
+def tx_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    with_counts = docs.select(
+        "doc_id",
+        enriched.alias("t"),
+        F.size(F.regexp_extract_all(enriched, F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(enriched, F.lit(_PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return with_counts.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_IP), 0)).alias(
+            "n_ips"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+_register(
+    "tx_pii_redact",
+    tx_pii_redact,
+    f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com or 555-'
+                  || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS r
+      FROM enriched
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+           md5(r) AS redacted_md5,
+           length(r) AS redacted_len
+    FROM red
+    """,
+)
