@@ -1473,3 +1473,65 @@ def _anneal_sql() -> str:
 
 
 _register("ds_anneal_schedule", ds_anneal_schedule, _anneal_sql())
+
+
+# ---------------------------------------------------------------------------
+# ds_temperature_mixture — temperature-scaled source sampling weights
+# (the multilingual/multi-source mixing rule: q_i ∝ p_i^α flattens the
+# head so low-resource sources are not drowned; α=1 is natural
+# proportion, α→0 uniform). Two tiny aggregates over one corpus scan:
+# per-source doc/token counts, then the source-bounded weight table
+# normalizes via a broadcast total — no corpus-sized shuffle beyond
+# the per-source groupBy. α is 0.5 so the power is computed as sqrt(),
+# which is correctly-rounded IEEE in every engine — the exponent
+# choice keeps the oracle comparison exact instead of pow()-ulp-lucky.
+# ---------------------------------------------------------------------------
+
+
+def ds_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    p = F.col("n_docs") / F.col("total_docs")
+    q = F.sqrt(F.col("n_docs")) / F.col("z")
+    return (
+        per_src.crossJoin(_bc(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("p_natural"),
+            F.round(q, 6).alias("q_temp"),
+            F.round(q / p, 4).alias("boost"),
+        )
+    )
+
+
+_register(
+    "ds_temperature_mixture",
+    ds_temperature_mixture,
+    """
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    totals AS (
+      SELECT sum(n_docs) AS total_docs, sum(sqrt(n_docs)) AS z
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_docs / total_docs, 6) AS p_natural,
+           round(sqrt(n_docs) / z, 6) AS q_temp,
+           round((sqrt(n_docs) / z) / (n_docs / total_docs), 4) AS boost
+    FROM per_src CROSS JOIN totals
+    """,
+)
