@@ -1625,3 +1625,66 @@ _register(
     GROUP BY df
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_source_overlap_matrix — cross-source contamination matrix: for
+# every source pair, how many content fingerprints appear in BOTH
+# (the "how much of source B is already in source A" question asked
+# before adding any new corpus to a training mix). The fingerprint is
+# the md5 of the first 8 tokens — a prefix blocking key that also
+# counts near-dup (shared-opening) contamination, not only
+# byte-identical copies. Distinct
+# (fp, source) pairs first — corpus-sized but map-side combined — then
+# the self-join runs on the fingerprint key where each key carries at
+# most |sources| rows, so pair expansion is sources²-bounded per key
+# and the output is a tiny sources² matrix. The shuffled join reuses
+# one exchange for both sides (same subtree), like dd_ngram_jaccard.
+# ---------------------------------------------------------------------------
+
+
+def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        docs.select(
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 8)
+                )
+            ).alias("fp"),
+            "source",
+        )
+        .distinct()
+    )
+    fps = fps.repartition(spark.sparkContext.defaultParallelism, "fp")
+    a, b = fps.alias("a"), fps.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+_register(
+    "dd_source_overlap_matrix",
+    dd_source_overlap_matrix,
+    """
+    WITH fps AS (
+      SELECT DISTINCT
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
