@@ -1244,3 +1244,64 @@ _register(
     ) WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q91_sql_interface — the engine's SQL TEXT surface: catalog tables
+# registered as temp views and the whole query — CTE, windowed rank,
+# date bucketing, HAVING — submitted as one ANSI SQL string through
+# spark.sql(). Everything else in the registry exercises the
+# DataFrame API; this entry proves a SQL-only user gets the same
+# Catalyst planning (broadcastable dim, pushed filters) with zero
+# Python-side plan construction. The view registration is idempotent
+# per (session, sf_dir).
+# ---------------------------------------------------------------------------
+
+
+def q91_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT n.n_name AS nation,
+                 year(o.o_orderdate) AS order_year,
+                 sum(o.o_totalprice) AS total_spend,
+                 count(*) AS n_orders
+          FROM v_orders o
+          JOIN v_customer c ON o.o_custkey = c.c_custkey
+          JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, year(o.o_orderdate)
+          HAVING count(*) >= 5
+        )
+        SELECT nation, order_year,
+               round(total_spend, 2) AS total_spend, n_orders,
+               rank() OVER (PARTITION BY order_year
+                            ORDER BY total_spend DESC, nation ASC) AS spend_rank
+        FROM spend
+        """
+    )
+
+
+_register(
+    "q91_sql_interface",
+    q91_sql_interface,
+    """
+    WITH spend AS (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS order_year,
+             sum(o.o_totalprice) AS total_spend,
+             count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate)
+      HAVING count(*) >= 5
+    )
+    SELECT nation, order_year,
+           round(total_spend, 2) AS total_spend, n_orders,
+           rank() OVER (PARTITION BY order_year
+                        ORDER BY total_spend DESC, nation ASC) AS spend_rank
+    FROM spend
+    """,
+)
