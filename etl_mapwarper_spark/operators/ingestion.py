@@ -728,3 +728,56 @@ _register(
     GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# src_dpp_join — DYNAMIC partition pruning (the runtime half of the
+# data-skipping story src_partitioned_pruning tells statically): the
+# fact table is laid out partitionBy(event_type), and the dim side's
+# qualifying partitions are only known at RUNTIME (an aggregate-count
+# threshold, deliberately not a literal list Catalyst could push
+# statically). The broadcast of the dim seeds a DynamicPruning
+# subquery on the fact scan, so only the qualifying directories are
+# read — at 100 TB this is how a selective dim join avoids scanning
+# the whole partitioned lake. The plan audit pins the
+# dynamicpruningexpression in the fact scan's PartitionFilters.
+# ---------------------------------------------------------------------------
+
+
+def src_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="dpp_") + "/events_by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    # qualifying types = those that ever recorded a high-value event —
+    # knowable only by scanning the dim side at runtime (a literal
+    # type list would be pushed statically and prove nothing)
+    dim = (
+        ev.filter(F.col("value") > 250.0)
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_register(
+    "src_dpp_join",
+    src_dpp_join,
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events WHERE value > 250.0
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY 1
+    """,
+)

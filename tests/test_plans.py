@@ -758,3 +758,13 @@ def test_tx_hashed_linear_score_zero_shuffle_inference(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges <= 1, f"scoring must not shuffle: {n_exchanges}"
     assert not re.search(r"\bBatchEvalPython\b|ArrowEvalPython", plan)
+
+
+def test_src_dpp_join_dynamic_pruning(spark):
+    """The partitioned-fact ⋈ runtime-dim join must seed a
+    DynamicPruning subquery on the fact scan's partition filters —
+    directory pruning decided at runtime from the broadcast dim."""
+    plan = plan_of(spark, "src_dpp_join")
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan must carry a dynamic partition pruning filter"
+    )
