@@ -633,6 +633,8 @@ _N_BUCKETS = 8
 def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
 
+    from ..sources.bucketing import read_bucketed, write_bucketed
+
     tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_").lower()
     scratch = tempfile.mkdtemp(prefix="bucketed_")
     names = {}
@@ -645,23 +647,16 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ):
         name = f"b_{tbl}_{tag}"
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            load_table(spark, sf_dir, tbl)
-            .select(*cols)
-            # align write tasks to buckets (same Murmur3 hash family),
-            # one file per bucket — required for the scan to report
-            # per-bucket ordering so the SMJ skips its Sorts too
-            .repartition(_N_BUCKETS, F.col(key))
-            .write.mode("overwrite")
-            .option("path", f"{scratch}/{name}")
-            .bucketBy(_N_BUCKETS, key)
-            .sortBy(key)
-            .saveAsTable(name)
+        write_bucketed(
+            load_table(spark, sf_dir, tbl).select(*cols),
+            name,
+            key,
+            _N_BUCKETS,
+            path=f"{scratch}/{name}",
         )
         names[tbl] = name
-    orders = spark.table(names["orders"])
-    li = spark.table(names["lineitem"])
+    orders = read_bucketed(spark, names["orders"])
+    li = read_bucketed(spark, names["lineitem"])
     # merge hint: the demonstration is the co-located SMJ — a broadcast
     # would hide the bucketing (and is impossible for two fact tables
     # at scale anyway).

@@ -28,11 +28,20 @@ def write_bucketed(
     key: str,
     buckets: int,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a managed parquet table bucketed+sorted by ``key``.
+    """Persist ``df`` as a parquet table bucketed+sorted by ``key``.
 
     Sorting within buckets lets the join skip its sort when files are
     few, and gives parquet run-length/delta encoding on the key column.
+    Write tasks are aligned to buckets (repartition by the bucket key
+    with the same Murmur3 hash family Spark buckets with), so each
+    bucket lands as ONE file — no small-files tail.
+
+    ``path``: when given, the table is EXTERNAL with its bytes at
+    ``path`` — required under sessions whose warehouse dir is not
+    controlled (e.g. the driver's vanilla session, where a managed
+    write would land a spark-warehouse/ in the process CWD).
 
     Idempotent: drops the catalog entry AND any orphaned warehouse
     directory (an aborted prior write leaves the location behind with
@@ -41,17 +50,21 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.repartition(buckets, df[key])
+        .write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path is not None:
+        writer.option("path", path).saveAsTable(table)
+        return
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
     if os.path.isdir(loc):
         shutil.rmtree(loc)
-    (
-        df.write.mode(mode)
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    writer.saveAsTable(table)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
