@@ -697,10 +697,12 @@ _register(
 
 
 def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.partitioned import read_partitioned, write_partitioned
+
     ev = load_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="events_part_") + "/events_by_type"
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path).filter(
+    write_partitioned(ev, path, ["event_type"])
+    back = read_partitioned(spark, path).filter(
         F.col("event_type") == "purchase"
     )
     return back.groupBy("event_type").agg(
@@ -740,10 +742,12 @@ _register(
 
 
 def src_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.partitioned import read_partitioned, write_partitioned
+
     ev = load_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="dpp_") + "/events_by_type"
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    fact = spark.read.parquet(path)
+    write_partitioned(ev, path, ["event_type"])
+    fact = read_partitioned(spark, path)
     # qualifying types = those that ever recorded a high-value event —
     # knowable only by scanning the dim side at runtime (a literal
     # type list would be pushed statically and prove nothing)
