@@ -1305,3 +1305,56 @@ _register(
     FROM spend
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q92_modern_sql — the modern SQL ergonomics surface both engines
+# share: GROUP BY ALL (group on every non-aggregate select item),
+# ORDER BY ALL, and SELECT * EXCEPT projection. Submitted as SQL text
+# like q91; semantics are pure sugar over the classic forms, so the
+# oracle runs the IDENTICAL statement. (GROUPS window frames and
+# QUALIFY are NOT in Spark 4.1's dialect — probed, not assumed —
+# which is itself part of the surface map.)
+# ---------------------------------------------------------------------------
+
+
+def q92_modern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT * EXCEPT (o_custkey, o_orderdate, o_totalprice),
+                 year(o_orderdate) AS order_year,
+                 o_totalprice
+          FROM v_orders
+        )
+        SELECT o_orderstatus, o_orderpriority, order_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM base
+        WHERE order_year >= 1995
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+_register(
+    "q92_modern_sql",
+    q92_modern_sql,
+    """
+    WITH base AS (
+      SELECT * EXCLUDE (o_custkey, o_orderdate, o_totalprice),
+             year(o_orderdate) AS order_year,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority, order_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM base
+    WHERE order_year >= 1995
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
