@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "tx_heavy_hitters_cms",
     "tx_bigram_logprob",
     "ds_rag_index_stats",
+    # extension set (round 3, late): classifier inference, PII scrub,
+    # BPE training, fixed-point covariance
+    "tx_hashed_linear_score",
+    "tx_pii_redact",
+    "tx_bpe_train_merges",
+    "sim_embedding_covariance",
     "ds_llm_pipeline",
 ]
 
