@@ -76,8 +76,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION TODO: the driver has never checked any entry added
 # in round 3 — enumerate them as the registry keys with no row in
-# CORRECTNESS_r01/r02/r03 (30+ entries: the ds_/dd_/sim_/tx_/mm_/st_/
-# src_/q77+ additions) plus q64 (deferred from the round-3 window).
+# CORRECTNESS_r01/r02/r03 (40+ entries: the ds_/dd_/sim_/tx_/mm_/st_/
+# src_/q77+ additions, including the late-round batch
+# src_bucketed_join, src_partitioned_pruning, src_dpp_join,
+# tx_hashed_linear_score, tx_pii_redact, tx_bpe_train_merges,
+# sim_embedding_covariance, dd_source_overlap_matrix,
+# ds_temperature_mixture, q91_sql_interface, q92_modern_sql)
+# plus q64 (deferred from the round-3 window).
 # They exceed the 50-slot window together with canaries, so
 # prioritize: (1) streaming/multimodal/source entries (weakest local
 # evidence class), (2) the composed flagships (ds_llm_pipeline,
