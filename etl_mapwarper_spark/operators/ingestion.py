@@ -702,7 +702,7 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="events_part_") + "/events_by_type"
     write_partitioned(ev, path, ["event_type"])
-    back = read_partitioned(spark, path).filter(
+    back = read_partitioned(spark, path, schema=ev.schema).filter(
         F.col("event_type") == "purchase"
     )
     return back.groupBy("event_type").agg(
@@ -747,7 +747,7 @@ def src_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="dpp_") + "/events_by_type"
     write_partitioned(ev, path, ["event_type"])
-    fact = read_partitioned(spark, path)
+    fact = read_partitioned(spark, path, schema=ev.schema)
     # qualifying types = those that ever recorded a high-value event —
     # knowable only by scanning the dim side at runtime (a literal
     # type list would be pushed statically and prove nothing)

@@ -32,8 +32,18 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_partitioned(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
     """Read a partitioned layout; partition columns come back as
     regular columns, and filters on them prune directories at planning
-    time (visible as PartitionFilters in the physical plan)."""
-    return spark.read.parquet(path)
+    time (visible as PartitionFilters in the physical plan).
+
+    ``schema``: pass the writer's schema to keep an EMPTY layout
+    readable — a zero-row partitioned write leaves no files to infer
+    from, and a first production run against a not-yet-landed dataset
+    must degrade to empty results, not UNABLE_TO_INFER_SCHEMA."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

@@ -46,6 +46,18 @@ EMPTY_SAFE = [
     "ds_llm_pipeline",
     "q78_map_type_aggs",
     "tx_zipf_fit",
+    # late round-3: file layouts must survive a zero-row landing
+    "src_partitioned_pruning",
+    "src_dpp_join",
+    "src_bucketed_join",
+    "dd_source_overlap_matrix",
+    "sim_embedding_covariance",
+    "tx_hashed_linear_score",
+    "tx_pii_redact",
+    "tx_bpe_train_merges",
+    "ds_temperature_mixture",
+    "q91_sql_interface",
+    "q92_modern_sql",
 ]
 
 
