@@ -109,24 +109,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
-    cold: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        runs = []
-        for _ in range(3):
-            df = fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        cold[name] = round(runs[0], 3)
-        steady[name] = round(min(runs), 3)
-    total = round(sum(steady.values()), 3)
-
-    # DuckDB oracle, timed back-to-back in the SAME process so host
-    # noise (CPU steal) hits both sides alike — the engine/oracle
-    # ratio is only meaningful when both numbers share a session.
-    oracle: dict[str, float] = {}
+    # DuckDB oracle timed INTERLEAVED with the engine, per query, in
+    # the SAME process: host noise (CPU-steal episodes lasting
+    # minutes) then hits both sides of each query's measurement alike,
+    # so per-query and total ratios stay fair — two sequential phases
+    # would let an episode skew one side only.
+    con = None
+    osql = {}
     try:
         import duckdb
 
@@ -145,17 +134,33 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
             )
         osql = entrymod.oracle_sql()
-        for name in BENCH_QUERIES:
-            if name not in osql:
-                continue
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                con.execute(osql[name]).fetchall()
-                runs.append(time.perf_counter() - t0)
-            oracle[name] = round(min(runs), 3)
     except Exception:
-        pass  # oracle timing is advisory; engine numbers still print
+        con = None  # oracle timing is advisory; engine numbers still print
+
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    oracle: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        runs = []
+        for _ in range(3):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        steady[name] = round(min(runs), 3)
+        if con is not None and name in osql:
+            try:
+                oruns = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    con.execute(osql[name]).fetchall()
+                    oruns.append(time.perf_counter() - t0)
+                oracle[name] = round(min(oruns), 3)
+            except Exception:
+                pass
+    total = round(sum(steady.values()), 3)
 
     oracle_total = round(sum(oracle.values()), 3)
     print(
