@@ -421,3 +421,69 @@ def st_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise NotImplementedError(
         "use st_user_totals; transformWithState needs google.protobuf"
     )
+
+
+# ---------------------------------------------------------------------------
+# st_rest_incremental — incremental REST crawl via the STREAMING
+# Python DataSource: the API "publishes" more pages between runs, and
+# three checkpointed availableNow passes each land only their delta
+# (offset = page high-water mark, fetches on executors, the offset
+# log makes re-runs exactly-once). This is the streaming counterpart
+# of the reference's full re-crawl (mapwarper.js:183-199 re-downloads
+# everything each run); with a checkpoint the crawl becomes
+# incremental. The landed parquet is then read back batch-side and
+# items are exploded JVM-side exactly like src_rest_scan.
+# ---------------------------------------------------------------------------
+
+
+def st_rest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.ingestion import ITEM_SCHEMA
+    from ..sources.paginated_rest import PAGE_SCHEMA, page_items
+    from ..sources.rest_datasource import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="rest_stream_")
+    out, ckpt = f"{base}/pages", f"{base}/ckpt"
+    total, per_page = 530, 100  # 6 pages; grows 2 → 4 → 6 across runs
+    for available in (2, 4, 6):
+        pages = (
+            spark.readStream.format("paginated_rest")
+            .option(
+                "url_template",
+                "fake://api/items.json?total=%d&per_page={per_page}"
+                "&page={page}" % total,
+            )
+            .option("per_page", per_page)
+            .option("available_pages", available)
+            .option("max_concurrency", 4)
+            .option("requests_per_second", 1e9)
+            .option("retries", 0)
+            .option(
+                "fetcher",
+                "etl_mapwarper_spark.operators.ingestion:fake_api_fetch",
+            )
+            .load()
+        )
+        q = (
+            pages.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    landed = spark.read.schema(PAGE_SCHEMA).parquet(out)
+    return page_items(landed, ITEM_SCHEMA).select("id", "name", "value")
+
+
+_register(
+    "st_rest_incremental",
+    st_rest_incremental,
+    """
+    SELECT i AS id, 'item-' || i AS name, i * 0.25 AS value
+    FROM range(0, 530) t(i)
+    """,
+)

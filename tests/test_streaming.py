@@ -257,3 +257,15 @@ def test_transform_with_state_gate(spark):
         assert set(df.schema.fieldNames()) == {
             "user_id", "n_events", "total_value"
         }
+
+
+def test_rest_incremental_lands_each_page_exactly_once(spark):
+    """Three checkpointed availableNow runs against a growing API must
+    land every page exactly once — the offset log, not luck, dedups
+    re-runs."""
+    from etl_mapwarper_spark.streaming.queries import st_rest_incremental
+
+    items = st_rest_incremental(spark, "/root/testdata/sf0.001")
+    n = items.count()
+    n_distinct = items.select("id").distinct().count()
+    assert n == 530 and n_distinct == 530
