@@ -262,9 +262,13 @@ def ds_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.filter(c4_kept_expr(F.col("text"))).select(
         "doc_id", "source", "n_chars", doc_fingerprint(F.col("text")).alias("f")
     )
-    wfp = Window.partitionBy("f")
-    deduped = kept.withColumn("kmin", F.min("doc_id").over(wfp)).filter(
-        F.col("doc_id") == F.col("kmin")
+    # packed-argmin aggregate, not a window: duplicates combine
+    # map-side and the exchange never sorts (same shape as
+    # ds_llm_pipeline's dedup stage)
+    deduped = (
+        kept.groupBy("f")
+        .agg(F.min(F.struct("doc_id", "source", "n_chars")).alias("s"))
+        .select("s.doc_id", "s.source", "s.n_chars")
     )
     b = hash_bucket(F.col("doc_id"))
     split = (
@@ -915,9 +919,17 @@ def ds_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(F.col("text")).alias("fp"),
         tokens(F.col("text")).alias("toks"),
     )
-    wfp = Window.partitionBy("fp")
-    deduped = kept.withColumn("kmin", F.min("doc_id").over(wfp)).filter(
-        F.col("doc_id") == F.col("kmin")
+    # survivor per fingerprint via packed argmin AGGREGATE (struct
+    # compares doc_id first; unique ids make it total) — vs the window
+    # form this combines duplicates map-side and never sorts
+    deduped = (
+        kept.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "dl", "toks")
+            ).alias("s")
+        )
+        .select("fp", "s.doc_id", "s.source", "s.dl", "s.toks")
     )
     # 3. decontamination: bench 5-gram hashes (eval-suite-sized →
     # broadcast), LEFT ANTI on any shared shingle hash
