@@ -887,19 +887,25 @@ def dd_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", "n_chars", F.md5(F.col("text")).alias("fp")
     )
-    w = Window.partitionBy("fp").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+    # survivor policy (longest copy, ties to smallest doc_id) as a
+    # packed-argmax aggregate: max(struct) compares n_chars first,
+    # then the negated id — one hash agg with map-side combine and the
+    # group size rides the same pass; the former two-window form
+    # shuffled and sorted every duplicate row
+    best = docs.groupBy("fp").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("nd"),
+                F.col("doc_id"),
+            )
+        ).alias("k"),
+        F.count(F.lit(1)).alias("group_size"),
     )
-    wg = Window.partitionBy("fp")
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .withColumn("group_size", F.count(F.lit(1)).over(wg))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "n_chars",
-            (F.col("group_size") - 1).alias("n_removed"),
-        )
+    return best.select(
+        "k.doc_id",
+        "k.n_chars",
+        (F.col("group_size") - 1).alias("n_removed"),
     )
 
 

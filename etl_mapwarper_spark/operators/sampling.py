@@ -742,11 +742,15 @@ def ds_rag_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("toks"), F.col("s") + 1, _RAG_CHUNK_W).alias("c"),
         )
     )
-    w = Window.partitionBy(F.xxhash64(F.array_join(F.col("c"), " "))).orderBy(
-        "doc_id", "s"
-    )
-    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # first occurrence per chunk hash via packed-argmin aggregate
+    # ((doc_id, s) is unique): map-side combine, no sort — vs the
+    # row_number-window form that shuffled and sorted every chunk
+    kept = (
+        chunks.groupBy(
+            F.xxhash64(F.array_join(F.col("c"), " ")).alias("h")
+        )
+        .agg(F.min(F.struct("doc_id", "s", "c")).alias("k"))
+        .select("k.doc_id", "k.s", "k.c")
     )
     postings = (
         kept.select(
