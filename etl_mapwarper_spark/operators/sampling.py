@@ -898,10 +898,10 @@ _register(
 #   6. ACCOUNT       — per split: docs, tokens, training sequences,
 #                      distinct sources — the numbers a training run
 #                      is provisioned from.
-# Corpus-sized shuffles: fp window, shingle distinct, pack window,
-# and the accounting aggregates — bounded per stage regardless of
-# corpus size (PLAN_AUDIT: 12 exchanges incl. broadcasts/repartition,
-# 4 broadcast joins, 0 shuffle joins) — the whole preprocessing chain
+# Corpus-sized shuffles: fp argmin aggregate, shingle distinct, pack
+# window, and the accounting aggregates — bounded per stage regardless
+# of corpus size (PLAN_AUDIT: 7 exchanges incl. broadcasts/
+# repartition, broadcast joins only) — the whole preprocessing chain
 # ships as a single job.
 # ---------------------------------------------------------------------------
 

@@ -708,14 +708,14 @@ def test_hll_sketches_merge_across_subcorpora(spark):
 
 def test_llm_pipeline_exchange_budget_and_no_row_python(spark):
     """The six-stage flagship must stay inside its audited plan
-    budget: bounded exchanges (12 at audit time — fp window, shingle
-    distinct, pack window, accounting aggregates, broadcasts and the
-    opt-in repartition), no shuffle joins (all four joins broadcast
+    budget: bounded exchanges (7 at audit time — fp argmin aggregate,
+    shingle distinct, pack window, accounting aggregates, broadcasts
+    and the opt-in repartition), no shuffle joins (the joins broadcast
     the bounded side), and no Python anywhere."""
     plan = plan_of(spark, "ds_llm_pipeline")
     body = plan.split("===== Subqueries =====")[0]
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
-    assert n_exchanges <= 13, f"flagship exchange budget blown: {n_exchanges}"
+    assert n_exchanges <= 8, f"flagship exchange budget blown: {n_exchanges}"
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", body), (
         "flagship joins must broadcast their bounded sides"
     )
