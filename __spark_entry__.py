@@ -36,6 +36,7 @@ def _registries():
         "multimodal",
         "changedata",
         "analytics",
+        "quality",
         "relational_subq",
         "relational",
         "relational_ext",

@@ -1,0 +1,162 @@
+"""Declarative data-quality expectations (Deequ / Great-Expectations
+shape, engine-native): a rule set is declared as data, compiled into
+ONE conditional-aggregation pass per table (plus key-level aggregates
+for uniqueness and an anti-join for referential integrity), and the
+result is a per-rule violations table a pipeline gates on before
+promoting a landing.
+
+Scale shape: row-level rules are count_if expressions folded into a
+single scan — adding a rule adds a column, not a pass. Uniqueness is
+a group-by on the key (map-side combinable); referential integrity is
+a LEFT ANTI join against the dimension's key projection (broadcast
+when the dim is small, AQE otherwise). Nothing here is quadratic and
+no rule forces its own scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import dim_broadcast, load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name, fn, sql=None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations — row-level rule set over orders, one scan.
+# Each rule is (name, violation predicate); the whole set compiles to
+# count_if columns in a single aggregate.
+# ---------------------------------------------------------------------------
+
+_ORDER_RULES = [
+    ("totalprice_positive", "o_totalprice <= 0"),
+    ("orderdate_not_null", "o_orderdate IS NULL"),
+    ("status_in_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("priority_not_blank", "o_orderpriority IS NULL OR o_orderpriority = ''"),
+    ("custkey_positive", "o_custkey IS NULL OR o_custkey <= 0"),
+]
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.count_if(F.expr(pred)).alias(name)
+            for name, pred in _ORDER_RULES
+        ],
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(name).alias("n_violations"),
+            )
+            for name, _ in _ORDER_RULES
+        ]
+    )
+    return agg.select(
+        F.explode(rules).alias("r"), F.col("n_checked")
+    ).select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_violations").alias("n_violations"),
+        "n_checked",
+        (F.col("r.n_violations") == 0).alias("passed"),
+    )
+
+
+_register(
+    "dq_expectations",
+    dq_expectations,
+    """
+    WITH agg AS (
+      SELECT count(*) AS n_checked,
+             count(*) FILTER (WHERE o_totalprice <= 0)
+               AS totalprice_positive,
+             count(*) FILTER (WHERE o_orderdate IS NULL)
+               AS orderdate_not_null,
+             count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+               AS status_in_domain,
+             count(*) FILTER (WHERE o_orderpriority IS NULL
+                              OR o_orderpriority = '')
+               AS priority_not_blank,
+             count(*) FILTER (WHERE o_custkey IS NULL OR o_custkey <= 0)
+               AS custkey_positive
+      FROM orders
+    )
+    SELECT r.rule, r.n AS n_violations, n_checked, r.n = 0 AS passed
+    FROM agg, LATERAL (VALUES
+      ('totalprice_positive', totalprice_positive),
+      ('orderdate_not_null', orderdate_not_null),
+      ('status_in_domain', status_in_domain),
+      ('priority_not_blank', priority_not_blank),
+      ('custkey_positive', custkey_positive)
+    ) r(rule, n)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dq_key_integrity — key-level expectations: primary-key uniqueness on
+# orders (group-by the key, count key values seen more than once) and
+# referential integrity lineitem.l_orderkey → orders.o_orderkey
+# (LEFT ANTI join counts orphans). One row per check.
+# ---------------------------------------------------------------------------
+
+
+def dq_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("orderkey_unique").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+    )
+    orphans = (
+        li.join(
+            dim_broadcast(
+                orders.select("o_orderkey"), sf_dir, "orders"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(
+            F.lit("lineitem_orderkey_ref").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+    )
+    return (
+        dup_keys.unionByName(orphans)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+_register(
+    "dq_key_integrity",
+    dq_key_integrity,
+    """
+    SELECT 'orderkey_unique' AS rule,
+           count(*) AS n_violations,
+           count(*) = 0 AS passed
+    FROM (SELECT o_orderkey FROM orders
+          GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_orderkey_ref',
+           count(*),
+           count(*) = 0
+    FROM lineitem WHERE l_orderkey NOT IN
+         (SELECT o_orderkey FROM orders)
+    """,
+)
