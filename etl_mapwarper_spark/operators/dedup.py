@@ -882,8 +882,6 @@ _register(
 
 
 def dd_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", "n_chars", F.md5(F.col("text")).alias("fp")
     )
