@@ -1,0 +1,90 @@
+"""Driver-gate replica: run registry entries EXACTLY the way the
+external driver does — a vanilla SparkSession (no tuned session
+factory), sf0.01 parquet, DuckDB oracle side-by-side, sorted-column
+value comparison.
+
+Usage:
+  python tools/gate_replica.py            # first 50 entries (the window)
+  python tools/gate_replica.py all        # every registry entry
+  python tools/gate_replica.py name1 ...  # specific entries
+
+Exit code 1 if anything mismatches or raises.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pyspark.sql import SparkSession
+
+    import duckdb
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    sf = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    args = sys.argv[1:]
+    if args == ["all"]:
+        names = list(qs)
+    elif args:
+        names = args
+    else:
+        names = list(qs)[:50]
+
+    fails = []
+    for name in names:
+        try:
+            sp = qs[name](spark, sf).toPandas()
+            if name not in osql:
+                print(json.dumps({name: {"rows": len(sp), "oracle": None}}))
+                continue
+            od = con.execute(osql[name]).df()
+            cols = sorted(sp.columns)
+            ok_schema = cols == sorted(od.columns)
+            a = sorted(map(repr, sp[cols].itertuples(index=False, name=None)))
+            b = sorted(map(repr, od[cols].itertuples(index=False, name=None)))
+            ok = ok_schema and len(sp) == len(od) and a == b
+            if ok:
+                print(json.dumps({name: "ok"}), flush=True)
+            else:
+                fails.append(name)
+                print(
+                    json.dumps(
+                        {
+                            name: {
+                                "rows": [len(sp), len(od)],
+                                "schema": ok_schema,
+                                "values": a == b,
+                            }
+                        }
+                    ),
+                    flush=True,
+                )
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            fails.append(name)
+            print(json.dumps({name: {"err": repr(e)[:300]}}), flush=True)
+    print("FAILS:", fails)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
