@@ -1776,6 +1776,8 @@ def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = vocab.select(
         "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
     )
+    from ..operators.dedup import _cc_checkpoint
+
     rows = []
     for r in range(_BPE_ROUNDS):
         winners = (
@@ -1789,7 +1791,10 @@ def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = winners[0]
         p1, p2 = top["p"].split(_BPE_US)
         rows.append((r + 1, p1, p2, p1 + p2, top["total"]))
-        cur = _bpe_apply_merge(cur, p1, p2)
+        # truncate lineage between rounds (same contract as the CC
+        # loop's _cc_checkpoint): without it, round R lazily re-runs
+        # all R-1 prior folds — O(R²) work over the vocab
+        cur = _cc_checkpoint(_bpe_apply_merge(cur, p1, p2))
     return spark.createDataFrame(
         rows, "merge_round int, p1 string, p2 string, merged string, pair_count long"
     )
