@@ -768,3 +768,13 @@ def test_src_dpp_join_dynamic_pruning(spark):
     assert "dynamicpruning" in plan.lower(), (
         "fact scan must carry a dynamic partition pruning filter"
     )
+
+
+def test_dq_expectations_single_scan(spark):
+    """The whole row-level rule set must compile into ONE
+    conditional-aggregation pass — adding a rule adds a column, never
+    a second scan or a join."""
+    plan = plan_of(spark, "dq_expectations")
+    assert "join" not in plan.lower()
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"rule set must fold into one scan: {n_scans}"
