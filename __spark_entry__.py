@@ -75,15 +75,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # local sf0.01 replica) rotates into round 4 alongside canary re-checks
 # of earlier greens.
 #
-# ROUND-4 ROTATION TODO: the driver has never checked any entry added
-# in round 3 — enumerate them as the registry keys with no row in
-# CORRECTNESS_r01/r02/r03 (40+ entries: the ds_/dd_/sim_/tx_/mm_/st_/
-# src_/q77+ additions, including the late-round batch
-# src_bucketed_join, src_partitioned_pruning, src_dpp_join,
-# tx_hashed_linear_score, tx_pii_redact, tx_bpe_train_merges,
-# sim_embedding_covariance, dd_source_overlap_matrix,
-# ds_temperature_mixture, q91_sql_interface, q92_modern_sql)
-# plus q64 (deferred from the round-3 window).
+# ROUND-4 ROTATION TODO: 76 registry entries still have no driver row
+# in CORRECTNESS_r01/r02 and are not in the round-3 window (recompute
+# at rotation time: keys absent from all CORRECTNESS_r*.json and from
+# the prior window). Ready-made round-4 window, weakest-evidence
+# classes first — replace _PRIORITY with the first 50 of:
+#   st_cms_topk, st_rest_incremental,
+#   mm_phash_neardups, mm_audio_vad, mm_shot_detect, mm_image_entropy,
+#   src_pyds_write_roundtrip, src_ndjson_malformed, src_union_by_name,
+#   src_bucketed_join, src_partitioned_pruning, src_dpp_join,
+#   ds_llm_pipeline, ds_rag_index_stats, ds_dataset_card,
+#   ds_quality_ablation, ds_decontaminate, ds_epoch_shuffle,
+#   ds_pack_sequences, ds_priority_sample, ds_dedup_aware_split,
+#   ds_length_histogram, ds_pack_efficiency, ds_anneal_schedule,
+#   ds_temperature_mixture,
+#   dq_expectations, dq_key_integrity,
+#   dd_dedup_apply, dd_containment, dd_chunk_dedup, dd_cdc_chunks,
+#   dd_pagerank_centrality, dd_triangle_count, dd_lsh_tuning_report,
+#   dd_incremental_dedup, dd_semantic_clusters, dd_shingle_df_profile,
+#   dd_source_overlap_matrix,
+#   sim_pq_topk, sim_pq_recall, sim_l2_bruteforce_topk, sim_mips_topk,
+#   sim_knn_graph, sim_lsh_recall, sim_norm_report, sim_bucket_balance,
+#   sim_embedding_covariance,
+#   tx_bpe_train_merges, tx_hashed_linear_score, tx_pii_redact
+# — and rotate the spillover (tx_unigram/bigram/ndcg/zipf/js/entropy/
+# pmi/heavy_hitters/udtf_analyze, q64, q77-q92, mw_tile_coords) plus
+# canary re-checks of earlier greens into round 5.
 # They exceed the 50-slot window together with canaries, so
 # prioritize: (1) streaming/multimodal/source entries (weakest local
 # evidence class), (2) the composed flagships (ds_llm_pipeline,
