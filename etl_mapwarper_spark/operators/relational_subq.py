@@ -141,10 +141,19 @@ _register(
 
 
 def q63_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unit cost in EXACT milli-cents: prices are 2-decimal and
+    # quantities whole, so round(price*100) is an exact int64 and the
+    # integer division is bit-identical on every engine — float
+    # division rounded to 4 decimals hits x.xxxx5 ties constantly
+    # here (2-dp price / small int), where Spark's HALF_UP BigDecimal
+    # and DuckDB's double-multiply round() disagree by one ulp
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) * 100) DIV "
+            "CAST(l_quantity AS BIGINT)"
+        ).alias("unit_cost"),
     )
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size") <= 5
@@ -162,7 +171,7 @@ def q63_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "s_name",
-            F.round("min_cost", 4).alias("min_unit_cost"),
+            F.col("min_cost").alias("min_unit_cost_mc"),
         )
         .distinct()
     )
@@ -174,13 +183,16 @@ _register(
     q63_min_cost_supplier,
     """
     SELECT DISTINCT p_partkey, p_name, s_name,
-           round(l_extendedprice / l_quantity, 4) AS min_unit_cost
+           (round(l_extendedprice * 100)::BIGINT * 100)
+             // l_quantity::BIGINT AS min_unit_cost_mc
     FROM lineitem l, part p, supplier s
     WHERE p.p_partkey = l.l_partkey
       AND s.s_suppkey = l.l_suppkey
       AND p.p_size <= 5
-      AND l_extendedprice / l_quantity = (
-        SELECT min(l2.l_extendedprice / l2.l_quantity)
+      AND (round(l_extendedprice * 100)::BIGINT * 100)
+             // l_quantity::BIGINT = (
+        SELECT min((round(l2.l_extendedprice * 100)::BIGINT * 100)
+                   // l2.l_quantity::BIGINT)
         FROM lineitem l2
         WHERE l2.l_partkey = l.l_partkey
       )
