@@ -39,12 +39,21 @@ def word_shingles(toks: Column, n: int) -> Column:
     ``greatest(..., 0)`` guards short documents (slice length must be
     non-negative), which then yield an empty shingle array.
     """
+    return F.array_distinct(word_shingles_all(toks, n))
+
+
+def word_shingles_all(toks: Column, n: int) -> Column:
+    """ALL positional word n-grams, duplicates preserved.
+
+    Use this where position matters (content-defined chunking counts a
+    boundary at every qualifying shingle occurrence); ``word_shingles``
+    dedups, which is correct for set semantics (Jaccard, MinHash,
+    decontamination) but silently drops repeated n-grams.
+    """
     length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(toks, j + 1, length) for j in range(n)])
-    return F.array_distinct(
-        F.transform(
-            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
-        )
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
 
 

@@ -1218,8 +1218,13 @@ _CDC_D = 8  # boundary divisor → expected chunk length
 
 def _cdc_boundary_count(toks) -> F.Column:
     """Count of in-document boundaries: shingles ending strictly
-    before the last token whose hash ≡ 0 (mod D)."""
-    sh = word_shingles(toks, _CDC_W)
+    before the last token whose hash ≡ 0 (mod D). POSITIONAL shingles
+    (duplicates kept): a repeated qualifying 4-gram is a boundary at
+    every occurrence — the distinct-shingle form undercounted docs
+    with repeated n-grams (first seen at sf0.1)."""
+    from ..functions.text import word_shingles_all
+
+    sh = word_shingles_all(toks, _CDC_W)
     inner = F.slice(sh, 1, F.greatest(F.size(sh) - 1, F.lit(0)))
     return F.size(
         F.filter(
