@@ -166,3 +166,27 @@ def test_bpe_train_merges_empty_corpus(spark, tmp_path):
     out = tx_bpe_train_merges(spark, str(tmp_path))
     assert out.columns == ["merge_round", "p1", "p2", "merged", "pair_count"]
     assert out.count() == 0
+
+
+def test_word_shingles_all_positional_contract(spark):
+    """word_shingles_all keeps every positional n-gram (len =
+    tokens-n+1), word_shingles is exactly its distinct set — the
+    CDC-vs-Jaccard semantic split."""
+    import pyspark.sql.functions as F
+
+    from etl_mapwarper_spark.functions.text import (
+        word_shingles,
+        word_shingles_all,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "b", "a", "b", "a"],), (["x"],), ([],)],
+        "toks array<string>",
+    )
+    out = df.select(
+        word_shingles_all(F.col("toks"), 2).alias("all_sh"),
+        word_shingles(F.col("toks"), 2).alias("dist_sh"),
+    ).collect()
+    assert out[0]["all_sh"] == ["a b", "b a", "a b", "b a"]
+    assert out[0]["dist_sh"] == ["a b", "b a"]
+    assert out[1]["all_sh"] == [] and out[2]["all_sh"] == []
