@@ -843,3 +843,70 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_av_sync_check — audio/video pairing integrity (the multimodal
+# counterpart of referential integrity): durations derived from the
+# two payloads must agree per media id. Video duration = decoded
+# frame count / fps; audio duration = sample count / sample rate —
+# both computed from the BINARY payload length (binary substring
+# exercises byte-level truncation, the realistic corruption mode).
+# The fixture desyncs every 7th clip by dropping one audio window, so
+# the check must flag exactly those. Two deterministic fixture scans
+# and one id-keyed join; all durations are small dyadic rationals, so
+# cross-engine doubles are exact.
+# ---------------------------------------------------------------------------
+
+_AV_FPS = 2.0
+_AV_SR = 32.0
+_AV_DRIFT_TOL = 0.01
+
+
+def mm_av_sync_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vid = synthetic_media(spark, sf_dir, kind="video").select(
+        "media_id", F.length("payload").alias("v_bytes")
+    )
+    aud_payload = F.when(
+        F.col("media_id") % 7 == 0,
+        F.expr(f"substring(payload, 1, {W * H - AUDIO_WINDOW})"),
+    ).otherwise(F.col("payload"))
+    aud = synthetic_media(spark, sf_dir, kind="audio").select(
+        "media_id", F.length(aud_payload).alias("a_bytes")
+    )
+    j = vid.join(aud, "media_id")
+    v_dur = (F.col("v_bytes") / (W * H)) / _AV_FPS
+    a_dur = F.col("a_bytes") / _AV_SR
+    drift = F.round(F.abs(v_dur - a_dur), 6)
+    return j.select(
+        "media_id",
+        (F.col("v_bytes") / (W * H)).cast("int").alias("n_frames"),
+        F.col("a_bytes").cast("int").alias("n_samples"),
+        F.round(v_dur, 6).alias("video_s"),
+        F.round(a_dur, 6).alias("audio_s"),
+        drift.alias("drift_s"),
+        (drift <= _AV_DRIFT_TOL).alias("in_sync"),
+    )
+
+
+_register(
+    "mm_av_sync_check",
+    mm_av_sync_check,
+    f"""
+    SELECT doc_id AS media_id,
+           {FRAMES} AS n_frames,
+           CASE WHEN doc_id % 7 = 0 THEN {W * H - AUDIO_WINDOW}
+                ELSE {W * H} END AS n_samples,
+           round({FRAMES} / {_AV_FPS}, 6) AS video_s,
+           round((CASE WHEN doc_id % 7 = 0 THEN {W * H - AUDIO_WINDOW}
+                       ELSE {W * H} END) / {_AV_SR}, 6) AS audio_s,
+           round(abs({FRAMES} / {_AV_FPS}
+                 - (CASE WHEN doc_id % 7 = 0 THEN {W * H - AUDIO_WINDOW}
+                         ELSE {W * H} END) / {_AV_SR}), 6) AS drift_s,
+           abs({FRAMES} / {_AV_FPS}
+               - (CASE WHEN doc_id % 7 = 0 THEN {W * H - AUDIO_WINDOW}
+                       ELSE {W * H} END) / {_AV_SR})
+             <= {_AV_DRIFT_TOL} AS in_sync
+    FROM documents WHERE doc_id < 200
+    """,
+)

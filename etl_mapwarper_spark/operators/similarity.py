@@ -1348,3 +1348,64 @@ _register(
     JOIN means b ON c.j = b.i
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_radius_search — RANGE similarity search (all neighbors within a
+# cosine radius), the ANN surface variant top-k can't express: "every
+# near-duplicate candidate above θ", not "the k best". Exact path:
+# probes broadcast onto a single corpus scan, radius filter inline —
+# no window, no sort, no corpus shuffle at all; the per-probe
+# neighbor LIST aggregates at probe granularity (3 rows). At scale
+# the same radius filter composes with the SRP bucket join
+# (sim_srp_lsh_topk's shape) to avoid the full scan; this entry is
+# the exact semantics the bucketed variant trades recall against.
+# ---------------------------------------------------------------------------
+
+_RADIUS_THETA = 0.25
+
+
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    probes = _probes(emb).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    hits = (
+        emb.join(broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("pv"), F.col("v")), 6)
+        )
+        .filter(F.col("cos") >= _RADIUS_THETA)
+    )
+    return hits.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_in_radius"),
+        F.round(F.max("cos"), 6).alias("best_cos"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+        F.min("vec_id").alias("min_neighbor_id"),
+    )
+
+
+_register(
+    "sim_radius_search",
+    sim_radius_search,
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+      WHERE vec_id IN (0, 1, 2)
+    ), hits AS (
+      SELECT p.probe_id, e.vec_id,
+             round(list_cosine_similarity(p.pv::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings e JOIN probes p ON e.vec_id != p.probe_id
+    )
+    SELECT probe_id,
+           count(*) AS n_in_radius,
+           round(max(cos), 6) AS best_cos,
+           round(avg(cos), 6) AS mean_cos,
+           min(vec_id) AS min_neighbor_id
+    FROM hits WHERE cos >= {_RADIUS_THETA}
+    GROUP BY probe_id
+    """,
+)
