@@ -1551,3 +1551,84 @@ _register(
     FROM per_src CROSS JOIN totals
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_token_budget_planner — provisioning arithmetic for a training
+# run: given a per-epoch token budget and the temperature-scaled
+# source weights (ds_temperature_mixture's q_i), how many tokens each
+# source owes, how many documents that is at the source's average
+# length, and how many passes over the source it implies (>1 ⇒
+# upsampling). Same two tiny aggregates as the mixture — the planner
+# is pure arithmetic on source-bounded rows; integer ceilings keep
+# the engine/oracle comparison exact.
+# ---------------------------------------------------------------------------
+
+_PLAN_EPOCH_TOKENS = 100_000
+
+
+def ds_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast as _bc
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per_src.agg(F.sum(F.sqrt(F.col("n_docs"))).alias("z"))
+    q = F.sqrt(F.col("n_docs")) / F.col("z")
+    budget = F.floor(q * _PLAN_EPOCH_TOKENS).cast("long")
+    # ceil(a/b) as (a + b - 1) DIV b — exact integer math both engines
+    docs_needed = F.expr(
+        "CAST((budget_tokens + avg_doc_tokens - 1) DIV avg_doc_tokens "
+        "AS BIGINT)"
+    )
+    return (
+        per_src.crossJoin(_bc(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            budget.alias("budget_tokens"),
+            (F.col("n_tokens") / F.col("n_docs"))
+            .cast("long")
+            .alias("avg_doc_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "budget_tokens",
+            "avg_doc_tokens",
+            docs_needed.alias("docs_needed"),
+            F.round(F.col("budget_tokens") / F.col("n_tokens"), 4).alias(
+                "epochs_over_source"
+            ),
+        )
+    )
+
+
+_register(
+    "ds_token_budget_planner",
+    ds_token_budget_planner,
+    f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    totals AS (SELECT sum(sqrt(n_docs)) AS z FROM per_src),
+    planned AS (
+      SELECT source, n_docs, n_tokens,
+             floor(sqrt(n_docs) / z * {_PLAN_EPOCH_TOKENS})::BIGINT
+               AS budget_tokens,
+             (n_tokens // n_docs)::BIGINT AS avg_doc_tokens
+      FROM per_src CROSS JOIN totals
+    )
+    SELECT source, n_docs, n_tokens, budget_tokens, avg_doc_tokens,
+           ((budget_tokens + avg_doc_tokens - 1) // avg_doc_tokens)::BIGINT
+             AS docs_needed,
+           round(budget_tokens * 1.0 / n_tokens, 4) AS epochs_over_source
+    FROM planned
+    """,
+)
