@@ -778,3 +778,22 @@ def test_dq_expectations_single_scan(spark):
     assert "join" not in plan.lower()
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, f"rule set must fold into one scan: {n_scans}"
+
+
+def test_sim_radius_search_windowless(spark):
+    """Radius search must stay a broadcast-probe scan + one aggregate:
+    no window, no sort, no corpus-sized shuffle join."""
+    plan = plan_of(spark, "sim_radius_search")
+    assert "Window" not in plan
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ds_token_budget_planner_two_aggregates(spark):
+    """The planner is arithmetic over source-bounded aggregates — the
+    only corpus-sized work is the per-source groupBy."""
+    plan = plan_of(spark, "ds_token_budget_planner")
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges <= 4, f"planner grew extra shuffles: {n_exchanges}"
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", body)
