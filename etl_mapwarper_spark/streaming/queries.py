@@ -487,3 +487,86 @@ _register(
     FROM range(0, 530) t(i)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# st_dq_gate — streaming data-quality gate: every micro-batch is
+# split by the declarative rule set (the dq_expectations pattern) —
+# clean rows land in the promoted sink, violating rows in the
+# quarantine sink with a rule tag, and nothing is dropped silently.
+# This is the reference's error-as-data contract (mapwarper.js:
+# 122-129 quarantines failed pages as records) applied to a stream.
+# Replay is finite (availableNow); the returned summary aggregates
+# both sinks and must reconcile: clean + quarantined = corpus.
+# ---------------------------------------------------------------------------
+
+_DQ_STREAM_RULES = [
+    ("value_nonnegative", "value IS NULL OR value < 0"),
+    ("type_in_domain",
+     "event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')"),
+    ("value_under_cap", "value > 400.0"),  # outlier gate — fires on real rows
+]
+
+
+def st_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="st_dq_")
+    clean_path, quar_path = f"{base}/clean", f"{base}/quarantine"
+    viol = " OR ".join(f"({p})" for _, p in _DQ_STREAM_RULES)
+    rule_tag = F.concat_ws(
+        ",",
+        *[
+            F.when(F.expr(p), F.lit(name)) for name, p in _DQ_STREAM_RULES
+        ],
+    )
+
+    def gate(batch: DataFrame, _batch_id: int) -> None:
+        tagged = batch.withColumn("violates", F.expr(viol)).withColumn(
+            "rules", rule_tag
+        )
+        tagged.filter(~F.col("violates")).drop("violates", "rules").write.mode(
+            "append"
+        ).parquet(clean_path)
+        tagged.filter(F.col("violates")).drop("violates").write.mode(
+            "append"
+        ).parquet(quar_path)
+
+    ev = read_events_stream(spark, sf_dir)
+    run_foreach_batch(ev, gate, output_mode="append")
+    clean = spark.read.parquet(clean_path).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    import os
+
+    if os.path.isdir(quar_path) and any(
+        f.endswith(".parquet") for f in os.listdir(quar_path)
+    ):
+        quar = spark.read.parquet(quar_path).agg(F.count(F.lit(1)).alias("n"))
+    else:  # no violations in the whole replay → empty quarantine dir
+        quar = clean.sparkSession.range(1).agg(
+            F.lit(0).cast("long").alias("n")
+        )
+    return (
+        clean.select(F.lit("clean").alias("sink"), "n")
+        .unionByName(quar.select(F.lit("quarantine").alias("sink"), "n"))
+    )
+
+
+_register(
+    "st_dq_gate",
+    st_dq_gate,
+    """
+    SELECT 'clean' AS sink, count(*) AS n FROM events
+    WHERE NOT ((value IS NULL OR value < 0)
+               OR (event_type NOT IN
+                   ('click', 'view', 'purchase', 'signup', 'error'))
+               OR (value > 400.0))
+    UNION ALL
+    SELECT 'quarantine', count(*) FROM events
+    WHERE (value IS NULL OR value < 0)
+       OR (event_type NOT IN
+           ('click', 'view', 'purchase', 'signup', 'error'))
+       OR (value > 400.0)
+    """,
+)
