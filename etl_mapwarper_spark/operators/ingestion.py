@@ -509,26 +509,25 @@ _NDJSON_BAD_EVERY = 20  # one garbage line per 20 good lines
 
 
 def src_ndjson_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json
-    import os
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    rows = sorted(
-        ((r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect())
-    )
+    # Fixture written BY Spark, not by a driver-side loop: the good
+    # lines stream through write.text() (distributed, any corpus size);
+    # the garbage lines are a second, appended job sized ceil(n/20) —
+    # the only driver-side value is the scalar row count (r3 ADVICE:
+    # the old generator collect()ed the whole table).
     path = tempfile.mkdtemp(prefix="ndjson_bad_")
-    with open(os.path.join(path, "part-0.ndjson"), "w") as f:
-        for i, (doc_id, lang, n_chars) in enumerate(rows):
-            f.write(
-                json.dumps(
-                    {"doc_id": doc_id, "lang": lang, "n_chars": n_chars}
-                )
-                + "\n"
-            )
-            if i % _NDJSON_BAD_EVERY == 0:
-                f.write('{"doc_id": ' + str(i) + ", TRUNCATED\n")
+    docs.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
+    ).write.mode("overwrite").text(path)
+    n_good = docs.count()
+    n_bad = (n_good + _NDJSON_BAD_EVERY - 1) // _NDJSON_BAD_EVERY
+    spark.range(n_bad).select(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("id"), F.lit(", TRUNCATED")
+        ).alias("value")
+    ).write.mode("append").text(path)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -156,7 +156,7 @@ _register(
     SELECT 'lineitem_orderkey_ref',
            count(*),
            count(*) = 0
-    FROM lineitem WHERE l_orderkey NOT IN
-         (SELECT o_orderkey FROM orders)
+    FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     """,
 )

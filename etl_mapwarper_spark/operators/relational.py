@@ -1022,23 +1022,51 @@ _register(
 
 
 # ---------------------------------------------------------------------------
-# q29 — approximate distinct counting (HyperLogLog++). Sketches are
-# engine-specific, so there is deliberately NO oracle entry: the
-# driver's rows-only check applies. The exact q14 covers the same
-# shape with hash parity; this query is the at-scale variant (constant
-# memory per group vs count(DISTINCT)'s per-group hash sets).
+# q29 — approximate distinct counting (HyperLogLog++). The raw sketch
+# estimate is engine-specific, so the CONTRACT is what gets verified:
+# the query emits the exact count(DISTINCT) per group together with a
+# `within_bound` flag asserting the HLL estimate (rsd=0.02) landed
+# within a 10% relative band (5 sigma — deterministic-in-practice on
+# any corpus). The oracle recomputes the exact counts and asserts the
+# flag is true, giving this entry hash-grade verification while the
+# production path at 100 TB remains the constant-memory sketch (the
+# exact column here is the verification harness, not the scale path —
+# q14 is the exact-distinct shape).
 # ---------------------------------------------------------------------------
 
 
 def q29_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("within_bound"),
+        )
     )
 
 
-_register("q29_approx_distinct", q29_approx_distinct)
+_register(
+    "q29_approx_distinct",
+    q29_approx_distinct,
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n_rows,
+           true AS within_bound
+    FROM lineitem GROUP BY 1
+    """,
+)
 
 
 # ---------------------------------------------------------------------------

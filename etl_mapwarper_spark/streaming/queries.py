@@ -522,8 +522,14 @@ def st_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gate(batch: DataFrame, _batch_id: int) -> None:
-        tagged = batch.withColumn("violates", F.expr(viol)).withColumn(
-            "rules", rule_tag
+        # Three-valued-logic guard: a NULL rule predicate (e.g. NULL
+        # event_type) must not let the row skip BOTH sinks — unknown
+        # rows are quarantined, preserving clean + quarantine = corpus.
+        tagged = batch.withColumn(
+            "violates", F.coalesce(F.expr(viol), F.lit(True))
+        ).withColumn(
+            "rules",
+            F.when(rule_tag == "", F.lit("null_unknown")).otherwise(rule_tag),
         )
         tagged.filter(~F.col("violates")).drop("violates", "rules").write.mode(
             "append"
@@ -534,19 +540,21 @@ def st_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     run_foreach_batch(ev, gate, output_mode="append")
-    clean = spark.read.parquet(clean_path).agg(
-        F.count(F.lit(1)).alias("n")
-    )
     import os
 
-    if os.path.isdir(quar_path) and any(
-        f.endswith(".parquet") for f in os.listdir(quar_path)
-    ):
-        quar = spark.read.parquet(quar_path).agg(F.count(F.lit(1)).alias("n"))
-    else:  # no violations in the whole replay → empty quarantine dir
-        quar = clean.sparkSession.range(1).agg(
-            F.lit(0).cast("long").alias("n")
-        )
+    def _sink_count(path: str) -> DataFrame:
+        # Either sink can legitimately be empty (all-clean or all-violating
+        # replays, or a zero-micro-batch stream) — guard BOTH reads so the
+        # gate reports n=0 instead of failing schema inference on a missing
+        # directory (ADVICE r3: clean side was unguarded).
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return spark.read.parquet(path).agg(F.count(F.lit(1)).alias("n"))
+        return spark.range(1).agg(F.lit(0).cast("long").alias("n"))
+
+    clean = _sink_count(clean_path)
+    quar = _sink_count(quar_path)
     return (
         clean.select(F.lit("clean").alias("sink"), "n")
         .unionByName(quar.select(F.lit("quarantine").alias("sink"), "n"))
@@ -558,15 +566,17 @@ _register(
     st_dq_gate,
     """
     SELECT 'clean' AS sink, count(*) AS n FROM events
-    WHERE NOT ((value IS NULL OR value < 0)
-               OR (event_type NOT IN
-                   ('click', 'view', 'purchase', 'signup', 'error'))
-               OR (value > 400.0))
+    WHERE NOT coalesce(
+        (value IS NULL OR value < 0)
+        OR (event_type NOT IN
+            ('click', 'view', 'purchase', 'signup', 'error'))
+        OR (value > 400.0), true)
     UNION ALL
     SELECT 'quarantine', count(*) FROM events
-    WHERE (value IS NULL OR value < 0)
-       OR (event_type NOT IN
-           ('click', 'view', 'purchase', 'signup', 'error'))
-       OR (value > 400.0)
+    WHERE coalesce(
+        (value IS NULL OR value < 0)
+        OR (event_type NOT IN
+            ('click', 'view', 'purchase', 'signup', 'error'))
+        OR (value > 400.0), true)
     """,
 )

@@ -73,5 +73,8 @@ def test_entry_smoke(spark):
 def test_every_entry_is_oracle_backed_except_known_rows_only():
     """Guard: a new queries() entry without an oracle_sql() twin drops
     silently to the driver's weaker rows-only check — keep that set
-    explicit so coverage loss is a deliberate decision, not a drift."""
-    assert set(ROWS_ONLY) == {"q29_approx_distinct"}, ROWS_ONLY
+    explicit so coverage loss is a deliberate decision, not a drift.
+    (q29 gained a checkable contract in round 4 — exact counts + a
+    within-bound flag — so the set is now empty: every one of the
+    registry's entries is hash-verifiable.)"""
+    assert set(ROWS_ONLY) == set(), ROWS_ONLY
