@@ -817,6 +817,15 @@ _register("dd_cc_bigstar", dd_cc_bigstar, ORACLE["dd_connected_components"])
 # block is handled the same way as any skewed join key (salting/AQE).
 # The comparator runs on an 80-char head — edit distance is O(len²)
 # per pair, so bounding the operand length bounds comparator cost.
+#
+# Perf note (round-4 audit of the r03 bench swing 0.124 s → 1.377 s):
+# min-of-5 A/B with the bench session + noop sink at sf0.1 measured
+# parallelize=True at 0.23-0.34 s vs parallelize=False at 0.45-0.62 s
+# — the repartition side WINS steady-state (the join is a stats-based
+# BroadcastHashJoin either way, so the repartition adds no join
+# shuffle and parallelizes the levenshtein probe). The r03 number was
+# a host CPU-steal episode spanning all three runs, not a plan
+# regression; the plan shape is pinned in tests/test_plans.py.
 # ---------------------------------------------------------------------------
 
 LEV_MAX = 20

@@ -60,15 +60,66 @@ RESULT_SCHEMA = T.StructType(
     ]
 )
 
-_MIN_GCPS = {1: 3, 2: 6}
+_MIN_GCPS = {1: 3, 2: 6, 3: 10}
 
 
 def _design(px: np.ndarray, py: np.ndarray, order: int) -> np.ndarray:
     if order == 1:
         return np.column_stack([px, py, np.ones_like(px)])
+    if order == 2:
+        return np.column_stack(
+            [px, py, px * px, py * py, px * py, np.ones_like(px)]
+        )
     return np.column_stack(
-        [px, py, px * px, py * py, px * py, np.ones_like(px)]
+        [
+            px,
+            py,
+            px * px,
+            py * py,
+            px * py,
+            px * px * px,
+            px * px * py,
+            px * py * py,
+            py * py * py,
+            np.ones_like(px),
+        ]
     )
+
+
+def order_from_transform_options(
+    transform_options, n_gcps: int | None = None
+) -> int:
+    """Map the reference's ``transform_options`` to a polynomial order.
+
+    The reference (mapwarper.js:86) passes ``map.transform_options``
+    straight into its mask-to-GeoJSON helper, which delegates to GDAL's
+    GCP transformer — so the option semantics are GDAL's public
+    contract (gdal/alg/gdal_crs.cpp, GDALCreateGCPTransformerEx):
+
+    - ``1``/``2``/``3`` — that exact polynomial order (GDAL ``-order N``);
+      the fit then needs >= 3/6/10 GCPs respectively (``_MIN_GCPS``).
+    - ``0``/``None``/missing — AUTO: GDAL picks from the GCP count —
+      order 2 when >= 6 GCPs are available, else order 1. (GDAL never
+      auto-selects order 3 — the "for now we avoid 3rd order" rule —
+      and neither do we.)
+    - thin-plate spline (``'tps'``) is not implemented — it is not a
+      polynomial fit; callers get an explicit error instead of a
+      silently different surface.
+    """
+    if transform_options in ("tps", "-tps"):
+        raise NotImplementedError(
+            "thin-plate-spline transform_options is not supported; "
+            "use polynomial order 1-3"
+        )
+    if transform_options in (None, 0, "0", ""):
+        return 2 if (n_gcps or 0) >= _MIN_GCPS[2] else 1
+    order = int(transform_options)
+    if order not in _MIN_GCPS:
+        raise ValueError(
+            f"transform_options={transform_options!r}: GDAL polynomial "
+            "orders are 1-3"
+        )
+    return order
 
 
 def fit_gcp_polynomial(

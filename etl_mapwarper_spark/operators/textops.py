@@ -1173,11 +1173,22 @@ _register(
 # word-salad that unigram filtering passes.
 # Scale shape: ONE tokenize+shingle pass feeds both count tables and
 # the scoring join; the (bigram → count) side is vocab²-bounded and
-# joins on an 8-byte xxhash64 key (never broadcast-forced — AQE
-# decides); V and the context counts ride the same join. No UDFs.
+# joins on an 8-byte xxhash64 key; V and the context counts ride the
+# same join. No UDFs.
+# Shuffle budget (r4): the resolved log-prob table is a size-gated
+# broadcast — when the backing documents parquet is small enough that
+# the bigram-type table provably fits an executor (types ≤ bigram
+# instances ≤ corpus tokens, 16-byte rows), the score join broadcasts
+# and the corpus stream shuffles ONCE (the per-doc aggregate). Past
+# the gate the hint is dropped and AQE picks the join, the 100 TB
+# shape (a forced broadcast of a vocab²-bounded table would OOM).
 # ---------------------------------------------------------------------------
 
 _BLM_K = 0.5  # add-k smoothing
+# 64 MiB of text on disk is < ~10M corpus tokens, so the resolved
+# (bh, lp) table is at most ~10M 16-byte rows ≈ 300 MB in memory —
+# inside the same 0.5-1 GiB executor budget dim_broadcast uses.
+_BLM_BCAST_MAX_INPUT = 64 << 20
 
 
 def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,28 +1199,29 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
         lambda s: F.concat_ws(" ", s["0"], s["1"]),
     )
-    # Instance stream: (doc_id, bh) only — the context word w1 rides
-    # the TYPE table, not every instance, so the corpus-sized side
-    # shuffles 16-byte rows exactly twice (score join + doc groupBy)
-    # instead of carrying strings through three joins.
+    # Instance stream: ONE bigram explode feeds both the per-doc score
+    # join and (via map-side-combined aggregation) the type-count
+    # table — all keys are 8-byte xxhash64, so the corpus-sized rows
+    # are 24 bytes and no string ever shuffles.
     inst = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id", F.xxhash64("b").alias("bh")
-    )
-    types = docs.select(F.explode(bigrams).alias("b")).select(
-        F.xxhash64("b").alias("bh"), F.split("b", " ")[0].alias("w1")
+        "doc_id",
+        F.xxhash64("b").alias("bh"),
+        F.xxhash64(F.split("b", " ")[0]).alias("w1h"),
     )
     uni = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = uni.groupBy(F.xxhash64("term").alias("th")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     # lp is a function of the bigram TYPE alone: resolve it once per
-    # type on the vocab²-bounded count table (w1 is functionally
+    # type on the vocab²-bounded count table (w1h is functionally
     # determined by bh, so min() just carries it through the groupBy),
     # then score instances with a single hash-keyed equi-join.
-    c12 = types.groupBy("bh").agg(
-        F.count(F.lit(1)).alias("c12"), F.min("w1").alias("w1")
+    c12 = inst.groupBy("bh").agg(
+        F.count(F.lit(1)).alias("c12"), F.min("w1h").alias("w1h")
     )
     lptab = (
-        c12.join(c1, c12.w1 == c1.term)
+        c12.join(c1, c12.w1h == c1.th)
         .crossJoin(broadcast(vocab))
         .select(
             "bh",
@@ -1219,6 +1231,10 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
+    from ..sources.tables import _input_bytes
+
+    if _input_bytes(f"{sf_dir}/documents.parquet") <= _BLM_BCAST_MAX_INPUT:
+        lptab = broadcast(lptab)
     return (
         inst.join(lptab, "bh")
         .groupBy("doc_id")
@@ -1724,6 +1740,16 @@ _register(
 
 _BPE_ROUNDS = 3
 _BPE_US = "\x1f"
+# Up to this many rounds the training runs as ONE fused Spark job:
+# each round's winner is a 1-row broadcast side and the merge fold
+# references it as a column, so no per-round collect/checkpoint ever
+# happens. The fused DAG re-evaluates earlier rounds' folds (common
+# subplans are not shared across branches — ~2^R copies of the
+# vocab-sized fold work), which is cheap for small R on a cached,
+# vocab-bounded table but wrong for real 30k-merge training — past
+# the bound the loop falls back to per-round checkpointed rounds
+# (O(R) work, O(R) jobs), the large-R scale shape.
+_BPE_FUSE_MAX_ROUNDS = 4
 
 
 def _bpe_pair_counts(cur: DataFrame) -> DataFrame:
@@ -1765,6 +1791,50 @@ def _bpe_apply_merge(cur: DataFrame, p1: str, p2: str) -> DataFrame:
     )
 
 
+def _bpe_winner(pc: DataFrame, rnd: int) -> DataFrame:
+    """The round's arg-max pair (count desc, pair asc) as a 1-row DF."""
+    return (
+        pc.orderBy(F.desc("total"), F.asc("p"))
+        .limit(1)
+        .select(
+            F.lit(rnd).alias("merge_round"),
+            F.substring_index("p", _BPE_US, 1).alias("p1"),
+            F.substring_index("p", _BPE_US, -1).alias("p2"),
+            F.col("total").alias("pair_count"),
+        )
+    )
+
+
+def _bpe_apply_merge_bc(cur: DataFrame, winner: DataFrame) -> DataFrame:
+    # Same left-to-right greedy fold as _bpe_apply_merge, but the merge
+    # pair arrives as a broadcast 1-row join side instead of collected
+    # Python literals — the rewrite stays entirely inside one job.
+    w = F.broadcast(
+        winner.select(F.col("p1").alias("_a"), F.col("p2").alias("_b"))
+    )
+    joined_rows = cur.crossJoin(w)
+    folded = F.aggregate(
+        F.col("syms"),
+        F.lit(""),
+        lambda acc, x: F.when(
+            (F.length(acc) > 0)
+            & (F.substring_index(acc, _BPE_US, -1) == F.col("_a"))
+            & (x == F.col("_b")),
+            F.concat(
+                F.substring(
+                    acc, F.lit(1), F.length(acc) - F.length(F.col("_a"))
+                ),
+                F.col("_a"),
+                F.col("_b"),
+            ),
+        ).otherwise(F.concat(acc, F.lit(_BPE_US), x)),
+    )
+    return joined_rows.select(
+        "cnt",
+        F.split(F.substring(folded, 2, 1 << 30), _BPE_US).alias("syms"),
+    )
+
+
 def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     vocab = (
@@ -1773,27 +1843,54 @@ def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if _BPE_ROUNDS <= _BPE_FUSE_MAX_ROUNDS:
+        # Fused path: the corpus is scanned once into the cached
+        # word-frequency table; every round's pair-count, winner and
+        # rewrite are branches of ONE declarative plan, so the whole
+        # training is a single Spark job (r3 bench showed the
+        # per-round job floor dominating: 3 rounds x (TakeOrdered
+        # collect + eager checkpoint) ~ 2.5 s on kilobytes of vocab).
+        vocab = vocab.cache()
+        cur = vocab.select(
+            "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+        )
+        winners = []
+        for r in range(_BPE_ROUNDS):
+            w = _bpe_winner(_bpe_pair_counts(cur), r + 1)
+            winners.append(w)
+            if r + 1 < _BPE_ROUNDS:
+                cur = _bpe_apply_merge_bc(cur, w)
+        out = winners[0]
+        for w in winners[1:]:
+            out = out.unionByName(w)
+        return out.select(
+            "merge_round",
+            "p1",
+            "p2",
+            F.concat("p1", "p2").alias("merged"),
+            "pair_count",
+        )
+    # Large-R path: per-round materialization — collect the (bounded)
+    # winner, checkpoint the rewritten vocab so round R never re-runs
+    # the R-1 prior folds (O(R^2) otherwise).
+    from ..operators.dedup import _cc_checkpoint
+
     cur = vocab.select(
         "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
     )
-    from ..operators.dedup import _cc_checkpoint
-
     rows = []
     for r in range(_BPE_ROUNDS):
-        winners = (
+        top_rows = (
             _bpe_pair_counts(cur)
             .orderBy(F.desc("total"), F.asc("p"))
             .limit(1)
             .collect()
         )
-        if not winners:  # empty corpus / no adjacent pairs left
+        if not top_rows:  # empty corpus / no adjacent pairs left
             break
-        top = winners[0]
+        top = top_rows[0]
         p1, p2 = top["p"].split(_BPE_US)
         rows.append((r + 1, p1, p2, p1 + p2, top["total"]))
-        # truncate lineage between rounds (same contract as the CC
-        # loop's _cc_checkpoint): without it, round R lazily re-runs
-        # all R-1 prior folds — O(R²) work over the vocab
         cur = _cc_checkpoint(_bpe_apply_merge(cur, p1, p2))
     return spark.createDataFrame(
         rows, "merge_round int, p1 string, p2 string, merged string, pair_count long"

@@ -50,6 +50,75 @@ def test_order2_fit_recovers_quadratic():
     assert np.allclose(lat_c, [0, 5e-5, 0, 0, 0, 40.7], atol=1e-9)
 
 
+def test_order3_fit_recovers_cubic():
+    # lon = 2e-12·px³ + 1e-4·px - 74 ; lat = 3e-12·py³ + 40.7
+    pts = [(x, y) for x in (0, 100, 200, 350) for y in (0, 120, 260, 400)]
+    gcps = [
+        [
+            px,
+            py,
+            3e-12 * py**3 + 40.7,
+            2e-12 * px**3 + 1e-4 * px - 74.0,
+        ]
+        for px, py in pts
+    ]
+    lon_c, lat_c = fit_gcp_polynomial(gcps, order=3)
+    # design: [px,py,px²,py²,px·py,px³,px²y,px·y²,py³,1]
+    assert np.allclose(
+        lon_c, [1e-4, 0, 0, 0, 0, 2e-12, 0, 0, 0, -74.0], atol=1e-9
+    )
+    assert np.allclose(
+        lat_c, [0, 0, 0, 0, 0, 0, 0, 0, 3e-12, 40.7], atol=1e-9
+    )
+
+
+def test_transform_options_maps_to_gdal_orders():
+    """The reference forwards transform_options to GDAL (mapwarper.js:86)
+    — pin the public GDAL contract: explicit 1-3 honored, 0/None auto
+    (order 2 with >= 6 GCPs, else 1, never auto-3), tps refused."""
+    from etl_mapwarper_spark.operators.enrichment import (
+        order_from_transform_options,
+    )
+
+    assert order_from_transform_options(1) == 1
+    assert order_from_transform_options(2, n_gcps=3) == 2  # explicit wins
+    assert order_from_transform_options(3) == 3
+    assert order_from_transform_options(None, n_gcps=4) == 1
+    assert order_from_transform_options(0, n_gcps=6) == 2
+    assert order_from_transform_options(0, n_gcps=100) == 2  # no auto-3
+    with pytest.raises(NotImplementedError, match="thin-plate"):
+        order_from_transform_options("tps")
+    with pytest.raises(ValueError, match="orders are 1-3"):
+        order_from_transform_options(7)
+
+
+def test_enrich_masks_order2_golden(spark):
+    """Fixture parity at order != 1: a quadratic pixel→world surface
+    round-trips exactly through the order-2 enrichment path."""
+    pts = [(x, y) for x in (0, 80, 160, 240) for y in (0, 100, 200)]
+    gcps = [
+        [
+            float(px),
+            float(py),
+            1e-9 * py * py + 5e-5 * py + 40.7,
+            1e-8 * px * px + 1e-4 * px - 74.0,
+        ]
+        for px, py in pts
+    ]
+    ring = [[0.0, 0.0], [160.0, 0.0], [160.0, 200.0], [0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, "masked", ring, gcps)],
+        "id int, mask_status string, mask array<array<double>>, "
+        "gcps array<array<double>>",
+    )
+    out = enrich_masks(df, order=2).collect()[0]
+    assert out["maskError"] is None
+    got = out["maskGeometry"]["coordinates"][0]
+    for (px, py), (lon, lat) in zip(ring, got):
+        assert abs(lon - (1e-8 * px * px + 1e-4 * px - 74.0)) < 1e-9
+        assert abs(lat - (1e-9 * py * py + 5e-5 * py + 40.7)) < 1e-9
+
+
 def test_too_few_gcps_raises_value_error():
     with pytest.raises(ValueError, match="need >= 3 GCPs"):
         fit_gcp_polynomial([[0, 0, 40.7, -74.0]], order=1)

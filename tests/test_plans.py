@@ -109,6 +109,45 @@ def test_dd_simhash_single_shuffle(spark):
     assert "join" not in plan.lower()
 
 
+def test_tx_bigram_logprob_single_corpus_shuffle(spark):
+    """r4 pin: under the size gate the resolved (bh, lp) table is
+    broadcast, so the only corpus-sized exchange left is the per-doc
+    aggregate — the score join must NOT shuffle the instance stream.
+    (Past the gate the hint drops and AQE owns the join — 100 TB
+    shape; this pin runs at gated SF.)"""
+    plan = plan_of(spark, "tx_bigram_logprob")
+    body = plan.split("===== Subqueries =====")[0]
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", body), (
+        "score join must broadcast the vocab²-bounded side at gated SF"
+    )
+    # Catalyst doesn't share common subplans, so the logical single
+    # explode still appears once per consuming branch (inst, c12, c1,
+    # vocab) — pin the branch count so a new redundant stream is
+    # caught (the pre-r4 shape had a separate string-typed types
+    # stream on top of these).
+    n_scans = len(re.findall(r"Scan parquet", body))
+    assert n_scans <= 4, f"bigram stream grew extra branches: {n_scans}"
+    assert "BatchEvalPython" not in plan
+
+
+def test_dd_levenshtein_blocked_plan_shape(spark):
+    """Pin the r04-audited winning plan: the block join stays a single
+    equi-join (broadcast at small SF from real stats — no forced hint,
+    so at 100 TB AQE is free to pick a shuffle join on `blk`), the
+    levenshtein comparator runs inside the join/filter (no extra
+    stage), and the only hash-exchange is the small-input round-robin
+    repartition from load_table(parallelize=True)."""
+    plan = plan_of(spark, "dd_levenshtein_blocked")
+    n_joins = len(
+        re.findall(r"\(\d+\) (?:BroadcastHash|ShuffledHash|SortMerge)Join", plan)
+    )
+    assert n_joins == 1, f"block join must be one equi-join: {n_joins}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchange <= 2, f"levenshtein grew extra shuffles: {n_exchange}"
+    assert "levenshtein" in plan, "comparator must stay JVM-side in the plan"
+
+
 def test_q22_asof_uses_partial_agg_not_window(spark):
     plan = plan_of(spark, "q22_asof_last_order")
     assert "Window" not in plan, "as-of should aggregate, not sort a window"
@@ -710,8 +749,11 @@ def test_llm_pipeline_exchange_budget_and_no_row_python(spark):
     """The six-stage flagship must stay inside its audited plan
     budget: bounded exchanges (7 at audit time — fp argmin aggregate,
     shingle distinct, pack window, accounting aggregates, broadcasts
-    and the opt-in repartition), no shuffle joins (the joins broadcast
-    the bounded side), and no Python anywhere."""
+    and the opt-in repartition), no shuffle joins at this SF (the
+    bench-hash side is hint-broadcast; the contaminated-id anti-join
+    carries NO hint since r4 — at small SF stats still broadcast it,
+    at adversarial overlap AQE may legitimately shuffle it), and no
+    Python anywhere."""
     plan = plan_of(spark, "ds_llm_pipeline")
     body = plan.split("===== Subqueries =====")[0]
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
