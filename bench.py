@@ -10,14 +10,20 @@ Methodology (documented in BASELINE.md §bench):
 - The session is warmed first (one trivial job + one trivial
   pandas_udf job) so no query pays SparkSession/Python-worker
   bring-up.
-- Each query runs three times; the headline per-query number is the
-  MIN (steady-state). The first-run (cold) times are reported
-  alongside under "queries_cold". Rationale: cold times are dominated
-  by one-time janino codegen compilation (~1-8 s per distinct plan
-  shape), a fixed cost independent of data volume — steady-state is
-  the number that scales with SF and is comparable to the in-process
-  DuckDB oracle baseline. Min-of-3 also bounds the host's transient
-  CPU-steal episodes (observed inflating identical runs 2-5×).
+- Each query runs five times on BOTH sides (engine and oracle — same
+  treatment, override with $SPARK_GRAFT_BENCH_RUNS); the headline
+  per-query number is the MIN (steady-state). The first-run (cold)
+  times are reported alongside under "queries_cold". Rationale: cold
+  times are dominated by one-time janino codegen compilation (~1-8 s
+  per distinct plan shape), a fixed cost independent of data volume —
+  steady-state is the number that scales with SF and is comparable to
+  the in-process DuckDB oracle baseline. The min-of-N also bounds the
+  host's transient CPU-steal episodes (observed inflating identical
+  runs 2-5×; r4 measured the same pinned plans at 0.23 s and 1.45 s
+  minutes apart) — with N=3 a steal window spanning all three runs
+  still poisons the min, which is how r03 recorded a 9× phantom
+  regression on dd_levenshtein_blocked; N=5 makes that window ~2×
+  less likely per query at ~30 s extra wall-clock for the suite.
 """
 
 from __future__ import annotations
@@ -137,13 +143,14 @@ def main() -> None:
     except Exception:
         con = None  # oracle timing is advisory; engine numbers still print
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     oracle: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
@@ -153,7 +160,7 @@ def main() -> None:
         if con is not None and name in osql:
             try:
                 oruns = []
-                for _ in range(3):
+                for _ in range(n_runs):
                     t0 = time.perf_counter()
                     con.execute(osql[name]).fetchall()
                     oruns.append(time.perf_counter() - t0)
@@ -177,7 +184,7 @@ def main() -> None:
                 "vs_oracle": round(total / oracle_total, 3)
                 if oracle_total
                 else None,
-                "methodology": "noop sink; warmed session; min of 3 runs (cold run reported separately); DuckDB oracle timed back-to-back same process, min of 3",
+                "methodology": f"noop sink; warmed session; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
