@@ -1706,3 +1706,104 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_substring_span_pairs — exact-substring duplication candidates, the
+# character-level complement of the word-shingle family (after Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499, which removes repeated >= 50-char substrings found
+# via a suffix array). A distributed suffix array is not Spark-shaped;
+# the standard scalable approximation is FIXED-LENGTH CHARACTER WINDOWS
+# on a stride: any repeated substring of >= window+stride-1 chars is
+# guaranteed to contain at least one aligned shared window, so shared-
+# window counts lower-bound the true duplicated span. Windows join on
+# 8-byte xxhash64 keys (dd_ngram_jaccard's trick); windows seen in
+# more than _SSPAN_DF_CAP docs are boilerplate and excluded (df-capped
+# exactly like the shingle index), which also bounds the per-window
+# pair fan-out at any corpus size. Output: doc pairs sharing >=
+# _SSPAN_MIN_SHARED windows with the implied minimum duplicated span.
+# ---------------------------------------------------------------------------
+
+_SSPAN_W = 64  # window width (chars)
+_SSPAN_STRIDE = 16  # window stride (chars)
+_SSPAN_DF_CAP = 10  # windows in more docs than this are boilerplate
+_SSPAN_MIN_SHARED = 3  # report pairs sharing at least this many windows
+
+
+def dd_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # CASE guard: Spark's sequence(1, stop, step) rejects stop < start,
+    # so sub-window documents yield an empty window array instead.
+    starts = F.when(
+        F.length("text") >= _SSPAN_W,
+        F.sequence(
+            F.lit(1),
+            F.length("text") - (_SSPAN_W - 1),
+            F.lit(_SSPAN_STRIDE),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    win = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts, lambda i: F.substring(F.col("text"), i, _SSPAN_W)
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .distinct()
+    )
+    df_ok = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SSPAN_DF_CAP))
+        .select("h")
+    )
+    idx = win.join(df_ok, "h")
+    a = idx.select(F.col("doc_id").alias("d1"), "h")
+    b = idx.select(F.col("doc_id").alias("d2"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= _SSPAN_MIN_SHARED)
+        .withColumn(
+            "min_span_chars",
+            (
+                (F.col("n_shared_windows") - 1) * _SSPAN_STRIDE + _SSPAN_W
+            ).cast("long"),
+        )
+    )
+
+
+_register(
+    "dd_substring_span_pairs",
+    dd_substring_span_pairs,
+    f"""
+    WITH win AS (
+      SELECT DISTINCT doc_id, substr(text, i, {_SSPAN_W}) AS w
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1,
+                 greatest(length(text) - {_SSPAN_W - 1}, 0) + 1,
+                 {_SSPAN_STRIDE})) AS i
+        FROM documents
+      )
+    ),
+    ok AS (
+      SELECT w FROM win GROUP BY w
+      HAVING count(*) BETWEEN 2 AND {_SSPAN_DF_CAP}
+    ),
+    idx AS (SELECT doc_id, w FROM win JOIN ok USING (w))
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           count(*) AS n_shared_windows,
+           ((count(*) - 1) * {_SSPAN_STRIDE} + {_SSPAN_W})::BIGINT
+             AS min_span_chars
+    FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_SSPAN_MIN_SHARED}
+    """,
+)

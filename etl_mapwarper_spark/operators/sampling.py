@@ -1638,3 +1638,210 @@ _register(
     FROM planned
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_dsir_importance — Data Selection via Importance Resampling (DSIR,
+# Xie et al. 2023, arXiv:2302.03169): pick raw-corpus documents whose
+# token distribution looks most like a small high-quality TARGET
+# domain. Each document is scored by the mean per-token importance
+# log-ratio
+#   score(x) = avg_{w in x} [ ln p_target(w) - ln p_raw(w) ]
+# with add-k smoothing over the shared vocabulary (the paper hashes
+# n-grams into buckets; raw unigrams are used here so the features —
+# and therefore the scores — are bit-identical in the DuckDB oracle,
+# which has no portable 64-bit hash). The target domain is the
+# lexicographically first source (deterministic, domain-independent);
+# the paper's Gumbel-noise resampling step is replaced by a
+# deterministic top-K by (rounded score, doc_id) so the selection is
+# oracle-checkable.
+# Scale shape: one tokenize pass; both count tables are vocab-bounded
+# with map-side combine; the per-token score join is on the term key
+# and unhinted (AQE broadcasts the vocab side while it fits); the
+# corpus stream shuffles once for the per-doc aggregate plus once for
+# the score join when the vocab outgrows broadcast. Top-K is
+# TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 0.5  # add-k smoothing
+_DSIR_TOPK = 100
+
+
+def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    target_src = docs.agg(F.min("source").alias("tsrc"))
+    inst = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    inst = inst.crossJoin(broadcast(target_src)).withColumn(
+        "is_target", F.col("source") == F.col("tsrc")
+    )
+    counts = inst.groupBy("term").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratios = counts.crossJoin(broadcast(totals)).select(
+        "term",
+        (
+            F.log(
+                (F.col("ct") + F.lit(_DSIR_K))
+                / (F.col("nt") + F.lit(_DSIR_K) * F.col("v"))
+            )
+            - F.log(
+                (F.col("cr") + F.lit(_DSIR_K))
+                / (F.col("nr") + F.lit(_DSIR_K) * F.col("v"))
+            )
+        ).alias("lr"),
+    )
+    scored = (
+        inst.filter(~F.col("is_target"))
+        .join(ratios, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 4).alias("dsir_score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("dsir_score"), F.asc("doc_id")
+    ).limit(_DSIR_TOPK)
+
+
+_register(
+    "ds_dsir_importance",
+    ds_dsir_importance,
+    f"""
+    WITH tgt AS (SELECT min(source) AS tsrc FROM documents),
+    inst AS (
+      SELECT doc_id, source, term,
+             source = (SELECT tsrc FROM tgt) AS is_target
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term <> ''
+    ),
+    counts AS (
+      SELECT term,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cr
+      FROM inst GROUP BY 1
+    ),
+    totals AS (
+      SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM counts
+    ),
+    ratios AS (
+      SELECT term,
+             ln((ct + {_DSIR_K}) / (nt + {_DSIR_K} * v))
+           - ln((cr + {_DSIR_K}) / (nr + {_DSIR_K} * v)) AS lr
+      FROM counts CROSS JOIN totals
+    )
+    SELECT doc_id, source,
+           count(*) AS n_tokens,
+           round(avg(lr), 4) AS dsir_score
+    FROM inst JOIN ratios USING (term)
+    WHERE NOT is_target
+    GROUP BY doc_id, source
+    ORDER BY dsir_score DESC, doc_id ASC
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ds_contamination_report — the per-source CONTAMINATION AUDIT that
+# pairs with ds_decontaminate: decontamination filters the corpus, this
+# reports where the contamination lives. For each training source:
+# documents total, documents sharing any benchmark 5-gram, the rate,
+# and how many tokens filtering them would cost — the table a data
+# lead reads before deciding whether a source's overlap is leakage or
+# boilerplate (GPT-3 appendix-C style reporting, per-source instead of
+# per-benchmark). Scale shape identical to ds_decontaminate: hashed
+# 5-gram equi-join, benchmark side broadcast (eval-suite-sized),
+# corpus never self-joins; the contaminated-id set is semi-joined
+# back unhinted, then one groupBy(source) fold.
+# ---------------------------------------------------------------------------
+
+
+def ds_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.text import token_count, tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    sh = docs.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        F.explode(word_shingles(tokens(F.col("text")), _DECON_N)).alias("s"),
+    ).select("doc_id", "is_bench", F.xxhash64("s").alias("h"))
+    bench_h = sh.filter(F.col("is_bench")).select("h").distinct()
+    contaminated = (
+        sh.filter(~F.col("is_bench"))
+        .join(broadcast(bench_h), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.filter(~is_bench).select(
+        "doc_id", "source", token_count(F.col("text")).alias("dl")
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("contam_rate"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("dl")).otherwise(0)
+            ).alias("tokens_at_risk"),
+        )
+    )
+
+
+_register(
+    "ds_contamination_report",
+    ds_contamination_report,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - {_DECON_N - 2}, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                         || t[i+3] || ' ' || t[i+4])) AS s
+      FROM toks WHERE len(t) >= {_DECON_N}
+    ),
+    bench_h AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % {_DECON_MOD} <> 0 AND s IN (SELECT s FROM bench_h)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           round(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS contam_rate,
+           sum(CASE WHEN c.doc_id IS NOT NULL
+                    THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT
+             AS tokens_at_risk
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id % {_DECON_MOD} <> 0
+    GROUP BY source
+    """,
+)
