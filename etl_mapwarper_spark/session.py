@@ -99,6 +99,17 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # Shuffle compression trades CPU for IO; below the small-data
+        # threshold the shuffle blocks are KBs on local page cache and
+        # LZ4 CPU is ~18% of total wall-clock (r4 A/B: 3.34 s -> 2.75 s
+        # over six headline queries), so compression follows the same
+        # deployment switch as AQE: ON when stages move real data
+        # (100 TB clusters are network/disk bound), OFF for sub-GiB
+        # local runs. locality.wait=0 likewise: single-host scheduling
+        # has no better locality to wait for.
+        .config("spark.shuffle.compress", str(adaptive).lower())
+        .config("spark.shuffle.spill.compress", str(adaptive).lower())
+        .config("spark.locality.wait", "3s" if adaptive else "0s")
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.default.parallelism", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", str(adaptive).lower())
