@@ -1409,3 +1409,96 @@ _register(
     GROUP BY probe_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_int8_quantize_report — symmetric per-vector int8 quantization QA,
+# the storage-path audit for embedding corpora (fp32 -> int8 is the
+# standard 4x compression before ANN indexing at 100 TB; the question
+# is always "what does it cost in reconstruction error"). Per vector:
+# scale = max|v| / 127, q_i = floor(v_i/scale + 0.5) (identical
+# round-half semantics in Spark and DuckDB — neither engine's round()
+# is used), reconstruction v'_i = q_i * scale. Reported per label:
+# mean scale, mean/max absolute reconstruction error, and mean
+# relative L2 error. Pure narrow scan — zero joins, one groupBy
+# exchange; every fold is an in-row higher-order function.
+# ---------------------------------------------------------------------------
+
+_Q8_EPS = 1e-12  # zero-vector guard
+
+
+def sim_int8_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    v = to_double_array(F.col("embedding"))
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.greatest(m, F.lit(_Q8_EPS)) / F.lit(127.0)
+    recon_err = F.transform(
+        v,
+        lambda x: F.abs(
+            x - F.floor(x / scale + F.lit(0.5)) * scale
+        ),
+    )
+    sum_err2 = F.aggregate(
+        recon_err, F.lit(0.0), lambda acc, e: acc + e * e
+    )
+    norm2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    per_vec = emb.select(
+        "label",
+        scale.alias("scale"),
+        F.aggregate(
+            recon_err, F.lit(0.0), lambda acc, e: acc + e
+        ).alias("sum_abs_err"),
+        F.array_max(recon_err).alias("max_abs_err"),
+        F.size(v).alias("d"),
+        (
+            F.sqrt(sum_err2) / F.sqrt(F.greatest(norm2, F.lit(_Q8_EPS)))
+        ).alias("rel_l2_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("scale"), 4).alias("avg_scale"),
+        F.round(F.avg(F.col("sum_abs_err") / F.col("d")), 4).alias(
+            "avg_abs_err"
+        ),
+        F.round(F.max("max_abs_err"), 4).alias("max_abs_err"),
+        F.round(F.avg("rel_l2_err"), 4).alias("avg_rel_l2_err"),
+    )
+
+
+_register(
+    "sim_int8_quantize_report",
+    sim_int8_quantize_report,
+    f"""
+    WITH per_vec AS (
+      SELECT label,
+             greatest(list_max(list_transform(embedding,
+                               x -> abs(x::DOUBLE))), {_Q8_EPS}) / 127.0
+               AS scale,
+             len(embedding) AS d,
+             embedding
+      FROM embeddings
+    ),
+    errs AS (
+      SELECT label, scale, d,
+             list_transform(embedding,
+               x -> abs(x::DOUBLE
+                        - floor(x::DOUBLE / scale + 0.5) * scale))
+               AS re,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS norm2
+      FROM per_vec
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(scale), 4) AS avg_scale,
+           round(avg(list_reduce(list_prepend(0.0, re),
+                                 (a, b) -> a + b) / d), 4) AS avg_abs_err,
+           round(max(list_max(re)), 4) AS max_abs_err,
+           round(avg(sqrt(list_reduce(list_prepend(0.0,
+                     list_transform(re, e -> e * e)), (a, b) -> a + b))
+                     / sqrt(greatest(norm2, {_Q8_EPS}))), 4)
+             AS avg_rel_l2_err
+    FROM errs
+    GROUP BY label
+    """,
+)

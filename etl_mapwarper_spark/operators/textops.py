@@ -1897,23 +1897,24 @@ def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql() -> str:
-    def pair_cte(s: str) -> str:
-        return f"""
+def _bpe_pair_cte(s: str) -> str:
+    return f"""
       SELECT p, sum(cnt) AS total FROM (
         SELECT cnt, unnest(list_transform(range(1, greatest(len(syms), 1)),
                i -> syms[i] || chr(31) || syms[i+1])) AS p
         FROM {s})
       GROUP BY p"""
 
-    def top_cte(pc: str) -> str:
-        return f"""
+
+def _bpe_top_cte(pc: str) -> str:
+    return f"""
       SELECT string_split(p, chr(31))[1] AS a,
              string_split(p, chr(31))[2] AS b, total
       FROM {pc} ORDER BY total DESC, p ASC LIMIT 1"""
 
-    def apply_cte(s: str, m: str) -> str:
-        return f"""
+
+def _bpe_apply_cte(s: str, m: str) -> str:
+    return f"""
       SELECT cnt, string_split(substr(list_reduce(list_prepend('', syms),
                (acc, x) -> CASE WHEN length(acc) > 0
                                  AND string_split(acc, chr(31))[-1] = {m}.a
@@ -1924,6 +1925,9 @@ def _bpe_sql() -> str:
              chr(31)) AS syms
       FROM {s}, {m}"""
 
+
+def _bpe_sql() -> str:
+    pair_cte, top_cte, apply_cte = _bpe_pair_cte, _bpe_top_cte, _bpe_apply_cte
     return f"""
     WITH words AS (
       SELECT w, count(*) AS cnt
@@ -1949,6 +1953,139 @@ def _bpe_sql() -> str:
 
 
 _register("tx_bpe_train_merges", tx_bpe_train_merges, _bpe_sql())
+
+
+# ---------------------------------------------------------------------------
+# tx_bpe_fertility — the APPLY half of BPE training: encode the corpus
+# with the merges tx_bpe_train_merges just learned and report tokenizer
+# FERTILITY (tokens per word / per character), the metric tokenizer
+# teams use to size vocabularies and compare languages. Applying
+# merges to the word-frequency dictionary (not per document) keeps the
+# apply stage vocab-bounded — identical scale shape to training; the
+# corpus contributes only word counts from the single tokenize pass.
+# Output per language bucket of the vocabulary: words, characters,
+# symbols after merging, and the compression ratio — at R trained
+# merges the ratio directly measures how much of the pair mass the
+# merge table captured.
+# ---------------------------------------------------------------------------
+
+
+def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    cur = vocab.select(
+        "w", "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+    )
+    for r in range(_BPE_ROUNDS):
+        w = _bpe_winner(_bpe_pair_counts(cur), r + 1)
+        # Same broadcast-winner fold as _bpe_apply_merge_bc, inlined to
+        # carry the word key `w` through the rewrite (fertility buckets
+        # by word length; training only needs cnt+syms).
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    w.select(F.col("p1").alias("_a"), F.col("p2").alias("_b"))
+                )
+            )
+            .select(
+                "w",
+                "cnt",
+                F.split(
+                    F.substring(
+                        F.aggregate(
+                            F.col("syms"),
+                            F.lit(""),
+                            lambda acc, x: F.when(
+                                (F.length(acc) > 0)
+                                & (
+                                    F.substring_index(acc, _BPE_US, -1)
+                                    == F.col("_a")
+                                )
+                                & (x == F.col("_b")),
+                                F.concat(
+                                    F.substring(
+                                        acc,
+                                        F.lit(1),
+                                        F.length(acc)
+                                        - F.length(F.col("_a")),
+                                    ),
+                                    F.col("_a"),
+                                    F.col("_b"),
+                                ),
+                            ).otherwise(F.concat(acc, F.lit(_BPE_US), x)),
+                        ),
+                        F.lit(2),
+                        F.lit(1 << 30),
+                    ),
+                    _BPE_US,
+                ).alias("syms"),
+            )
+        )
+    return (
+        cur.groupBy((F.length("w") % 4).cast("int").alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.sum(F.col("cnt") * F.length("w")).alias("chars"),
+            F.sum(F.col("cnt") * F.size("syms")).alias("symbols"),
+            F.round(
+                F.sum(F.col("cnt") * F.size("syms"))
+                / F.sum(F.col("cnt") * F.length("w")),
+                4,
+            ).alias("symbols_per_char"),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    pair_cte, top_cte = _bpe_pair_cte, _bpe_top_cte
+
+    def apply_keep_w(s: str, m: str) -> str:
+        return f"""
+      SELECT w, cnt, string_split(substr(list_reduce(list_prepend('', syms),
+               (acc, x) -> CASE WHEN length(acc) > 0
+                                 AND string_split(acc, chr(31))[-1] = {m}.a
+                                 AND x = {m}.b
+                           THEN substr(acc, 1, length(acc) - length({m}.a))
+                                || {m}.a || {m}.b
+                           ELSE acc || chr(31) || x END), 2),
+             chr(31)) AS syms
+      FROM {s}, {m}"""
+
+    return f"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    s1 AS (SELECT w, cnt, regexp_extract_all(w, '.') AS syms FROM words),
+    pc1 AS ({pair_cte('s1')}),
+    m1 AS ({top_cte('pc1')}),
+    s2 AS ({apply_keep_w('s1', 'm1')}),
+    pc2 AS ({pair_cte('s2')}),
+    m2 AS ({top_cte('pc2')}),
+    s3 AS ({apply_keep_w('s2', 'm2')}),
+    pc3 AS ({pair_cte('s3')}),
+    m3 AS ({top_cte('pc3')}),
+    s4 AS ({apply_keep_w('s3', 'm3')})
+    SELECT (length(w) % 4)::INT AS len_bucket,
+           count(*) AS n_words,
+           sum(cnt)::BIGINT AS n_occurrences,
+           sum(cnt * length(w))::BIGINT AS chars,
+           sum(cnt * len(syms))::BIGINT AS symbols,
+           round(sum(cnt * len(syms)) * 1.0
+                 / sum(cnt * length(w)), 4) AS symbols_per_char
+    FROM s4 GROUP BY 1
+    """
+
+
+_register("tx_bpe_fertility", tx_bpe_fertility, _bpe_fertility_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -2043,5 +2180,152 @@ _register(
            md5(r) AS redacted_md5,
            length(r) AS redacted_len
     FROM red
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# tx_logreg_train_steps — distributed TRAINING of the quality
+# classifier (the learn half of tx_hashed_linear_score's inference):
+# two full-batch gradient-descent steps of logistic regression,
+# predicting lang='en' from the cheap quality features
+# [bias, stopword_ratio, punct_ratio, ln(1+n_tokens)]. Each step is
+# the textbook distributed-GD shape: ONE corpus aggregate producing a
+# d-dimensional gradient (d=4 here), collected as bounded scalars and
+# folded into the next step's expression as literals — exactly the
+# sim_kmeans_2iter contract (per-round driver traffic is O(d), never
+# O(corpus)). At 100 TB each step is a single map-side-combined
+# aggregate over the feature scan; rounds are fixed, no convergence
+# loop. Output: per feature, the weight after step 1 and step 2, plus
+# the final mean log-loss (same value every row — the corpus-level
+# verification signal).
+# ---------------------------------------------------------------------------
+
+_LR_RATE = 1.0  # full-batch GD learning rate
+_LR_FEATURES = ["bias", "stopword_ratio", "punct_ratio", "log1p_tokens"]
+
+
+def _lr_feature_cols():
+    t = tokens(F.col("text"))
+    return [
+        F.lit(1.0),
+        stopword_ratio(t),
+        punct_ratio(F.col("text")),
+        F.log1p(F.size(t).cast("double")),
+    ]
+
+
+def tx_logreg_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    fx = _lr_feature_cols()
+    y = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    feats = docs.select(
+        *[c.alias(f"x{i}") for i, c in enumerate(fx)], y.alias("y")
+    ).cache()
+
+    d = len(_LR_FEATURES)
+    w = [0.0] * d
+    weights_per_step = []
+    for _ in range(2):
+        z = sum(
+            [F.col(f"x{i}") * F.lit(w[i]) for i in range(d)], F.lit(0.0)
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = feats.agg(
+            *[F.avg((p - F.col("y")) * F.col(f"x{i}")).alias(f"g{i}")
+              for i in range(d)]
+        ).collect()[0]
+        w = [w[i] - _LR_RATE * g[f"g{i}"] for i in range(d)]
+        weights_per_step.append(list(w))
+
+    zf = sum([F.col(f"x{i}") * F.lit(w[i]) for i in range(d)], F.lit(0.0))
+    pf = F.lit(1.0) / (F.lit(1.0) + F.exp(-zf))
+    loss = feats.agg(
+        F.avg(
+            -(
+                F.col("y") * F.log(pf)
+                + (1.0 - F.col("y")) * F.log(1.0 - pf)
+            )
+        ).alias("loss")
+    ).collect()[0]["loss"]
+
+    # "+ 0.0" normalizes IEEE negative zero (round(-1e-9, 4) is -0.0,
+    # which hash-compares unequal to the oracle's 0.0)
+    rows = [
+        (
+            _LR_FEATURES[i],
+            round(weights_per_step[0][i], 4) + 0.0,
+            round(weights_per_step[1][i], 4) + 0.0,
+            round(loss, 4) + 0.0,
+        )
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, w_step1 double, w_step2 double, "
+        "final_loss double"
+    )
+
+
+_register(
+    "tx_logreg_train_steps",
+    tx_logreg_train_steps,
+    f"""
+    WITH feats AS (
+      SELECT 1.0 AS x0,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN {_STOP_SQL})) * 1.0
+               / len(string_split(text, ' ')) AS x1,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS x2,
+             ln(1 + len(string_split(text, ' '))) AS x3,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    g1 AS (
+      SELECT avg((0.5 - y) * x0) AS g0, avg((0.5 - y) * x1) AS g1,
+             avg((0.5 - y) * x2) AS g2, avg((0.5 - y) * x3) AS g3
+      FROM feats
+    ),
+    w1 AS (
+      SELECT -{_LR_RATE} * g0 AS w0, -{_LR_RATE} * g1 AS w1,
+             -{_LR_RATE} * g2 AS w2, -{_LR_RATE} * g3 AS w3
+      FROM g1
+    ),
+    g2 AS (
+      SELECT avg((1.0 / (1.0 + exp(-(w1.w0*x0 + w1.w1*x1 + w1.w2*x2
+                                     + w1.w3*x3))) - y) * x0) AS g0,
+             avg((1.0 / (1.0 + exp(-(w1.w0*x0 + w1.w1*x1 + w1.w2*x2
+                                     + w1.w3*x3))) - y) * x1) AS g1,
+             avg((1.0 / (1.0 + exp(-(w1.w0*x0 + w1.w1*x1 + w1.w2*x2
+                                     + w1.w3*x3))) - y) * x2) AS g2,
+             avg((1.0 / (1.0 + exp(-(w1.w0*x0 + w1.w1*x1 + w1.w2*x2
+                                     + w1.w3*x3))) - y) * x3) AS g3
+      FROM feats, w1 GROUP BY w1.w0, w1.w1, w1.w2, w1.w3
+    ),
+    w2 AS (
+      SELECT w1.w0 - {_LR_RATE} * g2.g0 AS w0,
+             w1.w1 - {_LR_RATE} * g2.g1 AS w1,
+             w1.w2 - {_LR_RATE} * g2.g2 AS w2,
+             w1.w3 - {_LR_RATE} * g2.g3 AS w3
+      FROM w1, g2
+    ),
+    lossf AS (
+      SELECT avg(-(y * ln(1.0 / (1.0 + exp(-(w2.w0*x0 + w2.w1*x1
+                                             + w2.w2*x2 + w2.w3*x3))))
+                   + (1.0 - y) * ln(1.0 - 1.0 / (1.0 + exp(-(w2.w0*x0
+                       + w2.w1*x1 + w2.w2*x2 + w2.w3*x3)))))) AS loss
+      FROM feats, w2 GROUP BY w2.w0, w2.w1, w2.w2, w2.w3
+    )
+    SELECT f.feature,
+           round(CASE f.i WHEN 0 THEN w1.w0 WHEN 1 THEN w1.w1
+                          WHEN 2 THEN w1.w2 ELSE w1.w3 END, 4) + 0.0
+             AS w_step1,
+           round(CASE f.i WHEN 0 THEN w2.w0 WHEN 1 THEN w2.w1
+                          WHEN 2 THEN w2.w2 ELSE w2.w3 END, 4) + 0.0
+             AS w_step2,
+           round(lossf.loss, 4) + 0.0 AS final_loss
+    FROM (VALUES (0, 'bias'), (1, 'stopword_ratio'),
+                 (2, 'punct_ratio'), (3, 'log1p_tokens')) f(i, feature),
+         w1, w2, lossf
     """,
 )
