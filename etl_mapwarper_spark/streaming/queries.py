@@ -580,3 +580,123 @@ _register(
         OR (value > 400.0), true)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# st_incremental_dedup — dedup-on-arrival: the streaming twin of
+# dd_incremental_dedup. A landed corpus (the doc_id % 7 == 0 slice,
+# standing in for yesterday's warehouse) is seeded into the store;
+# the remaining documents arrive as a multi-micro-batch file stream
+# (staged into 4 files BY FINGERPRINT HASH, so every fingerprint's
+# docs arrive in one delivery and the batch-local argmin survivor is
+# deterministic regardless of file-arrival order). Each micro-batch:
+# LEFT ANTI against the landed fingerprint set (already-landed wins),
+# then packed-argmin within the batch (best new copy wins), then
+# append — the store is only ever appended to, never rewritten, which
+# is the 100 TB contract (the anti-join probe is fingerprint-keyed;
+# at scale the landed side is a bucketed table on fp). Output: per
+# source, streamed volume, how many docs landed, how many were
+# dropped as duplicates.
+# ---------------------------------------------------------------------------
+
+_SID_SEED_MOD = 7  # doc_id % 7 == 0 -> pre-landed corpus
+_SID_FILES = 4  # staged stream files (one micro-batch each)
+
+
+def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..functions.text import doc_fingerprint
+    from ..sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="st_inc_dedup_")
+    stage, landed = f"{base}/stage", f"{base}/landed"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    is_seed = F.col("doc_id") % _SID_SEED_MOD == 0
+    docs.filter(is_seed).withColumn("origin", F.lit("seed")).write.mode(
+        "overwrite"
+    ).parquet(landed)
+    # Stage by fingerprint hash: co-deliver every fp's copies so the
+    # within-batch argmin is the global argmin for new fingerprints.
+    docs.filter(~is_seed).repartition(
+        _SID_FILES, F.xxhash64("fp")
+    ).write.mode("overwrite").parquet(stage)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        s = batch.sparkSession
+        landed_fps = s.read.parquet(landed).select("fp").distinct()
+        fresh = batch.join(landed_fps, "fp", "left_anti")
+        survivors = (
+            fresh.groupBy("fp")
+            .agg(F.min(F.struct("doc_id", "source")).alias("s"))
+            .select("fp", "s.doc_id", "s.source")
+            .withColumn("origin", F.lit("stream"))
+        )
+        survivors.write.mode("append").parquet(landed)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, fp string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    run_foreach_batch(stream, merge, output_mode="append")
+
+    streamed = docs.filter(~is_seed).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_streamed")
+    )
+    new_landed = (
+        spark.read.parquet(landed)
+        .filter(F.col("origin") == "stream")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new_landed"))
+    )
+    return (
+        streamed.join(new_landed, "source", "left")
+        .select(
+            "source",
+            "n_streamed",
+            F.coalesce("n_new_landed", F.lit(0)).alias("n_new_landed"),
+            (
+                F.col("n_streamed")
+                - F.coalesce("n_new_landed", F.lit(0))
+            ).alias("n_dropped_dup"),
+        )
+    )
+
+
+_register(
+    "st_incremental_dedup",
+    st_incremental_dedup,
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             doc_id % {_SID_SEED_MOD} = 0 AS is_seed
+      FROM documents
+    ),
+    seeded AS (SELECT DISTINCT fp FROM fps WHERE is_seed),
+    streamed AS (SELECT * FROM fps WHERE NOT is_seed),
+    survivors AS (
+      SELECT fp, min(doc_id) AS doc_id
+      FROM streamed
+      WHERE fp NOT IN (SELECT fp FROM seeded)
+      GROUP BY fp
+    ),
+    landed AS (
+      SELECT s.source FROM streamed s
+      JOIN survivors v ON s.fp = v.fp AND s.doc_id = v.doc_id
+    )
+    SELECT source,
+           (SELECT count(*) FROM streamed t WHERE t.source = x.source)
+             AS n_streamed,
+           count(*) AS n_new_landed,
+           (SELECT count(*) FROM streamed t WHERE t.source = x.source)
+             - count(*) AS n_dropped_dup
+    FROM landed x
+    GROUP BY source
+    """,
+)
