@@ -58,6 +58,16 @@ EMPTY_SAFE = [
     "ds_temperature_mixture",
     "q91_sql_interface",
     "q92_modern_sql",
+    # round-4: selection/dedup/quantization additions; the streaming
+    # dedup must land nothing and report nothing on an empty corpus.
+    # (tx_logreg_train_steps is exempt like IVF/PQ/k-means — training
+    # on zero rows has no gradient and raises, the honest contract.)
+    "ds_dsir_importance",
+    "dd_substring_span_pairs",
+    "ds_contamination_report",
+    "tx_bpe_fertility",
+    "sim_int8_quantize_report",
+    "st_incremental_dedup",
 ]
 
 
