@@ -1709,72 +1709,84 @@ _register(
 
 
 # ---------------------------------------------------------------------------
-# dd_substring_span_pairs — exact-substring duplication candidates, the
-# character-level complement of the word-shingle family (after Lee et
-# al. 2022, "Deduplicating Training Data Makes Language Models Better",
-# arXiv:2107.06499, which removes repeated >= 50-char substrings found
-# via a suffix array). A distributed suffix array is not Spark-shaped;
-# the standard scalable approximation is FIXED-LENGTH CHARACTER WINDOWS
-# on a stride: any repeated substring of >= window+stride-1 chars is
-# guaranteed to contain at least one aligned shared window, so shared-
-# window counts lower-bound the true duplicated span. Windows join on
-# 8-byte xxhash64 keys (dd_ngram_jaccard's trick); windows seen in
-# more than _SSPAN_DF_CAP docs are boilerplate and excluded (df-capped
-# exactly like the shingle index), which also bounds the per-window
-# pair fan-out at any corpus size. Output: doc pairs sharing >=
-# _SSPAN_MIN_SHARED windows with the implied minimum duplicated span.
+# dd_substring_span_pairs — exact-substring duplication candidates via
+# WINNOWING (Schleimer, Wilkerson, Aiken 2003 — the MOSS fingerprint
+# scheme), the character-level complement of the word-shingle family
+# and the scalable stand-in for Lee et al. 2022's suffix-array dedup
+# (arXiv:2107.06499, repeated >= 50-char substrings). Per document:
+# every k-gram (k = _SSPAN_K chars) is a candidate; within each
+# sliding window of t = _SSPAN_T consecutive k-grams the MINIMUM gram
+# (lexicographic — identical ordering in Spark and DuckDB, no
+# engine-specific hash in the contract) is selected as a fingerprint.
+# Winnowing's guarantee: any shared substring of >= k + t - 1 chars
+# produces at least one shared fingerprint AT ANY ALIGNMENT — unlike
+# a strided grid, which only matches offsets that agree mod stride
+# (a round-4 property test caught exactly that overclaim; at 100 TB
+# the fingerprint join would run on xxhash64 of the gram, same plan).
+# Fingerprints seen in more than _SSPAN_DF_CAP docs are boilerplate
+# and excluded, which also bounds per-fingerprint pair fan-out at any
+# corpus size. Output: doc pairs sharing >= _SSPAN_MIN_SHARED
+# fingerprints; guarantee_len says what span length detection is
+# guaranteed for.
 # ---------------------------------------------------------------------------
 
-_SSPAN_W = 64  # window width (chars)
-_SSPAN_STRIDE = 16  # window stride (chars)
-_SSPAN_DF_CAP = 10  # windows in more docs than this are boilerplate
-_SSPAN_MIN_SHARED = 3  # report pairs sharing at least this many windows
+_SSPAN_K = 32  # k-gram width (chars)
+_SSPAN_T = 16  # winnow window (k-grams per window)
+_SSPAN_DF_CAP = 10  # fingerprints in more docs than this are boilerplate
+_SSPAN_MIN_SHARED = 1  # winnowing guarantees >= 1 for spans >= k+t-1
 
 
 def dd_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    # CASE guard: Spark's sequence(1, stop, step) rejects stop < start,
-    # so sub-window documents yield an empty window array instead.
+    # CASE guard: Spark's sequence(1, stop) rejects stop < 1, so
+    # sub-k-gram documents yield an empty gram array instead.
     starts = F.when(
-        F.length("text") >= _SSPAN_W,
-        F.sequence(
-            F.lit(1),
-            F.length("text") - (_SSPAN_W - 1),
-            F.lit(_SSPAN_STRIDE),
-        ),
+        F.length("text") >= _SSPAN_K,
+        F.sequence(F.lit(1), F.length("text") - (_SSPAN_K - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    win = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    starts, lambda i: F.substring(F.col("text"), i, _SSPAN_W)
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.xxhash64("w").alias("h"))
-        .distinct()
+    # Winnowing is per-document, so the whole selection runs as in-row
+    # array expressions — ZERO shuffle before the fingerprint index
+    # (the first draft used a window function, which shuffled every
+    # gram on doc_id for something each row can compute itself).
+    # `grams` is materialized as a column first: HOF lambdas inline
+    # expressions without CSE, so slicing an unmaterialized transform
+    # would re-run it per window (the word_shingles O(n²) lesson).
+    grams_df = docs.select(
+        "doc_id",
+        F.transform(
+            starts, lambda i: F.substring(F.col("text"), i, _SSPAN_K)
+        ).alias("grams"),
     )
+    ng = F.size(F.col("grams"))
+    wins = F.when(
+        ng >= _SSPAN_T,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ng - (_SSPAN_T - 1)),
+                lambda i: F.array_min(
+                    F.slice(F.col("grams"), i, _SSPAN_T)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fps = grams_df.select("doc_id", F.explode(wins).alias("fp"))
     df_ok = (
-        win.groupBy("h")
+        fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= _SSPAN_DF_CAP))
-        .select("h")
+        .select("fp")
     )
-    idx = win.join(df_ok, "h")
-    a = idx.select(F.col("doc_id").alias("d1"), "h")
-    b = idx.select(F.col("doc_id").alias("d2"), "h")
+    idx = fps.join(df_ok, "fp")
+    a = idx.select(F.col("doc_id").alias("d1"), "fp")
+    b = idx.select(F.col("doc_id").alias("d2"), "fp")
     return (
-        a.join(b, "h")
+        a.join(b, "fp")
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
-        .filter(F.col("n_shared_windows") >= _SSPAN_MIN_SHARED)
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= _SSPAN_MIN_SHARED)
         .withColumn(
-            "min_span_chars",
-            (
-                (F.col("n_shared_windows") - 1) * _SSPAN_STRIDE + _SSPAN_W
-            ).cast("long"),
+            "guarantee_len", F.lit(_SSPAN_K + _SSPAN_T - 1).cast("long")
         )
     )
 
@@ -1783,26 +1795,36 @@ _register(
     "dd_substring_span_pairs",
     dd_substring_span_pairs,
     f"""
-    WITH win AS (
-      SELECT DISTINCT doc_id, substr(text, i, {_SSPAN_W}) AS w
+    WITH grams AS (
+      SELECT doc_id, i, substr(text, i, {_SSPAN_K}) AS g
       FROM (
         SELECT doc_id, text,
                unnest(range(1,
-                 greatest(length(text) - {_SSPAN_W - 1}, 0) + 1,
-                 {_SSPAN_STRIDE})) AS i
+                 greatest(length(text) - {_SSPAN_K - 1}, 0) + 1)) AS i
         FROM documents
       )
     ),
+    winnowed AS (
+      SELECT doc_id, i,
+             count(*) OVER (PARTITION BY doc_id) AS ng,
+             min(g) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_SSPAN_T - 1} FOLLOWING) AS fp
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM winnowed
+      WHERE i <= ng - {_SSPAN_T - 1}
+    ),
     ok AS (
-      SELECT w FROM win GROUP BY w
+      SELECT fp FROM fps GROUP BY fp
       HAVING count(*) BETWEEN 2 AND {_SSPAN_DF_CAP}
     ),
-    idx AS (SELECT doc_id, w FROM win JOIN ok USING (w))
+    idx AS (SELECT doc_id, fp FROM fps JOIN ok USING (fp))
     SELECT a.doc_id AS d1, b.doc_id AS d2,
-           count(*) AS n_shared_windows,
-           ((count(*) - 1) * {_SSPAN_STRIDE} + {_SSPAN_W})::BIGINT
-             AS min_span_chars
-    FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
+           count(*) AS n_shared_fps,
+           {_SSPAN_K + _SSPAN_T - 1}::BIGINT AS guarantee_len
+    FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= {_SSPAN_MIN_SHARED}
     """,

@@ -190,3 +190,47 @@ def test_word_shingles_all_positional_contract(spark):
     assert out[0]["all_sh"] == ["a b", "b a", "a b", "b a"]
     assert out[0]["dist_sh"] == ["a b", "b a"]
     assert out[1]["all_sh"] == [] and out[2]["all_sh"] == []
+
+
+def test_substring_span_winnowing_guarantee(spark):
+    """Winnowing's theorem (Schleimer et al. 2003): a shared substring
+    of >= k + t - 1 chars guarantees a shared fingerprint AT ANY
+    ALIGNMENT. The original strided-grid version of this operator
+    failed exactly this test for offsets not divisible by the stride —
+    keep the misaligned cases as the regression guard. Each pair gets
+    its own disjoint character alphabet so pairs don't cross-match."""
+    import tempfile
+
+    from etl_mapwarper_spark.operators.dedup import (
+        _SSPAN_K,
+        _SSPAN_MIN_SHARED,
+        _SSPAN_T,
+        dd_substring_span_pairs,
+    )
+
+    need = _SSPAN_K + _SSPAN_T - 1
+    # Extra length so >= _SSPAN_MIN_SHARED distinct fingerprints arise.
+    run_len = need + 3 * _SSPAN_T
+    rows = []
+    offsets = list(range(0, _SSPAN_T + 1, 3))  # incl. worst misalignments
+    for j, off in enumerate(offsets):
+        # per-pair alphabet slice -> no shared grams across pairs
+        a0 = chr(ord("a") + (2 * j) % 24)
+        a1 = chr(ord("a") + (2 * j + 1) % 24)
+        shared = "".join(a0 if (i * 7) % 5 < 3 else a1 for i in range(run_len))
+        rows.append((1000 + off, "x" * 5 + shared + "x" * 9))
+        rows.append((2000 + off, "y" * (5 + off) + shared + "z" * 4))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tempfile.mkdtemp(prefix="sspan_prop_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        (r["d1"], r["d2"]): r["n_shared_fps"]
+        for r in dd_substring_span_pairs(spark, d).collect()
+    }
+    for off in offsets:
+        pair = (1000 + off, 2000 + off)
+        assert pair in got, f"offset {off}: shared run must be detected"
+        assert got[pair] >= _SSPAN_MIN_SHARED
