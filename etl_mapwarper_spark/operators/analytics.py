@@ -1358,3 +1358,60 @@ _register(
     ORDER BY ALL
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q93_asof_nearest — NEAREST as-of join, completing the family (q22
+# backward, q90 forward): for each order, the customer's event closest
+# in time in EITHER direction — the sensor-alignment semantics ("the
+# reading nearest the fact, before or after") that backward/forward
+# as-ofs can't express. Same packed-argmin scale shape as q22/q90:
+# (|gap seconds|, event_id) packs into one bigint so the aggregate is
+# a primitive-buffer HashAggregate with map-side combine. Ties at the
+# same absolute gap on both sides resolve to the smallest event_id in
+# both engines. Packing contract: |gap| < 2^30 s, event_id < 2^33.
+# ---------------------------------------------------------------------------
+
+
+def q93_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    j = orders.join(ev, orders.o_custkey == ev.user_id)
+    gap_s = F.abs(
+        F.expr("unix_seconds(ts)") - F.expr("unix_seconds(o_orderdate)")
+    )
+    packed = F.shiftleft(gap_s, 33) + F.col("event_id")
+    return (
+        j.groupBy("o_orderkey", "o_custkey")
+        .agg(F.min(packed).alias("p"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("p").bitwiseAND(F.lit((1 << 33) - 1)).alias("event_id"),
+            F.shiftright(F.col("p"), 33).alias("abs_gap_seconds"),
+        )
+    )
+
+
+_register(
+    "q93_asof_nearest",
+    q93_asof_nearest,
+    """
+    SELECT o_orderkey, o_custkey, event_id, abs_gap_seconds
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, e.event_id,
+             abs(date_diff('second', o.o_orderdate, e.ts))
+               AS abs_gap_seconds,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY abs(date_diff('second', o.o_orderdate, e.ts)) ASC,
+                        e.event_id ASC) AS rn
+      FROM orders o JOIN events e ON o.o_custkey = e.user_id
+      WHERE o.o_orderkey < 2000
+    ) WHERE rn = 1
+    """,
+)
