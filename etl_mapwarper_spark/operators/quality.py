@@ -160,3 +160,104 @@ _register(
          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_column_profile — single-scan column profiler (the Deequ/Glue
+# "profile this table" primitive that precedes writing expectations):
+# per column of orders — row count, null count, exact distinct count,
+# numeric min/max (numeric and temporal columns; temporal as epoch
+# seconds) and lexicographic min/max (string columns). ONE
+# conditional-aggregate pass computes every metric (no per-column
+# scans); the wide 1-row aggregate is then unpivoted to one row per
+# column with stack(). Exact distincts keep the oracle hash-grade —
+# the at-scale variant swaps in approx_count_distinct per the q29
+# contract. Numeric extremes stay DOUBLE (never stringified: engines
+# format floats differently, values compare exactly).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+    ("o_orderstatus", "str"),
+]
+
+
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(c).alias(f"{c}__distinct"))
+        if kind == "num":
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"))
+        elif kind == "ts":
+            aggs.append(
+                F.min(F.expr(f"unix_seconds({c})"))
+                .cast("double")
+                .alias(f"{c}__min")
+            )
+            aggs.append(
+                F.max(F.expr(f"unix_seconds({c})"))
+                .cast("double")
+                .alias(f"{c}__max")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max"))
+        if kind == "str":
+            aggs.append(F.min(c).alias(f"{c}__smin"))
+            aggs.append(F.max(c).alias(f"{c}__smax"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__smin"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__smax"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, "
+        f"{c}__smin, {c}__smax"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
+    ).select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def _profile_sql() -> str:
+    branches = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"round(min({c})::DOUBLE, 4)", f"round(max({c})::DOUBLE, 4)"
+        elif kind == "ts":
+            mn, mx = f"epoch(min({c}))::DOUBLE", f"epoch(max({c}))::DOUBLE"
+        else:
+            mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+        smn = f"min({c})" if kind == "str" else "NULL::VARCHAR"
+        smx = f"max({c})" if kind == "str" else "NULL::VARCHAR"
+        branches.append(
+            f"SELECT '{c}' AS column, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{smn} AS min_str, {smx} AS max_str FROM orders"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+_register("dq_column_profile", dq_column_profile, _profile_sql())
