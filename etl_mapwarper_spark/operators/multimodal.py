@@ -433,6 +433,62 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# mm_audio_zcr — windowed zero-crossing RATE, the other canonical
+# frame-level audio feature (the cheap voiced/unvoiced and
+# silence-detection signal every VAD stack computes next to RMS).
+# Samples are centered at 128; a crossing is a strict sign change
+# between consecutive samples within the frame, rate = crossings /
+# (window - 1). Integer arithmetic until one final division — values
+# hash-match the closed-form oracle exactly. Same Arrow-batched
+# mapInPandas shape as audio_rms.
+# ---------------------------------------------------------------------------
+
+ZCR_SCHEMA = "media_id bigint, win_idx int, zcr double"
+
+
+def audio_zcr(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    def zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "win_idx": [], "zcr": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = decode_fake(payload).astype(np.int64) - 128
+                n_win = len(s) // window
+                for wi in range(n_win):
+                    fr = s[wi * window : (wi + 1) * window]
+                    crossings = int(np.sum(fr[:-1] * fr[1:] < 0))
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(wi)
+                    out["zcr"].append(round(crossings / (window - 1), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(zcr, schema=ZCR_SCHEMA)
+
+
+def mm_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir, kind="audio")
+    return audio_zcr(media)
+
+
+_register(
+    "mm_audio_zcr",
+    mm_audio_zcr,
+    f"""
+    SELECT doc_id AS media_id,
+           w.w::INT AS win_idx,
+           round(sum(CASE WHEN
+                 (((doc_id + (w.w * {AUDIO_WINDOW} + s.s)) % 256) - 128)
+               * (((doc_id + (w.w * {AUDIO_WINDOW} + s.s + 1)) % 256) - 128)
+                 < 0 THEN 1 ELSE 0 END) / {AUDIO_WINDOW - 1}.0, 6) AS zcr
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, {W * H // AUDIO_WINDOW})) AS w) w
+    CROSS JOIN (SELECT unnest(range(0, {AUDIO_WINDOW - 1})) AS s) s
+    WHERE doc_id < 200
+    GROUP BY doc_id, w.w
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # mm_arrow_hist — byte-value histogram via ``mapInArrow``: the stage
 # consumes raw ``pyarrow.RecordBatch``es and computes with
 # pyarrow.compute kernels — no Arrow→pandas materialization at all,
