@@ -75,12 +75,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # tx_bpe_train_merges, tx_bigram_logprob) and 6 canaries re-checking
 # earlier greens / the formerly-no-oracle q29 (now contract-verified).
 #
-# ROUND-5 ROTATION TODO: 43 never-checked entries remain after this
+# ROUND-5 ROTATION TODO: 46 never-checked entries remain after this
 # window (recompute: keys absent from all CORRECTNESS_r*.json) — the
-# seven round-4 additions (ds_dsir_importance, dd_substring_span_pairs,
+# ten round-4 additions (ds_dsir_importance, dd_substring_span_pairs,
 # ds_contamination_report, tx_bpe_fertility, tx_logreg_train_steps,
-# sim_int8_quantize_report, st_incremental_dedup; every one two-scale
-# replica-verified at sf0.001+sf0.01) plus —
+# sim_int8_quantize_report, st_incremental_dedup, q93_asof_nearest,
+# dq_column_profile, mm_audio_zcr; every one replica-verified at
+# sf0.001+sf0.01, most also at sf0.1) plus —
 # st_cms_topk, st_rest_incremental, mm_phash_neardups, mm_av_sync_check,
 # src_pyds_write_roundtrip, src_dpp_join, ds_decontaminate,
 # ds_epoch_shuffle, ds_pack_sequences, ds_token_budget_planner,

@@ -622,6 +622,39 @@ _register(
 _CC_MAX_ROUNDS = 64
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _iterative_shuffle_width(spark: SparkSession, rows: int):
+    """Scope ``spark.sql.shuffle.partitions`` to the LIVE working set
+    for the duration of a fixpoint loop.
+
+    Iterative operators execute actions *inside* the loop (per-round
+    checkpoints + scalar convergence collects), so they pay the
+    session's shuffle width on every round — and a checkpoint freezes
+    that width into the materialized partitions, where AQE can no
+    longer coalesce it. Under a default 200-partition session at small
+    SF this turns a thousand-edge CC loop into hundreds of 200-task
+    stages (observed: dd_connected_components > 10 min at sf0.1 under
+    a vanilla session vs seconds under the sized one). The width is
+    clamped to ceil(rows / 50k) and NEVER RAISED above the session
+    setting, so at real scale (rows in the billions) the session's
+    cluster-sized width stands and this scope is a no-op.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    width = max(4, int(rows) // 50_000 + 1)
+    if not old.isdigit() or width >= int(old):
+        yield
+        return
+    spark.conf.set(key, str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _cc_checkpoint(df: DataFrame) -> DataFrame:
     """Truncate lineage between CC rounds.
 
@@ -646,33 +679,37 @@ def _cc_checkpoint(df: DataFrame) -> DataFrame:
 def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = _cc_checkpoint(
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-        .distinct()
-    )
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    prev_sum = None
-    for _ in range(_CC_MAX_ROUNDS):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        labels = _cc_checkpoint(
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
+    n_docs = docs.count()  # sizes the loop's shuffle width, O(1) scalar
+    with _iterative_shuffle_width(spark, n_docs):
+        edges = _cc_checkpoint(
+            pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+            .union(
+                pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
             )
+            .distinct()
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+        prev_sum = None
+        for _ in range(_CC_MAX_ROUNDS):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            labels = _cc_checkpoint(
+                labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels
 
 
@@ -729,11 +766,24 @@ _register(
 def dd_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = _cc_checkpoint(
-        pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).filter(
-            F.col("u") != F.col("v")
+    n_docs = docs.count()
+    with _iterative_shuffle_width(spark, n_docs):
+        cur = _bigstar_fixpoint(
+            _cc_checkpoint(
+                pairs.select(
+                    F.col("d1").alias("u"), F.col("d2").alias("v")
+                ).filter(F.col("u") != F.col("v"))
+            )
         )
+    # At fixpoint every edge is (member, component-min); docs with no
+    # near-dup edge are their own singleton component.
+    comp = cur.groupBy("u").agg(F.min("v").alias("c"))
+    return docs.join(comp, docs.doc_id == comp.u, "left").select(
+        "doc_id", F.coalesce(F.col("c"), F.col("doc_id")).alias("component")
     )
+
+
+def _bigstar_fixpoint(edges: DataFrame) -> DataFrame:
 
     def both_dirs(e: DataFrame) -> DataFrame:
         return e.union(
@@ -796,12 +846,7 @@ def dd_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dd_cc_bigstar: no fixpoint after {_CC_MAX_ROUNDS} star rounds "
             "— refusing to return possibly-unconverged component labels"
         )
-    # At fixpoint every edge is (member, component-min); docs with no
-    # near-dup edge are their own singleton component.
-    comp = cur.groupBy("u").agg(F.min("v").alias("c"))
-    return docs.join(comp, docs.doc_id == comp.u, "left").select(
-        "doc_id", F.coalesce(F.col("c"), F.col("doc_id")).alias("component")
-    )
+    return cur
 
 
 _register("dd_cc_bigstar", dd_cc_bigstar, ORACLE["dd_connected_components"])
@@ -1531,35 +1576,39 @@ def dd_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _SEM_THRESHOLD)
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
     )
-    edges = _cc_checkpoint(
-        pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
-        .union(pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst")))
-        .distinct()
-    )
     labels = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("vec_id").alias("cluster")
     )
-    prev_sum = None
-    for _ in range(_CC_MAX_ROUNDS):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.vec_id)
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nbr_min"))
-        )
-        labels = _cc_checkpoint(
-            labels.join(nbr_min, labels.vec_id == nbr_min.src, "left")
-            .select(
-                "vec_id",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster")),
-                ).alias("cluster"),
+    n_vecs = labels.count()  # sizes the loop's shuffle width, O(1) scalar
+    with _iterative_shuffle_width(spark, n_vecs):
+        edges = _cc_checkpoint(
+            pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
+            .union(
+                pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
             )
+            .distinct()
         )
-        cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = None
+        for _ in range(_CC_MAX_ROUNDS):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.vec_id)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nbr_min"))
+            )
+            labels = _cc_checkpoint(
+                labels.join(nbr_min, labels.vec_id == nbr_min.src, "left")
+                .select(
+                    "vec_id",
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster")),
+                    ).alias("cluster"),
+                )
+            )
+            cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels
 
 
