@@ -1415,3 +1415,85 @@ _register(
     ) WHERE rn = 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# q89_approx_quantiles — single-pass mergeable quantile sketch with an
+# in-query accuracy contract (the q29 pattern applied to quantiles).
+# ``approx_percentile`` is Spark's KLL/GK-style sketch: one scan, map-side
+# partial sketches merged at the reducer — the 100 TB path, where the
+# exact ``percentile`` (which materializes per-group value lists) is the
+# verification baseline only. The contract column proves the sketch's
+# rank-error guarantee in-query: the approximate p-quantile must land
+# between the exact (p±eps) quantiles, so the oracle checks a TRUE
+# constant while the engine computes the real sketch. accuracy=1000
+# → rank error ≤ 1/1000; eps=0.005 leaves a 5× safety margin.
+#
+# Engine-portability: the exact columns are computed on INTEGER CENTS.
+# For p ∈ {.25, .5, .75} the interpolation fraction p·(n−1) mod 1 is a
+# multiple of 0.25, so every exact quantile is an exact multiple of
+# 0.25 cents — representable without error in a double, hence
+# bit-identical between Spark's ``percentile`` and DuckDB's
+# ``quantile_cont`` with no rounding-boundary risk (the float-dollar
+# form diverged one cent at sf0.001 from a last-ulp x.xx5 straddle).
+# ---------------------------------------------------------------------------
+
+_Q89_EPS = 0.005
+_Q89_ACC = 1000
+
+
+def q89_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ps = [0.25, 0.50, 0.75]
+    exact_cols = [
+        F.expr(f"percentile(cents, {p})").alias(f"x{i}")
+        for i, p in enumerate(ps)
+    ]
+    lo_cols = [
+        F.expr(f"percentile(cents, {max(p - _Q89_EPS, 0.0)})").alias(f"lo{i}")
+        for i, p in enumerate(ps)
+    ]
+    hi_cols = [
+        F.expr(f"percentile(cents, {min(p + _Q89_EPS, 1.0)})").alias(f"hi{i}")
+        for i, p in enumerate(ps)
+    ]
+    approx = F.expr(
+        f"approx_percentile(cents, array(0.25, 0.5, 0.75), {_Q89_ACC})"
+    ).alias("ap")
+    g = li.groupBy("l_returnflag").agg(approx, *exact_cols, *lo_cols, *hi_cols)
+    out_cols = [F.col("l_returnflag")]
+    for i, name in enumerate(("p25", "p50", "p75")):
+        out_cols.append(F.col(f"x{i}").alias(f"exact_{name}_cents"))
+        out_cols.append(
+            (
+                (F.element_at("ap", i + 1) >= F.col(f"lo{i}"))
+                & (F.element_at("ap", i + 1) <= F.col(f"hi{i}"))
+            ).alias(f"ok_{name}")
+        )
+    return g.select(*out_cols)
+
+
+_register(
+    "q89_approx_quantiles",
+    q89_approx_quantiles,
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           quantile_cont(cents, 0.25) AS exact_p25_cents,
+           true AS ok_p25,
+           quantile_cont(cents, 0.50) AS exact_p50_cents,
+           true AS ok_p50,
+           quantile_cont(cents, 0.75) AS exact_p75_cents,
+           true AS ok_p75
+    FROM c GROUP BY 1
+    """,
+)

@@ -1878,3 +1878,136 @@ _register(
     HAVING count(*) >= {_SSPAN_MIN_SHARED}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_bloom_incremental — Bloom-filter pre-routed incremental dedup:
+# the scale companion to ``dd_incremental_dedup`` (same logical
+# contract, different physical strategy, shared oracle).
+#
+# At 100 TB the landed corpus' fingerprint set is itself corpus-sized,
+# so the naive anti/semi confirm join shuffles the ENTIRE incoming
+# batch against it. The Bloom route shrinks that join's probe side to
+# the "maybe" set (true dups + false positives ≈ dup_rate·|batch| +
+# 2^-k·|batch|):
+#
+# 1. build — landed fingerprints hash to K=5 positions in an M-bit
+#    space (xxhash64 seeds 0..4, JVM-side); positions fold to 64-bit
+#    words via groupBy(word_idx).agg(bit_or(bit)) — a MERGEABLE
+#    aggregate with map-side combine, so the build is one scan plus a
+#    shuffle of at most M/64 rows, never corpus-sized. The finished
+#    filter is an M/64-row artifact (M=2^17 → ≤2048 rows, 16 KiB).
+# 2. probe — batch rows explode their K positions, broadcast-join the
+#    filter words (map-side, no shuffle), and bool_and the bit tests
+#    back per row. A single missing bit proves the row is new (Bloom
+#    filters have NO false negatives), so it skips the confirm join.
+# 3. confirm — only "maybe" rows meet the landed set in the exact
+#    anti/semi join.
+#
+# Correctness is exact BY CONSTRUCTION, which is what makes the entry
+# oracle-checkable: any bug that loses the no-false-negative property
+# (seed mismatch between build and probe, sign-folding in pmod, a
+# dropped word) misroutes definite-new rows into "admitted without
+# confirmation"'s complement and shifts the per-source counts off the
+# plain SQL answer.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 17  # bits
+_BLOOM_K = 5  # hash functions
+
+
+def _bloom_positions(fp):
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(_BLOOM_M))
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def dd_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    landed = docs.filter(F.col("doc_id") < _INCR_SPLIT).select("fp").distinct()
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+
+    words = (
+        landed.select(F.explode(_bloom_positions(F.col("fp"))).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("long").alias("word_idx"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").alias(
+                "word"
+            )
+        )
+    )
+
+    probed = (
+        batch.select(
+            "doc_id",
+            "source",
+            "fp",
+            F.explode(_bloom_positions(F.col("fp"))).alias("pos"),
+        )
+        .withColumn("word_idx", (F.col("pos") / 64).cast("long"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "doc_id",
+            "source",
+            "fp",
+            F.coalesce(
+                F.expr("(word & shiftleft(1L, cast(pos % 64 AS int))) != 0"),
+                F.lit(False),
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "source", "fp")
+        .agg(F.bool_and("hit").alias("maybe_dup"))
+    )
+
+    # Single-consumer DAG: admitted is derived as n_batch − n_rejected,
+    # so the definite-new branch is never materialized and the probe
+    # subtree feeds exactly one downstream (maybes → semi-join). The
+    # naive three-way split (definite_new ∪ anti, semi) re-evaluated
+    # the whole probe chain once per branch — 3× the exchanges in the
+    # physical plan, 3× the batch scans at scale.
+    rejected = (
+        probed.filter(F.col("maybe_dup"))
+        .join(landed, "fp", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rejected"))
+    )
+    totals = batch.groupBy("source").agg(F.count(F.lit(1)).alias("n_batch"))
+
+    return totals.join(rejected, "source", "left").select(
+        "source",
+        (F.col("n_batch") - F.coalesce("n_rejected", F.lit(0))).alias(
+            "n_admitted"
+        ),
+        F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        "n_batch",
+    )
+
+
+_register(
+    "dd_bloom_incremental",
+    dd_bloom_incremental,
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    landed AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id < {_INCR_SPLIT}
+    ),
+    batch AS (SELECT * FROM fps WHERE doc_id >= {_INCR_SPLIT})
+    SELECT source,
+           count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM landed))
+             AS n_admitted,
+           count(*) FILTER (WHERE fp IN (SELECT fp FROM landed))
+             AS n_rejected,
+           count(*) AS n_batch
+    FROM batch
+    GROUP BY source
+    """,
+)

@@ -95,3 +95,49 @@ def test_pq_codes_partition_invariant_and_bounded(spark):
         spark.conf.unset("spark.sql.shuffle.partitions")
     assert a == b, "PQ search results must be partitioning-invariant"
     assert _PQ_M == 8 and _PQ_K == 16  # 8 one-byte codes by design
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every landed fingerprint, probed against the filter built from
+    the landed set itself, must test maybe_dup=True — the one-sided
+    guarantee dd_bloom_incremental's routing correctness rests on.
+    (A false positive only costs a confirm-join probe; a false
+    negative would admit a duplicate unconfirmed.)"""
+    from etl_mapwarper_spark.functions.text import doc_fingerprint
+    from etl_mapwarper_spark.operators.dedup import (
+        _INCR_SPLIT,
+        _bloom_positions,
+    )
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    landed = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    words = (
+        landed.select(F.explode(_bloom_positions(F.col("fp"))).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("long").alias("word_idx"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").alias(
+                "word"
+            )
+        )
+    )
+    misses = (
+        landed.select(
+            "fp", F.explode(_bloom_positions(F.col("fp"))).alias("pos")
+        )
+        .withColumn("word_idx", (F.col("pos") / 64).cast("long"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .select(
+            F.coalesce(
+                F.expr("(word & shiftleft(1L, cast(pos % 64 AS int))) != 0"),
+                F.lit(False),
+            ).alias("hit")
+        )
+        .filter(~F.col("hit"))
+        .count()
+    )
+    assert misses == 0
