@@ -1845,3 +1845,146 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_global_row_ids — contiguous 0-based global row IDs ordered by a
+# key, WITHOUT a single-partition global window (the thing that cannot
+# exist at 100 TB: `row_number() OVER (ORDER BY k)` funnels the whole
+# corpus through one reducer). The distributed idiom:
+#
+#   1. order-aligned range buckets from an approx-quantile cut list —
+#      a bounded driver artifact (≤ _ROWID_BUCKETS-1 longs), assigned
+#      per-row by a narrow HOF expression;
+#   2. per-bucket counts → EXCLUSIVE prefix offsets, a window over the
+#      ≤ _ROWID_BUCKETS-row counts table (single-partition is fine —
+#      it's bucket-count-sized, never corpus-sized);
+#   3. per-bucket local row_number (one hash exchange on the bucket
+#      key, every partition sorts only its own bucket) + broadcast
+#      offset join: global_id = offset + local_rank.
+#
+# The cut list affects only WHERE the parallelism boundary falls — the
+# output (doc_id → id) is invariant to it because buckets are ranges
+# of the order key and doc_id is unique, which is what makes the
+# operator oracle-checkable against the single-window SQL definition.
+# ---------------------------------------------------------------------------
+
+_ROWID_BUCKETS = 32
+
+
+def ds_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    qs = [i / _ROWID_BUCKETS for i in range(1, _ROWID_BUCKETS)]
+    cuts = sorted(set(docs.stat.approxQuantile("doc_id", qs, 0.01)))
+    if cuts:
+        cuts_arr = F.array(*[F.lit(int(c)) for c in cuts])
+        bkt = F.size(F.filter(cuts_arr, lambda c: c <= F.col("doc_id")))
+    else:  # empty corpus: one bucket
+        bkt = F.lit(0)
+    bucketed = docs.withColumn("bkt", bkt)
+
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+        )
+    )
+    w_loc = Window.partitionBy("bkt").orderBy("doc_id")
+    return (
+        bucketed.withColumn("local_rank", F.row_number().over(w_loc) - 1)
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("offset") + F.col("local_rank")).alias("global_id"),
+        )
+    )
+
+
+_register(
+    "ds_global_row_ids",
+    ds_global_row_ids,
+    """
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+    FROM documents
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ds_shard_manifest — output-shard planning: greedy byte-budget
+# packing of each source's documents (in doc_id order) into shards of
+# ~_SHARD_TARGET_BYTES, reported as a write manifest (doc counts,
+# bytes, id range per shard). This is the planning half of a 100 TB
+# materialization: decide file boundaries BEFORE the write so shard
+# sizes are uniform and deterministic, instead of inheriting whatever
+# task boundaries the shuffle produced (the small-files problem).
+#
+# shard_idx = floor(exclusive_running_bytes / target): one hash
+# exchange on source + a per-source sort. Per-source running sums are
+# inherently sequential; when a single source outgrows one reducer,
+# the decomposition is exactly ds_global_row_ids' two-phase pattern
+# (range-bucket the source by doc_id, local byte sums, tiny prefix
+# table over buckets) — same algebra, summing n_chars instead of
+# counting rows.
+# ---------------------------------------------------------------------------
+
+_SHARD_TARGET_BYTES = 4096
+
+
+def ds_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sharded = docs.withColumn(
+        "shard_idx",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+            / F.lit(_SHARD_TARGET_BYTES)
+        ),
+    )
+    return (
+        sharded.groupBy("source", "shard_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_register(
+    "ds_shard_manifest",
+    ds_shard_manifest,
+    f"""
+    WITH cum AS (
+      SELECT doc_id, source, n_chars,
+             floor(coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {_SHARD_TARGET_BYTES}) AS shard_idx
+      FROM documents
+    )
+    SELECT source, shard_idx::BIGINT AS shard_idx,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS shard_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM cum
+    GROUP BY source, shard_idx
+    """,
+)

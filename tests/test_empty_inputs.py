@@ -73,6 +73,10 @@ EMPTY_SAFE = [
     # contract must emit zero groups, both without raising.
     "dd_bloom_incremental",
     "q89_approx_quantiles",
+    # the bucketed row-id assigner must survive an empty cut list and
+    # the shard planner an empty corpus
+    "ds_global_row_ids",
+    "ds_shard_manifest",
 ]
 
 
