@@ -93,6 +93,16 @@ BENCH_QUERIES = [
     "ds_llm_pipeline",
 ]
 
+# Round-4 additions, tracked separately so the frozen 43-query core
+# ratio stays comparable round-over-round (see core_vs_oracle below).
+_ROUND4_ADDITIONS = [
+    "dd_bloom_incremental",
+    "q89_approx_quantiles",
+    "ds_global_row_ids",
+    "ds_shard_manifest",
+]
+BENCH_QUERIES += _ROUND4_ADDITIONS
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -170,6 +180,14 @@ def main() -> None:
     total = round(sum(steady.values()), 3)
 
     oracle_total = round(sum(oracle.values()), 3)
+    # Continuity ratio over the frozen round-3 43-query core: every
+    # query added later has a near-zero DuckDB time but a fixed
+    # ~0.1-0.3 s Spark scheduling floor, so the all-queries ratio
+    # drifts UP as the set grows even when no plan regressed. The
+    # core ratio is the round-over-round comparable number.
+    core = [q for q in BENCH_QUERIES if q not in _ROUND4_ADDITIONS]
+    core_total = round(sum(steady[q] for q in core), 3)
+    core_oracle = round(sum(oracle.get(q, 0.0) for q in core), 3)
     print(
         json.dumps(
             {
@@ -183,6 +201,11 @@ def main() -> None:
                 "oracle_total": oracle_total,
                 "vs_oracle": round(total / oracle_total, 3)
                 if oracle_total
+                else None,
+                "core43_value": core_total,
+                "core43_oracle": core_oracle,
+                "core43_vs_oracle": round(core_total / core_oracle, 3)
+                if core_oracle
                 else None,
                 "methodology": f"noop sink; warmed session; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1443,29 +1443,51 @@ _Q89_ACC = 1000
 
 
 def q89_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")
         .alias("cents"),
     )
+    # Exact side via the q35 windowed-interpolation pattern: ONE
+    # rank-sort per group + conditional aggregates. Nine separate
+    # ``percentile`` calls each buffer a value→count ObjectHashAggregate
+    # map per group (no codegen) — measured 7.1 s at sf0.1 vs ~0.5 s
+    # for this form. The sketch under test stays ``approx_percentile``
+    # (a mergeable single-pass summary, the actual scale path); the
+    # exact columns exist only to ground the in-query contract.
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wp = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "cents",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def interp(q):
+        pos = F.lit(q) * (F.col("n") - 1)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        v_lo = F.max(F.when(F.col("rn") == lo, F.col("cents")))
+        v_hi = F.max(F.when(F.col("rn") == hi, F.col("cents")))
+        return v_lo + (v_hi - v_lo) * F.max(pos - lo)
+
     ps = [0.25, 0.50, 0.75]
-    exact_cols = [
-        F.expr(f"percentile(cents, {p})").alias(f"x{i}")
-        for i, p in enumerate(ps)
+    aggs = [
+        F.expr(
+            f"approx_percentile(cents, array(0.25, 0.5, 0.75), {_Q89_ACC})"
+        ).alias("ap")
     ]
-    lo_cols = [
-        F.expr(f"percentile(cents, {max(p - _Q89_EPS, 0.0)})").alias(f"lo{i}")
-        for i, p in enumerate(ps)
-    ]
-    hi_cols = [
-        F.expr(f"percentile(cents, {min(p + _Q89_EPS, 1.0)})").alias(f"hi{i}")
-        for i, p in enumerate(ps)
-    ]
-    approx = F.expr(
-        f"approx_percentile(cents, array(0.25, 0.5, 0.75), {_Q89_ACC})"
-    ).alias("ap")
-    g = li.groupBy("l_returnflag").agg(approx, *exact_cols, *lo_cols, *hi_cols)
+    for i, p in enumerate(ps):
+        aggs.append(interp(p).alias(f"x{i}"))
+        aggs.append(interp(max(p - _Q89_EPS, 0.0)).alias(f"lo{i}"))
+        aggs.append(interp(min(p + _Q89_EPS, 1.0)).alias(f"hi{i}"))
+    # One aggregation over the ranked frame: a split exact/sketch
+    # two-branch join was measured SLOWER (extra exchange + AQE stage
+    # latency beat the sketch's sort-free savings at this SF).
+    g = ranked.groupBy("l_returnflag").agg(*aggs)
     out_cols = [F.col("l_returnflag")]
     for i, name in enumerate(("p25", "p50", "p75")):
         out_cols.append(F.col(f"x{i}").alias(f"exact_{name}_cents"))

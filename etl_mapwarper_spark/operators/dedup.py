@@ -1895,14 +1895,20 @@ _register(
 #    space (xxhash64 seeds 0..4, JVM-side); positions fold to 64-bit
 #    words via groupBy(word_idx).agg(bit_or(bit)) — a MERGEABLE
 #    aggregate with map-side combine, so the build is one scan plus a
-#    shuffle of at most M/64 rows, never corpus-sized. The finished
-#    filter is an M/64-row artifact (M=2^17 → ≤2048 rows, 16 KiB).
-# 2. probe — batch rows explode their K positions, broadcast-join the
-#    filter words (map-side, no shuffle), and bool_and the bit tests
-#    back per row. A single missing bit proves the row is new (Bloom
-#    filters have NO false negatives), so it skips the confirm join.
+#    shuffle of at most M/64 rows, never corpus-sized. No distinct on
+#    the fingerprints first: bit_or is idempotent, duplicates cost
+#    nothing, and the distinct would be a corpus-sized shuffle. The
+#    finished filter is an M/64-row (word_idx, word) table (M=2^17 →
+#    ≤2048 rows, 16 KiB) — a bounded broadcast artifact, the shipped
+#    form of the compact Bloom bitset.
+# 2. probe — K stacked broadcast hash joins on the word index, one
+#    per hash function: a single codegen stage, zero shuffles.
+#    hit_i = word_i & bit_i, AND-folded into maybe_dup. A single
+#    missing bit proves the row is new (Bloom filters have NO false
+#    negatives), so it skips the confirm join.
 # 3. confirm — only "maybe" rows meet the landed set in the exact
-#    anti/semi join.
+#    semi join (duplicates on the build side don't change semi-join
+#    semantics, so the landed side needs no distinct either).
 #
 # Correctness is exact BY CONSTRUCTION, which is what makes the entry
 # oracle-checkable: any bug that loses the no-false-negative property
@@ -1926,13 +1932,27 @@ def _bloom_positions(fp):
 
 
 def dd_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+    # Pristine scans on purpose: a parallelize repartition would sit
+    # BELOW the doc_id filters and block their parquet pushdown, and
+    # the words-build collect() is its own action — with repartition
+    # that meant shuffling the full text column once per action just
+    # to keep the 400 landed rows.
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
     )
-    landed = docs.filter(F.col("doc_id") < _INCR_SPLIT).select("fp").distinct()
+    landed = docs.filter(F.col("doc_id") < _INCR_SPLIT).select("fp")
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
 
-    words = (
+    # The shipped filter is ONE row holding the sparse bitset as a
+    # map<word_idx, word> (≤M/64 entries, 16 KiB), crossJoin-broadcast
+    # to the probe — the repo's bounded 1-row-aggregate pattern. One
+    # broadcast, one codegen stage, zero shuffles on the batch side.
+    # (Rejected alternatives, measured at sf0.1: explode K positions +
+    # bool_and re-aggregation re-shuffles batch×K rows; K stacked
+    # hash joins pay K broadcast builds; an element_at(literal-array)
+    # projection is NOT constant-folded — CreateArray of 2048 literals
+    # re-evaluates per row, ~6 s.)
+    fmap = (
         landed.select(F.explode(_bloom_positions(F.col("fp"))).alias("pos"))
         .groupBy((F.col("pos") / 64).cast("long").alias("word_idx"))
         .agg(
@@ -1940,28 +1960,32 @@ def dd_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "word"
             )
         )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("fmap")
+        )
     )
 
+    def hit(i):
+        word = F.element_at(
+            F.col("fmap"), (F.col(f"pos{i}") / 64).cast("long")
+        )
+        bit = F.expr(f"shiftleft(1L, cast(pos{i} % 64 AS int))")
+        return F.coalesce(word.bitwiseAND(bit) != 0, F.lit(False))
+
+    maybe = hit(0)
+    for i in range(1, _BLOOM_K):
+        maybe = maybe & hit(i)
     probed = (
-        batch.select(
-            "doc_id",
-            "source",
-            "fp",
-            F.explode(_bloom_positions(F.col("fp"))).alias("pos"),
+        batch.withColumns(
+            {
+                f"pos{i}": F.pmod(F.xxhash64("fp", F.lit(i)), F.lit(_BLOOM_M))
+                for i in range(_BLOOM_K)
+            }
         )
-        .withColumn("word_idx", (F.col("pos") / 64).cast("long"))
-        .join(F.broadcast(words), "word_idx", "left")
-        .select(
-            "doc_id",
-            "source",
-            "fp",
-            F.coalesce(
-                F.expr("(word & shiftleft(1L, cast(pos % 64 AS int))) != 0"),
-                F.lit(False),
-            ).alias("hit"),
-        )
-        .groupBy("doc_id", "source", "fp")
-        .agg(F.bool_and("hit").alias("maybe_dup"))
+        .crossJoin(F.broadcast(fmap))
+        .select("doc_id", "source", "fp", maybe.alias("maybe_dup"))
     )
 
     # Single-consumer DAG: admitted is derived as n_batch − n_rejected,

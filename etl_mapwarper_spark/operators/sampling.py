@@ -1877,7 +1877,11 @@ def ds_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     qs = [i / _ROWID_BUCKETS for i in range(1, _ROWID_BUCKETS)]
-    cuts = sorted(set(docs.stat.approxQuantile("doc_id", qs, 0.01)))
+    cuts = (
+        sorted(set(docs.stat.approxQuantile("doc_id", qs, 0.01)))
+        if qs
+        else []
+    )
     if cuts:
         cuts_arr = F.array(*[F.lit(int(c)) for c in cuts])
         bkt = F.size(F.filter(cuts_arr, lambda c: c <= F.col("doc_id")))

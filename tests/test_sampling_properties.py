@@ -102,3 +102,25 @@ def test_exact_ntile_matches_builtin(spark, vals, k):
         for r in df.withColumn("tile", F.ntile(k).over(w)).collect()
     }
     assert got == want
+
+
+def test_global_row_ids_invariant_to_bucket_count(spark, monkeypatch):
+    """ds_global_row_ids' output must be a pure function of the data —
+    the approx-quantile cut list only moves the parallelism boundary.
+    Run with 1, 4, and 32 range buckets and require identical
+    (doc_id → global_id) maps, plus the permutation property (ids are
+    exactly 0..n-1, monotone in doc_id)."""
+    from etl_mapwarper_spark.operators import sampling as S
+    from tests.conftest import SF_DIR
+
+    results = []
+    for nb in (1, 4, 32):
+        monkeypatch.setattr(S, "_ROWID_BUCKETS", nb)
+        rows = sorted(
+            (r.doc_id, r.global_id)
+            for r in S.ds_global_row_ids(spark, SF_DIR).collect()
+        )
+        results.append(rows)
+    assert results[0] == results[1] == results[2]
+    ids = [gid for _, gid in results[0]]
+    assert ids == list(range(len(ids)))  # contiguous, monotone in doc_id
