@@ -261,3 +261,69 @@ def _profile_sql() -> str:
 
 
 _register("dq_column_profile", dq_column_profile, _profile_sql())
+
+
+# ---------------------------------------------------------------------------
+# dq_skew_report — join-key skew diagnostics for the fact table's
+# candidate join keys. At 100 TB a skewed shuffle key is the
+# difference between a join finishing and one straggler task holding
+# a 1000-executor stage hostage; this report is the measurement that
+# decides between a plain shuffle join, salting (q32's pattern), and
+# AQE skew-split. ONE scan for all keys: each row explodes into
+# (key_col, key_val) pairs, per-key counts aggregate with map-side
+# combine (the only corpus-sized shuffle), then a tiny rollup emits
+# exact, deterministic skew statistics — max frequency, distinct
+# count, and skew factor = max_freq / mean_freq. Only decomposable
+# aggregates on purpose: quantiles-of-frequencies would either be
+# approximate (engine-specific) or force a second sort.
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_SKEW_KEYS)
+    pairs = li.select(
+        F.explode(
+            F.create_map(
+                *[
+                    c
+                    for key in _SKEW_KEYS
+                    for c in (F.lit(key), F.col(key))
+                ]
+            )
+        ).alias("key_col", "key_val")
+    )
+    per_key = pairs.groupBy("key_col", "key_val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_key.groupBy("key_col").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_freq"),
+        F.round(
+            F.max("c") * F.count(F.lit(1)) / F.sum("c"), 2
+        ).alias("skew_factor"),
+    )
+
+
+_register(
+    "dq_skew_report",
+    dq_skew_report,
+    """
+    WITH pairs AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS key_val FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    pk AS (
+      SELECT key_col, key_val, count(*) AS c FROM pairs GROUP BY 1, 2
+    )
+    SELECT key_col,
+           sum(c)::BIGINT AS n_rows,
+           count(*) AS n_distinct,
+           max(c)::BIGINT AS max_freq,
+           round(max(c) * count(*) * 1.0 / sum(c), 2) AS skew_factor
+    FROM pk GROUP BY 1
+    """,
+)

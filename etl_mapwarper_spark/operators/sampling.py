@@ -1992,3 +1992,66 @@ _register(
     GROUP BY source, shard_idx
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_source_cap — per-source document cap (corpus balancing): keep at
+# most _SOURCE_CAP docs per source, selected by the deterministic
+# Knuth-hash priority (content-keyed, so the SAME documents survive
+# on any engine, any partitioning, any rerun — the reproducibility
+# contract hash_bucket exists for, applied per group). This is the
+# anti-domination rule of web-corpus curation: no source may swamp
+# the mixture regardless of its raw size. One hash exchange on
+# source + per-group top-K via rank; ties impossible because the
+# priority tiebreaks on the unique doc_id itself.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 15
+
+
+def ds_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pri = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_M32))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("rk") <= _SOURCE_CAP).alias("n_kept"),
+            F.count_if(F.col("rk") > _SOURCE_CAP).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("rk") <= _SOURCE_CAP, F.col("n_chars")).otherwise(
+                    0
+                )
+            ).alias("kept_chars"),
+        )
+    )
+
+
+_register(
+    "ds_source_cap",
+    ds_source_cap,
+    f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {_KNUTH}) % {_M32} ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE rk <= {_SOURCE_CAP}) AS n_kept,
+           count(*) FILTER (WHERE rk > {_SOURCE_CAP}) AS n_dropped,
+           coalesce(sum(n_chars) FILTER (WHERE rk <= {_SOURCE_CAP}), 0)::BIGINT
+             AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+)

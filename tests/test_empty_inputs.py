@@ -77,6 +77,8 @@ EMPTY_SAFE = [
     # the shard planner an empty corpus
     "ds_global_row_ids",
     "ds_shard_manifest",
+    "dq_skew_report",
+    "ds_source_cap",
 ]
 
 
