@@ -75,9 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tx_bpe_train_merges, tx_bigram_logprob) and 6 canaries re-checking
 # earlier greens / the formerly-no-oracle q29 (now contract-verified).
 #
-# ROUND-5 ROTATION TODO: 52 never-checked entries remain after this
+# ROUND-5 ROTATION TODO: 53 never-checked entries remain after this
 # window (recompute: keys absent from all CORRECTNESS_r*.json) — the
-# sixteen round-4 additions (dd_bloom_incremental, q89_approx_quantiles,
+# seventeen round-4 additions (dq_observed_metrics,
+# dd_bloom_incremental, q89_approx_quantiles,
 # ds_global_row_ids, ds_shard_manifest, dq_skew_report, ds_source_cap,
 # ds_dsir_importance, dd_substring_span_pairs,
 # ds_contamination_report, tx_bpe_fertility, tx_logreg_train_steps,

@@ -327,3 +327,73 @@ _register(
     FROM pk GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_observed_metrics — pipeline metrics via the Observation API: the
+# gate statistics a write pipeline needs (rows scanned, rows passed,
+# value totals of what passed) collected AS the data flows, with zero
+# extra passes. At 100 TB the alternative — re-aggregating the
+# filtered stream — is a second full scan; .observe() piggybacks the
+# accumulators on the tasks that already ran. The observed pipeline
+# here is the dq_expectations-style admission filter over orders; the
+# entry materializes the stream once to the noop sink and returns the
+# observed metrics as a one-row frame (a bounded driver artifact, same
+# class as collected centroids/filter words).
+# ---------------------------------------------------------------------------
+
+_ADMIT = (
+    "o_totalprice > 0 AND o_orderdate IS NOT NULL "
+    "AND o_orderstatus IN ('O', 'F', 'P')"
+)
+
+
+def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    scan_obs = Observation("scan")
+    pass_obs = Observation("passed")
+    admitted = (
+        orders.observe(scan_obs, F.count(F.lit(1)).alias("n_scanned"))
+        .filter(F.expr(_ADMIT))
+        .observe(
+            pass_obs,
+            F.count(F.lit(1)).alias("n_passed"),
+            F.round(F.sum("o_totalprice"), 2).alias("passed_totalprice"),
+            F.max("o_custkey").alias("max_passed_custkey"),
+        )
+    )
+    admitted.write.mode("overwrite").format("noop").save()
+    row = {**scan_obs.get, **pass_obs.get}
+
+    def _opt(v, cast):  # empty corpus: sum/max observe as NULL
+        return None if v is None else cast(v)
+
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_scanned"]),
+                int(row["n_passed"]),
+                _opt(row["passed_totalprice"], float),
+                _opt(row["max_passed_custkey"], int),
+            )
+        ],
+        "n_scanned long, n_passed long, passed_totalprice double, "
+        "max_passed_custkey long",
+    )
+
+
+_register(
+    "dq_observed_metrics",
+    dq_observed_metrics,
+    f"""
+    SELECT count(*) AS n_scanned,
+           count(*) FILTER (WHERE {_ADMIT}) AS n_passed,
+           round(sum(o_totalprice) FILTER (WHERE {_ADMIT}), 2)
+             AS passed_totalprice,
+           max(o_custkey) FILTER (WHERE {_ADMIT})
+             AS max_passed_custkey
+    FROM orders
+    """,
+)

@@ -79,6 +79,7 @@ EMPTY_SAFE = [
     "ds_shard_manifest",
     "dq_skew_report",
     "ds_source_cap",
+    "dq_observed_metrics",
 ]
 
 
@@ -95,7 +96,12 @@ def empty_sf_dir(spark):
 # Global (non-grouped) aggregates legitimately emit their zero-count
 # rows on empty input — one row per UNION branch for q77, one
 # null-statistics row for the global Zipf fit.
-_EXPECTED_ROWS = {"q77_notin_null_semantics": 2, "tx_zipf_fit": 1}
+_EXPECTED_ROWS = {
+    "q77_notin_null_semantics": 2,
+    "tx_zipf_fit": 1,
+    # global observe metrics legitimately emit their one zero-count row
+    "dq_observed_metrics": 1,
+}
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE)
