@@ -839,3 +839,54 @@ def test_ds_token_budget_planner_two_aggregates(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
     assert n_exchanges <= 4, f"planner grew extra shuffles: {n_exchanges}"
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", body)
+
+
+def test_dd_bloom_incremental_probe_shape(spark):
+    """The Bloom route's value is WHERE the work lands: the filter is
+    a one-row map broadcast (never a corpus shuffle), the probe is a
+    projection, and the confirm join's probe side is pre-filtered to
+    the maybe set. Exchange budget pins the single-consumer DAG —
+    the three-way-split formulation re-evaluated the probe chain per
+    branch and tripled this count."""
+    plan = plan_of(spark, "dd_bloom_incremental")
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges <= 5, f"bloom DAG grew shuffles: {n_exchanges}"
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", body)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ds_global_row_ids_no_global_window(spark):
+    """Contiguous IDs must come from the bucket/offset decomposition:
+    a window WITHOUT partitioning (the single-reducer global sort)
+    must never appear; the offsets side is the only single-partition
+    exchange and it carries ≤ bucket-count rows."""
+    plan = plan_of(spark, "ds_global_row_ids")
+    assert "Window" in plan
+    # every window must be partitioned (no 'Window [..], [..] ASC' with
+    # empty partition spec feeding the corpus): the corpus-side window
+    # partitions by bkt; the offsets window runs on the tiny counts
+    # table AFTER its aggregation, which explain renders with
+    # SinglePartition only downstream of a HashAggregate.
+    n_single = len(re.findall(r"SinglePartition", plan))
+    assert n_single <= 1, f"corpus must not hit a single partition: {n_single}"
+
+
+def test_dq_skew_report_two_exchanges(spark):
+    """One corpus-sized shuffle (per-key counts) + one tiny rollup —
+    the multi-key report must not scan or shuffle once per key."""
+    plan = plan_of(spark, "dq_skew_report")
+    body = plan.split("===== Subqueries =====")[0]
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", body))
+    assert n_scans == 1, f"multi-key report must be one scan: {n_scans}"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges <= 2, f"skew report grew shuffles: {n_exchanges}"
+
+
+def test_ds_shard_manifest_single_exchange(spark):
+    """The packing window and the manifest groupBy share the source
+    partitioning — one exchange total."""
+    plan = plan_of(spark, "ds_shard_manifest")
+    body = plan.split("===== Subqueries =====")[0]
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges == 1, f"manifest must reuse the window exchange: {n_exchanges}"
