@@ -2055,3 +2055,72 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ds_split_manifest — dataset freeze manifest: for each deterministic
+# split (the ds_train_test_split assignment), an ORDER-INDEPENDENT
+# content checksum (sum of 48-bit md5 prefixes of the normalization
+# fingerprint, mod 2^61) plus exact counts/bytes. This is the
+# reproducibility artifact a training run pins: any engine, any
+# partitioning, any rerun that lands the same documents in the same
+# splits produces byte-identical manifest rows, and any drift
+# (a changed doc, a lost doc, a split-rule change) moves the checksum.
+# The combiner is bit_xor: commutative/associative (map-side
+# combinable, order-free) and overflow-free — a modular SUM of 48-bit
+# prefixes silently wraps Spark's int64 around ~2^15 docs per split
+# while DuckDB promotes to HUGEINT, an engine divergence waiting for
+# a bigger corpus. xor's known blind spot (a vanished pair of
+# identical fingerprints cancels) is covered by the exact n_docs
+# column alongside.
+# ---------------------------------------------------------------------------
+
+
+def ds_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    fp48 = F.conv(
+        F.substring(
+            F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(split.alias("split"), F.col("n_chars"), fp48.alias("fp"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("bit_xor(fp)").alias("content_checksum"),
+        )
+    )
+
+
+_register(
+    "ds_split_manifest",
+    ds_split_manifest,
+    f"""
+    WITH tagged AS (
+      SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             n_chars,
+             CAST(('0x' || substr(
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')),
+               1, 12)) AS BIGINT) AS fp
+      FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           bit_xor(fp)::BIGINT AS content_checksum
+    FROM tagged
+    GROUP BY split
+    """,
+)

@@ -2329,3 +2329,128 @@ _register(
          w1, w2, lossf
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_kneser_ney_logprob — interpolated Kneser-Ney bigram LM scoring,
+# the production-grade smoothing next to tx_bigram_logprob's add-k
+# baseline (Kneser & Ney 1995; Chen & Goodman 1998 found interpolated
+# KN the strongest n-gram smoother, which is why KenLM and every
+# serious n-gram perplexity filter use it):
+#
+#   P(w2|w1) = max(c(w1w2) - D, 0)/c(w1·)
+#              + (D · N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··))
+#
+# The continuation probability N1+(·w2)/N1+(··) scores HOW MANY
+# contexts a word follows, not how often it occurs — the "Francisco"
+# fix: frequent-but-context-locked words stop inflating unseen-bigram
+# mass. Same physical shape as tx_bigram_logprob: one bigram explode
+# feeds instances AND type counts; every statistic (c12, c(w1·),
+# N1+(w1·), N1+(·w2), N1+(··)) derives from ONE groupBy over the
+# vocab²-bounded type table, so only 8-byte hashed keys ever shuffle;
+# the resolved log-prob table broadcasts under the same size gate.
+# Both engines evaluate the identical parenthesized double expression
+# before the rounded per-doc average.
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+
+def tx_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = tokens(F.col("text"))
+    length = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.transform(
+        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
+    )
+    inst = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id",
+        F.xxhash64("b").alias("bh"),
+        F.xxhash64(F.split("b", " ")[0]).alias("w1h"),
+        F.xxhash64(F.split("b", " ")[1]).alias("w2h"),
+    )
+    c12 = inst.groupBy("bh").agg(
+        F.count(F.lit(1)).alias("c12"),
+        F.min("w1h").alias("w1h"),
+        F.min("w2h").alias("w2h"),
+    )
+    fwd = c12.groupBy("w1h").agg(
+        F.sum("c12").alias("cdot"),
+        F.count(F.lit(1)).alias("n1fwd"),
+    )
+    bwd = c12.groupBy("w2h").agg(F.count(F.lit(1)).alias("n1bwd"))
+    nbi = c12.agg(F.count(F.lit(1)).alias("nbi"))
+    lptab = (
+        c12.join(fwd, "w1h")
+        .join(bwd, "w2h")
+        .crossJoin(broadcast(nbi))
+        .select(
+            "bh",
+            F.log(
+                F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0))
+                / F.col("cdot")
+                + (F.lit(_KN_D) * F.col("n1fwd") / F.col("cdot"))
+                * (F.col("n1bwd") / F.col("nbi"))
+            ).alias("lp"),
+        )
+    )
+    from ..sources.tables import _input_bytes
+
+    if _input_bytes(f"{sf_dir}/documents.parquet") <= _BLM_BCAST_MAX_INPUT:
+        lptab = broadcast(lptab)
+    return (
+        inst.join(lptab, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_kn_logprob"),
+        )
+    )
+
+
+_register(
+    "tx_kneser_ney_logprob",
+    tx_kneser_ney_logprob,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgk AS (
+      SELECT doc_id, b,
+             string_split(b, ' ')[1] AS w1,
+             string_split(b, ' ')[2] AS w2
+      FROM bg
+    ),
+    c12 AS (
+      SELECT b, any_value(w1) AS w1, any_value(w2) AS w2,
+             count(*) AS c12
+      FROM bgk GROUP BY b
+    ),
+    fwd AS (
+      SELECT w1, sum(c12) AS cdot, count(*) AS n1fwd FROM c12 GROUP BY 1
+    ),
+    bwd AS (
+      SELECT w2, count(*) AS n1bwd FROM c12 GROUP BY 1
+    ),
+    nbi AS (SELECT count(*) AS nbi FROM c12),
+    lptab AS (
+      SELECT c12.b,
+             ln(greatest(c12.c12 - {_KN_D}, 0.0) / fwd.cdot
+                + ({_KN_D} * fwd.n1fwd / fwd.cdot)
+                * (bwd.n1bwd / nbi.nbi)) AS lp
+      FROM c12 JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN nbi
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(lp), 4) AS avg_kn_logprob
+    FROM bgk JOIN lptab USING (b)
+    GROUP BY doc_id
+    """,
+)

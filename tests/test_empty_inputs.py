@@ -80,6 +80,8 @@ EMPTY_SAFE = [
     "dq_skew_report",
     "ds_source_cap",
     "dq_observed_metrics",
+    "tx_kneser_ney_logprob",
+    "ds_split_manifest",
 ]
 
 
