@@ -161,6 +161,15 @@ def main() -> None:
         fn = queries[name]
         runs = []
         for _ in range(n_runs):
+            # Timed from the noop write: plan construction (py4j
+            # expression building, ~0.1 s/query) is excluded so the
+            # number measures execution, comparable across rounds.
+            # This is only honest because benched operators run NO
+            # Spark jobs during construction — pinned by
+            # tests/test_plans.py::test_bench_queries_construct_without_jobs
+            # (ds_global_row_ids was rebuilt on repartitionByRange for
+            # exactly this reason: its approxQuantile cut scan was an
+            # untimed corpus job).
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
@@ -185,9 +194,15 @@ def main() -> None:
     # ~0.1-0.3 s Spark scheduling floor, so the all-queries ratio
     # drifts UP as the set grows even when no plan regressed. The
     # core ratio is the round-over-round comparable number.
+    # Only queries whose oracle run succeeded enter EITHER side of the
+    # core ratio — a transient DuckDB failure must drop the query from
+    # numerator and denominator together, not silently inflate the
+    # ratio; any such drop is reported.
     core = [q for q in BENCH_QUERIES if q not in _ROUND4_ADDITIONS]
-    core_total = round(sum(steady[q] for q in core), 3)
-    core_oracle = round(sum(oracle.get(q, 0.0) for q in core), 3)
+    core_ok = [q for q in core if q in oracle]
+    core_total = round(sum(steady[q] for q in core_ok), 3)
+    core_oracle = round(sum(oracle[q] for q in core_ok), 3)
+    core_missing = [q for q in core if q not in oracle]
     print(
         json.dumps(
             {
@@ -207,7 +222,8 @@ def main() -> None:
                 "core43_vs_oracle": round(core_total / core_oracle, 3)
                 if core_oracle
                 else None,
-                "methodology": f"noop sink; warmed session; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
+                "core43_missing_oracles": core_missing,
+                "methodology": f"noop sink; warmed session; construction-action-free queries (pinned by test) timed over execution only; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1933,10 +1933,10 @@ def _bloom_positions(fp):
 
 def dd_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pristine scans on purpose: a parallelize repartition would sit
-    # BELOW the doc_id filters and block their parquet pushdown, and
-    # the words-build collect() is its own action — with repartition
-    # that meant shuffling the full text column once per action just
-    # to keep the 400 landed rows.
+    # BELOW the doc_id filters and block their parquet pushdown — the
+    # filter build (a separate broadcast-exchange job) and the main
+    # job would each re-shuffle the full text column just to keep the
+    # 400 landed rows.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
     )

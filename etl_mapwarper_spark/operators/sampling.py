@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import doc_fingerprint, token_count
 from ..sources.tables import load_table
 
 QUERIES = {}
@@ -50,6 +50,27 @@ def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
 
 
 _BUCKET_SQL = f"((doc_id * {_KNUTH}) % {_M32}) % 100"
+
+
+def knuth_priority(key: Column) -> Column:
+    """Full-resolution deterministic priority in [0, 2^32) — the
+    un-bucketed form of hash_bucket, used wherever a total order
+    (top-k, per-group rank) is needed rather than a percentage."""
+    return F.pmod(key * F.lit(_KNUTH), F.lit(_M32))
+
+
+def split_label(key: Column) -> Column:
+    """THE canonical 80/10/10 train/valid/test assignment. Single
+    definition on purpose: ds_train_test_split, ds_dedup_aware_split,
+    ds_llm_pipeline, and ds_split_manifest must agree forever — the
+    manifest's checksum exists to catch exactly the drift a diverging
+    copy of this rule would cause."""
+    b = hash_bucket(key)
+    return (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -99,12 +120,7 @@ _register(
 
 def ds_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    b = hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_label(F.col("doc_id"))
     return (
         docs.withColumn("split", split)
         .groupBy("split")
@@ -270,12 +286,7 @@ def ds_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("doc_id", "source", "n_chars")).alias("s"))
         .select("s.doc_id", "s.source", "s.n_chars")
     )
-    b = hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_label(F.col("doc_id"))
     src_num = F.regexp_extract("source", "(\\d+)", 1).cast("int")
     n_copies = (
         F.when(src_num % 3 == 0, F.lit(2))
@@ -670,7 +681,7 @@ def ds_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pri = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_M32))
+    pri = knuth_priority(F.col("doc_id"))
     topk = (
         docs.select("doc_id", "lang", "n_chars", pri.alias("priority"))
         .orderBy(F.asc("priority"), F.asc("doc_id"))
@@ -957,12 +968,7 @@ def ds_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r3 judge note — a forced hint here is an executor OOM at 100 TB).
     clean = deduped.drop("toks").join(contaminated, "doc_id", "left_anti")
     # 4-5. split + shard + sequence packing
-    b = hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_label(F.col("doc_id"))
     placed = clean.select(
         "doc_id",
         "source",
@@ -1774,7 +1780,7 @@ _register(
 def ds_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    from ..functions.text import token_count, tokens, word_shingles
+    from ..functions.text import doc_fingerprint, token_count, tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     is_bench = F.col("doc_id") % _DECON_MOD == 0
@@ -1853,20 +1859,22 @@ _register(
 # exist at 100 TB: `row_number() OVER (ORDER BY k)` funnels the whole
 # corpus through one reducer). The distributed idiom:
 #
-#   1. order-aligned range buckets from an approx-quantile cut list —
-#      a bounded driver artifact (≤ _ROWID_BUCKETS-1 longs), assigned
-#      per-row by a narrow HOF expression;
+#   1. order-aligned range buckets from repartitionByRange — the
+#      RangePartitioner's reservoir sampling runs INSIDE the job (no
+#      driver-side action during plan construction), and the bucket id
+#      is simply spark_partition_id();
 #   2. per-bucket counts → EXCLUSIVE prefix offsets, a window over the
 #      ≤ _ROWID_BUCKETS-row counts table (single-partition is fine —
 #      it's bucket-count-sized, never corpus-sized);
-#   3. per-bucket local row_number (one hash exchange on the bucket
-#      key, every partition sorts only its own bucket) + broadcast
-#      offset join: global_id = offset + local_rank.
+#   3. per-bucket local row_number (each partition sorts only its own
+#      bucket) + broadcast offset join: global_id = offset +
+#      local_rank.
 #
-# The cut list affects only WHERE the parallelism boundary falls — the
-# output (doc_id → id) is invariant to it because buckets are ranges
-# of the order key and doc_id is unique, which is what makes the
-# operator oracle-checkable against the single-window SQL definition.
+# Where the range boundaries fall affects only the parallelism
+# boundary — the output (doc_id → id) is invariant to it because
+# buckets are ranges of the order key and doc_id is unique, which is
+# what makes the operator oracle-checkable against the single-window
+# SQL definition (and lets the property test vary the bucket count).
 # ---------------------------------------------------------------------------
 
 _ROWID_BUCKETS = 32
@@ -1876,18 +1884,9 @@ def ds_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    qs = [i / _ROWID_BUCKETS for i in range(1, _ROWID_BUCKETS)]
-    cuts = (
-        sorted(set(docs.stat.approxQuantile("doc_id", qs, 0.01)))
-        if qs
-        else []
-    )
-    if cuts:
-        cuts_arr = F.array(*[F.lit(int(c)) for c in cuts])
-        bkt = F.size(F.filter(cuts_arr, lambda c: c <= F.col("doc_id")))
-    else:  # empty corpus: one bucket
-        bkt = F.lit(0)
-    bucketed = docs.withColumn("bkt", bkt)
+    bucketed = docs.repartitionByRange(
+        _ROWID_BUCKETS, F.asc("doc_id")
+    ).withColumn("bkt", F.spark_partition_id())
 
     w_off = Window.orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2015,7 +2014,7 @@ def ds_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    pri = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_M32))
+    pri = knuth_priority(F.col("doc_id"))
     w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
     ranked = docs.withColumn("rk", F.row_number().over(w))
     return (
@@ -2060,8 +2059,8 @@ _register(
 # ---------------------------------------------------------------------------
 # ds_split_manifest — dataset freeze manifest: for each deterministic
 # split (the ds_train_test_split assignment), an ORDER-INDEPENDENT
-# content checksum (sum of 48-bit md5 prefixes of the normalization
-# fingerprint, mod 2^61) plus exact counts/bytes. This is the
+# content checksum (bit_xor of 48-bit prefixes of the normalization
+# fingerprint md5) plus exact counts/bytes. This is the
 # reproducibility artifact a training run pins: any engine, any
 # partitioning, any rerun that lands the same documents in the same
 # splits produces byte-identical manifest rows, and any drift
@@ -2078,18 +2077,9 @@ _register(
 
 def ds_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    b = hash_bucket(F.col("doc_id"))
-    split = (
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_label(F.col("doc_id"))
     fp48 = F.conv(
-        F.substring(
-            F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")), 1, 12
-        ),
-        16,
-        10,
+        F.substring(doc_fingerprint(F.col("text")), 1, 12), 16, 10
     ).cast("long")
     return (
         docs.select(split.alias("split"), F.col("n_chars"), fp48.alias("fp"))

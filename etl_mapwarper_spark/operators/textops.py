@@ -1191,23 +1191,36 @@ _BLM_K = 0.5  # add-k smoothing
 _BLM_BCAST_MAX_INPUT = 64 << 20
 
 
-def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+def _bigram_instances(docs, with_w2: bool = False):
+    """Shared bigram instance stream for the corpus LM scorers: one
+    explode of adjacent-token pairs, keys reduced to 8-byte xxhash64
+    immediately so no string ever shuffles. The arrays_zip/slice
+    construction is deliberate — see functions/text.py on the
+    interpreted-HOF O(tokens^2) indexing trap this shape avoids."""
     t = tokens(F.col("text"))
     length = F.greatest(F.size(t) - 1, F.lit(0))
     bigrams = F.transform(
         F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
         lambda s: F.concat_ws(" ", s["0"], s["1"]),
     )
+    cols = [
+        F.xxhash64("b").alias("bh"),
+        F.xxhash64(F.split("b", " ")[0]).alias("w1h"),
+    ]
+    if with_w2:
+        cols.append(F.xxhash64(F.split("b", " ")[1]).alias("w2h"))
+    return docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", *cols
+    )
+
+
+def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     # Instance stream: ONE bigram explode feeds both the per-doc score
     # join and (via map-side-combined aggregation) the type-count
     # table — all keys are 8-byte xxhash64, so the corpus-sized rows
     # are 24 bytes and no string ever shuffles.
-    inst = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id",
-        F.xxhash64("b").alias("bh"),
-        F.xxhash64(F.split("b", " ")[0]).alias("w1h"),
-    )
+    inst = _bigram_instances(docs)
     uni = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     c1 = uni.groupBy(F.xxhash64("term").alias("th")).agg(
         F.count(F.lit(1)).alias("c1")
@@ -2358,18 +2371,7 @@ _KN_D = 0.75  # absolute discount
 
 def tx_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    t = tokens(F.col("text"))
-    length = F.greatest(F.size(t) - 1, F.lit(0))
-    bigrams = F.transform(
-        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
-        lambda s: F.concat_ws(" ", s["0"], s["1"]),
-    )
-    inst = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
-        "doc_id",
-        F.xxhash64("b").alias("bh"),
-        F.xxhash64(F.split("b", " ")[0]).alias("w1h"),
-        F.xxhash64(F.split("b", " ")[1]).alias("w2h"),
-    )
+    inst = _bigram_instances(docs, with_w2=True)
     c12 = inst.groupBy("bh").agg(
         F.count(F.lit(1)).alias("c12"),
         F.min("w1h").alias("w1h"),

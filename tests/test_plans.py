@@ -890,3 +890,30 @@ def test_ds_shard_manifest_single_exchange(spark):
     body = plan.split("===== Subqueries =====")[0]
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
     assert n_exchanges == 1, f"manifest must reuse the window exchange: {n_exchanges}"
+
+
+def test_bench_queries_construct_without_jobs(spark):
+    """bench.py times execution only (the noop write), which is only
+    honest if CONSTRUCTING a benched frame runs zero Spark jobs — a
+    driver action during construction (an approxQuantile scan, a
+    training collect) would be a whole untimed job the DuckDB side
+    pays for. Constructing every benched query must leave the job
+    count unchanged."""
+    import bench as benchmod
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    queries = entrymod.queries()
+    offenders = []
+    for name in benchmod.BENCH_QUERIES:
+        # First construction may build cached fixtures (mw_* collect a
+        # bounded key list once per session — affects only the cold
+        # run, which bench reports separately). STEADY-STATE
+        # construction, like bench's min-of-N, must be job-free.
+        queries[name](spark, SF_DIR)
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        queries[name](spark, SF_DIR)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        if after - before:
+            offenders.append(name)
+    assert not offenders, f"driver actions during construction: {offenders}"
