@@ -1502,3 +1502,370 @@ _register(
     GROUP BY label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_topk — IVF-PQ, the production billion-vector ANN index
+# (Jégou et al. 2011, the FAISS IVFADC default): the coarse quantizer
+# routes each vector to a cell, product quantization encodes the
+# RESIDUAL v − centroid(cell) (residuals concentrate near zero, so
+# the same code budget buys far less distortion than PQ on raw
+# vectors), and a query scans only its nprobe nearest cells with
+# precomputed per-cell ADC tables. Composes the two trained-artifact
+# paths already proven here: sim_ivf_topk's cell training/assignment
+# and sim_pq_topk's Forgy+Lloyd codebooks, both collected as bounded
+# index artifacts and inlined.
+#
+# Scale shape: assignment + encoding are narrow passes over the
+# corpus (the inverted lists would be written partitioned by cell);
+# query-time work is nprobe × cell_size × M table lookups,
+# independent of corpus size. Every floating artifact is rounded to
+# 6 dp at the artifact boundary so the DuckDB oracle retrains
+# bit-identical codebooks from SQL.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    plain = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    # 1. Coarse quantizer: per-label centroids, rounded at the
+    # artifact boundary (one hash-agg job; the K×dim index artifact).
+    cents_rows = sorted(
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", to_double_array(F.col("embedding")).alias("v"))
+        .groupBy("label")
+        .agg(
+            *[
+                F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
+                for i in range(_EMB_DIM)
+            ]
+        )
+        .collect(),
+        key=lambda r: r["label"],
+    )
+    cells = [
+        (int(r["label"]), [float(r[f"c{i}"]) for i in range(_EMB_DIM)])
+        for r in cents_rows
+    ]
+    cells_df = spark.createDataFrame(
+        [(c, cv) for c, cv in cells], "cell long, cv array<double>"
+    )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("label"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for c, cv in cells
+        ]
+    )
+    scored_cells = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("acos"),
+            (-c["label"]).alias("nl"),
+            c["label"].alias("label"),
+        ),
+    )
+    # 2. Cell assignment (narrow) + residual via broadcast join — the
+    # residual column replaces v for everything PQ-related below.
+    assigned = (
+        plain.withColumn("cell", F.array_max(scored_cells)["label"])
+        .join(broadcast(cells_df), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
+    )
+    rv = assigned.select("vec_id", "cell", F.col("r").alias("v"))
+
+    # 3. PQ codebooks on residuals: Forgy init (first K vec_ids'
+    # residuals, rounded) + one distributed Lloyd pass.
+    init_rows = sorted(
+        rv.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: F.round(x, 6)).alias("v"),
+        )
+        .collect(),
+        key=lambda row: row["vec_id"],
+    )
+    init_cb = {
+        m: [
+            (
+                int(row["vec_id"]),
+                [row["v"][m * _PQ_D + j] for j in range(_PQ_D)],
+            )
+            for row in init_rows
+        ]
+        for m in range(_PQ_M)
+    }
+    mc = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                _pq_code_expr(init_cb[m], m * _PQ_D).alias("pos"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    lloyd_rows = (
+        rv.select("vec_id", "v", F.explode(mc).alias("a"))
+        .select(
+            F.col("a.m").alias("m"),
+            F.col("a.pos").alias("pos"),
+            F.slice(F.col("v"), F.col("a.m") * _PQ_D + 1, _PQ_D).alias("sv"),
+        )
+        .groupBy("m", "pos")
+        .agg(
+            *[
+                F.round(F.avg(F.col("sv")[j]), 6).alias(f"d{j}")
+                for j in range(_PQ_D)
+            ]
+        )
+        .collect()
+    )
+    final_cb = {m: [] for m in range(_PQ_M)}
+    for row in lloyd_rows:
+        k = init_cb[row["m"]][row["pos"]][0]
+        final_cb[row["m"]].append((k, [row[f"d{j}"] for j in range(_PQ_D)]))
+    for m in final_cb:
+        final_cb[m].sort(key=lambda kc: kc[0])
+
+    # 4. Probe routing: nprobe nearest cells per probe (tiny engine
+    # job — no Python reimplementation of the cosine), then per-cell
+    # probe RESIDUALS and ADC tables built from the collected rounded
+    # artifacts.
+    wq = Window.partitionBy("probe_id").orderBy(
+        F.desc("qcos"), F.asc("cell")
+    )
+    probe_cells = (
+        plain.filter(F.col("vec_id").isin(PROBE_IDS))
+        .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"))
+        .join(broadcast(cells_df))
+        .withColumn(
+            "qcos", F.round(cosine_similarity(F.col("pv"), F.col("cv")), 6)
+        )
+        .withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= _IVFPQ_NPROBE)
+        .select("probe_id", "cell", "pv", "cv")
+        .collect()
+    )
+    adc_rows = []
+    for row in probe_cells:
+        rp = [row["pv"][i] - row["cv"][i] for i in range(_EMB_DIM)]
+        tbl = [
+            [
+                round(
+                    sum(
+                        (rp[m * _PQ_D + j] - cv[j]) ** 2
+                        for j in range(_PQ_D)
+                    ),
+                    6,
+                )
+                for _k, cv in final_cb[m]
+            ]
+            for m in range(_PQ_M)
+        ]
+        adc_rows.append((int(row["probe_id"]), int(row["cell"]), tbl))
+    adc_df = spark.createDataFrame(
+        adc_rows, "probe_id long, cell long, tbl array<array<double>>"
+    )
+
+    # 5. Encode the corpus (narrow) and search only the probed cells.
+    coded = rv.select(
+        "vec_id",
+        "cell",
+        *[
+            _pq_code_expr(final_cb[m], m * _PQ_D).alias(f"c{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    adist = F.lit(0.0)
+    for m in range(_PQ_M):
+        adist = adist + F.element_at(
+            F.element_at(F.col("tbl"), m + 1), F.col(f"c{m}") + 1
+        )
+    scored = (
+        coded.join(broadcast(adc_df), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", F.round(adist, 6).alias("adist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "adist", "rank")
+    )
+
+
+_register(
+    "sim_ivfpq_topk",
+    sim_ivfpq_topk,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cd AS (
+      SELECT label AS cell, ds.dim, round(avg(v[ds.dim + 1]), 6) AS c
+      FROM e CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS dim) ds
+      GROUP BY 1, 2
+    ),
+    cents AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY cell),
+    asn AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    rd AS (
+      SELECT e.vec_id, a.cell, ds.dim,
+             e.v[ds.dim + 1] - c.cv[ds.dim + 1] AS x
+      FROM e JOIN asn a USING (vec_id) JOIN cents c ON a.cell = c.cell
+      CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS dim) ds
+    ),
+    init_cent AS (
+      SELECT vec_id AS k, dim, round(x, 6) AS c
+      FROM rd WHERE vec_id < {_PQ_K}
+    ),
+    assign1 AS (
+      SELECT v.vec_id, ic.dim // {_PQ_D} AS m, ic.k,
+             round(sum((v.x - ic.c) * (v.x - ic.c)), 6) AS d2
+      FROM rd v JOIN init_cent ic ON v.dim = ic.dim
+      GROUP BY 1, 2, 3
+    ),
+    codes1 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, k ASC) AS rn
+        FROM assign1
+      ) WHERE rn = 1
+    ),
+    final_cent AS (
+      SELECT c.m, c.k, v.dim, round(avg(v.x), 6) AS c
+      FROM codes1 c
+      JOIN rd v ON v.vec_id = c.vec_id AND v.dim // {_PQ_D} = c.m
+      GROUP BY 1, 2, 3
+    ),
+    assign2 AS (
+      SELECT v.vec_id, fc.m, fc.k,
+             round(sum((v.x - fc.c) * (v.x - fc.c)), 6) AS d2
+      FROM rd v JOIN final_cent fc ON v.dim = fc.dim
+      GROUP BY 1, 2, 3
+    ),
+    codes2 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, k ASC) AS rn
+        FROM assign2
+      ) WHERE rn = 1
+    ),
+    pcells AS (
+      SELECT probe_id, cell FROM (
+        SELECT e.vec_id AS probe_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cell ASC) AS rn
+        FROM e CROSS JOIN cents c WHERE e.vec_id IN (0, 1, 2)
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    prd AS (
+      SELECT p.probe_id, p.cell, ds.dim,
+             e.v[ds.dim + 1] - c.cv[ds.dim + 1] AS x
+      FROM pcells p
+      JOIN e ON e.vec_id = p.probe_id
+      JOIN cents c ON c.cell = p.cell
+      CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS dim) ds
+    ),
+    ptab AS (
+      SELECT p.probe_id, p.cell, fc.m, fc.k,
+             round(sum((p.x - fc.c) * (p.x - fc.c)), 6) AS t
+      FROM prd p JOIN final_cent fc ON p.dim = fc.dim
+      GROUP BY 1, 2, 3, 4
+    ),
+    adist AS (
+      SELECT pt.probe_id, c2.vec_id, round(sum(pt.t), 6) AS adist
+      FROM codes2 c2
+      JOIN asn a ON a.vec_id = c2.vec_id
+      JOIN ptab pt ON pt.cell = a.cell AND pt.m = c2.m AND pt.k = c2.k
+      WHERE c2.vec_id != pt.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id, adist, rank FROM (
+      SELECT probe_id, vec_id, adist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY adist ASC, vec_id ASC) AS rank
+      FROM adist
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_recall — recall@k of the combined IVF-PQ index against
+# the exact-L2 ground truth. The number that tunes nprobe/M/K
+# jointly: IVF routing loss (true neighbor in an unprobed cell) and
+# PQ quantization loss (reranked out of the top-k) show up together
+# here, exactly as a production tuning loop sees them.
+# ---------------------------------------------------------------------------
+
+
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_l2_bruteforce_topk(spark, sf_dir).select("probe_id", "vec_id")
+    approx = sim_ivfpq_topk(spark, sf_dir).select(
+        F.col("probe_id").alias("p2"), F.col("vec_id").alias("v2")
+    )
+    hit = F.col("v2").isNotNull()
+    return (
+        exact.join(
+            broadcast(approx),
+            (F.col("probe_id") == F.col("p2"))
+            & (F.col("vec_id") == F.col("v2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit.cast("int")).alias("n_hit"),
+            F.round(
+                F.sum(hit.cast("int")) / F.count(F.lit(1)), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+_register(
+    "sim_ivfpq_recall",
+    sim_ivfpq_recall,
+    """
+    WITH exact AS (
+      SELECT probe_id, vec_id FROM ({exact_sql})
+    ),
+    approx AS (
+      SELECT probe_id AS p2, vec_id AS v2 FROM ({approx_sql})
+    )
+    SELECT probe_id,
+           count(*) AS n_exact,
+           sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall_at_k
+    FROM exact
+    LEFT JOIN approx ON probe_id = p2 AND vec_id = v2
+    GROUP BY probe_id
+    """.format(
+        exact_sql=ORACLE["sim_l2_bruteforce_topk"],
+        approx_sql=ORACLE["sim_ivfpq_topk"],
+    ),
+)
