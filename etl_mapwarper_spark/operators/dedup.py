@@ -2035,3 +2035,61 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_soft_dedup_weights — soft deduplication: instead of DROPPING
+# duplicates (dd_dedup_apply's survivor selection), every copy stays
+# in the corpus with sampling weight 1/n_copies of its fingerprint
+# group, so each distinct document contributes exactly one document's
+# worth of expected training mass (the down-weighting alternative
+# used when dropping is too blunt — near-boilerplate with small
+# variations, license texts, templated pages). Report: per source,
+# the raw count, the effective (weighted) size, and the inflation
+# factor raw/effective — the number that says how much of a source is
+# duplicated mass. One fingerprint-keyed window (same shuffle the
+# exact-dedup groupBy pays) + a per-source rollup.
+# ---------------------------------------------------------------------------
+
+
+def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    n_copies = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    weighted = docs.withColumn("w", F.lit(1.0) / n_copies)
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("w"), 4).alias("effective_docs"),
+            F.round(F.count(F.lit(1)) / F.sum("w"), 4).alias(
+                "dup_inflation"
+            ),
+        )
+    )
+
+
+_register(
+    "dd_soft_dedup_weights",
+    dd_soft_dedup_weights,
+    """
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    weighted AS (
+      SELECT source, 1.0 / count(*) OVER (PARTITION BY fp) AS w
+      FROM fps
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(sum(w), 4) AS effective_docs,
+           round(count(*) / sum(w), 4) AS dup_inflation
+    FROM weighted
+    GROUP BY source
+    """,
+)

@@ -82,6 +82,7 @@ EMPTY_SAFE = [
     "dq_observed_metrics",
     "tx_kneser_ney_logprob",
     "ds_split_manifest",
+    "dd_soft_dedup_weights",
     # IVF-PQ trains on collected artifacts: like IVF/PQ/k-means it
     # raises on an empty training set (the honest contract) — NOT
     # listed here; see the exemption note above.
