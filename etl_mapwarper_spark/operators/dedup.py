@@ -2093,3 +2093,129 @@ _register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_bbit_minhash_lsh — b-bit minwise hashing (Li & König 2010):
+# store only the lowest b bits of each minhash. The signature shrinks
+# from N_SEEDS × 128-bit digests to N_SEEDS × b bits (b=8 → 16×
+# storage compression — at 100 TB the signature table is itself a
+# corpus-scale artifact, and this is THE technique that keeps it in
+# memory). Truncation only ADDS band collisions, so the b-bit
+# candidate set is a superset of the full-width one; recall can only
+# improve while the exact array_intersect verification (same as
+# dd_minhash_lsh) keeps precision exact. Same physical shape: one
+# shingle-index shuffle, band self-join on the compact keys,
+# candidate-pairs-only verify.
+# ---------------------------------------------------------------------------
+
+_BBIT_B = 8  # bits kept per minhash
+
+
+def dd_bbit_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    per_band = N_SEEDS // N_BANDS
+    mh_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(N_SEEDS)
+    ]
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(*mh_cols, F.collect_set("shingle").alias("shset"))
+        .persist()
+    )
+
+    def bbit(s):
+        return F.pmod(
+            F.conv(F.substring(F.col(f"mh{s}"), 29, 4), 16, 10).cast("long"),
+            F.lit(1 << _BBIT_B),
+        )
+
+    bands = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                bbit(s)
+                                for s in range(
+                                    b * per_band, (b + 1) * per_band
+                                )
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    ba = bands.alias("ba")
+    bb_ = bands.alias("bb")
+    candidates = (
+        ba.join(
+            bb_,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    ds1 = per_doc.select(
+        F.col("doc_id").alias("d1"), F.col("shset").alias("set1")
+    )
+    ds2 = per_doc.select(
+        F.col("doc_id").alias("d2"), F.col("shset").alias("set2")
+    )
+    c = F.size(F.array_intersect(F.col("set1"), F.col("set2")))
+    jacc = F.round(c / (F.size("set1") + F.size("set2") - c), 4)
+    return (
+        candidates.join(ds1, "d1")
+        .join(ds2, "d2")
+        .select("d1", "d2", jacc.alias("jacc"))
+        .filter(F.col("jacc") >= JACCARD_THRESHOLD)
+    )
+
+
+_register(
+    "dd_bbit_minhash_lsh",
+    dd_bbit_minhash_lsh,
+    _SH_CTE
+    + f"""
+    , m AS (
+      SELECT doc_id, seeds.seed,
+             min(md5(seeds.seed::VARCHAR || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range({N_SEEDS})) AS seed) seeds
+      GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, seed // {N_SEEDS // N_BANDS} AS band,
+             string_agg(
+               (CAST(('0x' || substr(mh, 29, 4)) AS BIGINT)
+                % {1 << _BBIT_B})::VARCHAR,
+               '|' ORDER BY seed) AS band_key
+      FROM m GROUP BY 1, 2
+    ), candidates AS (
+      SELECT DISTINCT ba.doc_id AS d1, bb.doc_id AS d2
+      FROM bands ba JOIN bands bb
+        ON ba.band = bb.band AND ba.band_key = bb.band_key
+       AND ba.doc_id < bb.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS cd1, b.doc_id AS cd2, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 4) AS jacc
+    FROM candidates
+    JOIN common ON d1 = cd1 AND d2 = cd2
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= {JACCARD_THRESHOLD}
+    """,
+)

@@ -83,6 +83,7 @@ EMPTY_SAFE = [
     "tx_kneser_ney_logprob",
     "ds_split_manifest",
     "dd_soft_dedup_weights",
+    "dd_bbit_minhash_lsh",
     # IVF-PQ trains on collected artifacts: like IVF/PQ/k-means it
     # raises on an empty training set (the honest contract) — NOT
     # listed here; see the exemption note above.
