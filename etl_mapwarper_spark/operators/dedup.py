@@ -2219,3 +2219,50 @@ _register(
     WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= {JACCARD_THRESHOLD}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dd_ngram_jaccard_capped — the stop-shingle production variant this
+# module's header documents: shingles whose document frequency
+# exceeds _NJ_DF_CAP are dropped from the inverted index BEFORE the
+# self-join. At 100 TB a boilerplate shingle hit by m docs generates
+# m(m-1)/2 candidate pairs inside one join key — the cap bounds that
+# straggler structurally (the same skew AQE skew-join would split
+# reactively). Intersections are counted over surviving shingles
+# while sizes stay the full per-doc counts, so the capped Jaccard
+# only UNDERESTIMATES — a conservative filter that can drop borderline
+# pairs but never promote one. df profile for tuning the cap:
+# dd_shingle_df_profile.
+# ---------------------------------------------------------------------------
+
+_NJ_DF_CAP = 10
+
+
+def dd_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd_ngram_jaccard(spark, sf_dir, df_cap=_NJ_DF_CAP)
+
+
+_register(
+    "dd_ngram_jaccard_capped",
+    dd_ngram_jaccard_capped,
+    _SH_CTE
+    + f"""
+    , keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_NJ_DF_CAP}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(c * 1.0 / (s1.n + s2.n - c), 4) AS jacc
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(c * 1.0 / (s1.n + s2.n - c), 4) >= {JACCARD_THRESHOLD}
+    """,
+)

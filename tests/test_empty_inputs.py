@@ -84,6 +84,7 @@ EMPTY_SAFE = [
     "ds_split_manifest",
     "dd_soft_dedup_weights",
     "dd_bbit_minhash_lsh",
+    "dd_ngram_jaccard_capped",
     # IVF-PQ trains on collected artifacts: like IVF/PQ/k-means it
     # raises on an empty training set (the honest contract) — NOT
     # listed here; see the exemption note above.
