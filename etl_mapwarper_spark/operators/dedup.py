@@ -166,9 +166,6 @@ def dd_ngram_jaccard(
         )
         .select("doc_id", "n", F.xxhash64("s").alias("h"))
     )
-    if df_cap is not None:
-        keep = sh.groupBy("h").count().filter(F.col("count") <= df_cap)
-        sh = sh.join(keep.select("h"), "h")
     # Pair expansion is the CPU-heavy stage; partition the index by its
     # join key at full core width so the self-join runs co-partitioned
     # and parallel even under a narrow static shuffle config. The
@@ -180,6 +177,21 @@ def dd_ngram_jaccard(
     # one hash partition of the index, bounded by partition width, not
     # corpus size.
     sh = sh.repartition(spark.sparkContext.defaultParallelism, "h")
+    if df_cap is not None:
+        # Stop-shingle cap as a WINDOW over the join key: the window's
+        # partitionBy(h) is satisfied by the repartition above, so the
+        # cap adds zero exchanges (the groupBy-count + semi-join form
+        # re-derived the index twice and shuffled it again — measured
+        # 1.75 s vs 0.79 s uncapped at sf0.1).
+        from pyspark.sql.window import Window as _W
+
+        sh = (
+            sh.withColumn(
+                "df", F.count(F.lit(1)).over(_W.partitionBy("h"))
+            )
+            .filter(F.col("df") <= df_cap)
+            .drop("df")
+        )
     a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
     common = (
         a.join(
