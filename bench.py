@@ -186,8 +186,13 @@ def main() -> None:
                 oracle[name] = round(min(oruns), 3)
             except Exception:
                 pass
+    # Same denominator discipline as core43 below: a query whose
+    # oracle run failed is dropped from BOTH sides of the headline
+    # ratio and reported, never left inflating the numerator.
+    ok_queries = [q for q in BENCH_QUERIES if q in oracle]
+    missing_oracles = [q for q in BENCH_QUERIES if q not in oracle]
     total = round(sum(steady.values()), 3)
-
+    total_ok = round(sum(steady[q] for q in ok_queries), 3)
     oracle_total = round(sum(oracle.values()), 3)
     # Continuity ratio over the frozen round-3 43-query core: every
     # query added later has a near-zero DuckDB time but a fixed
@@ -214,9 +219,10 @@ def main() -> None:
                 "total_cold": round(sum(cold.values()), 3),
                 "oracle_queries": oracle,
                 "oracle_total": oracle_total,
-                "vs_oracle": round(total / oracle_total, 3)
+                "vs_oracle": round(total_ok / oracle_total, 3)
                 if oracle_total
                 else None,
+                "missing_oracles": missing_oracles,
                 "core43_value": core_total,
                 "core43_oracle": core_oracle,
                 "core43_vs_oracle": round(core_total / core_oracle, 3)

@@ -61,10 +61,12 @@ def knuth_priority(key: Column) -> Column:
 
 def split_label(key: Column) -> Column:
     """THE canonical 80/10/10 train/valid/test assignment. Single
-    definition on purpose: ds_train_test_split, ds_dedup_aware_split,
+    definition on purpose: ds_train_test_split, ds_corpus_curation,
     ds_llm_pipeline, and ds_split_manifest must agree forever — the
     manifest's checksum exists to catch exactly the drift a diverging
-    copy of this rule would cause."""
+    copy of this rule would cause. (ds_dedup_aware_split is NOT a
+    consumer: it intentionally uses its own 90/10 two-way rule keyed
+    on the duplicate-cluster id, not the doc id.)"""
     b = hash_bucket(key)
     return (
         F.when(b < 80, F.lit("train"))
@@ -1780,7 +1782,7 @@ _register(
 def ds_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    from ..functions.text import doc_fingerprint, token_count, tokens, word_shingles
+    from ..functions.text import token_count, tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     is_bench = F.col("doc_id") % _DECON_MOD == 0

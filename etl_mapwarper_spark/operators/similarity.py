@@ -1528,6 +1528,9 @@ _IVFPQ_NPROBE = 2
 
 
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # emb (parallelized) feeds the CPU-heavy full-corpus passes
+    # (centroid-cosine assignment, residuals, PQ encode); plain's
+    # pristine scan serves only the vec_id-pushdown probe lookups.
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
@@ -1576,7 +1579,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2. Cell assignment (narrow) + residual via broadcast join — the
     # residual column replaces v for everything PQ-related below.
     assigned = (
-        plain.withColumn("cell", F.array_max(scored_cells)["label"])
+        emb.withColumn("cell", F.array_max(scored_cells)["label"])
         .join(broadcast(cells_df), "cell")
         .select(
             "vec_id",

@@ -126,22 +126,54 @@ def test_global_row_ids_invariant_to_bucket_count(spark, monkeypatch):
     assert ids == list(range(len(ids)))  # contiguous, monotone in doc_id
 
 
-def test_split_manifest_partitions_the_corpus(spark):
-    """The three manifest rows must exactly partition the corpus:
-    doc counts and byte totals sum to the whole table's, and the
-    checksum changes if any document moves split (spot-checked by
-    xor-ing manifests computed under a shifted split rule)."""
+def test_split_manifest_partitions_the_corpus(spark, tmp_path):
+    """The three manifest rows must exactly partition the corpus (doc
+    counts and byte totals sum to the whole table's), and the
+    checksum must actually DETECT drift: changing one document's text
+    moves exactly its split's content_checksum and no other's."""
     import pyspark.sql.functions as F
 
     from etl_mapwarper_spark.operators.sampling import ds_split_manifest
-    from etl_mapwarper_spark.sources.tables import load_table
+    from etl_mapwarper_spark.sources.tables import TABLE_NAMES, load_table
     from tests.conftest import SF_DIR
 
-    man = ds_split_manifest(spark, SF_DIR).collect()
+    man = {r.split: r for r in ds_split_manifest(spark, SF_DIR).collect()}
     docs = load_table(spark, SF_DIR, "documents")
     total = docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
     ).first()
-    assert sum(r.n_docs for r in man) == total.n
-    assert sum(r.total_chars for r in man) == total.c
-    assert {r.split for r in man} <= {"train", "valid", "test"}
+    assert sum(r.n_docs for r in man.values()) == total.n
+    assert sum(r.total_chars for r in man.values()) == total.c
+    assert set(man) <= {"train", "valid", "test"}
+
+    # Drift detection: corrupt ONE document's text in a copy of the
+    # corpus and require exactly that split's checksum to move.
+    drift_dir = str(tmp_path / "drift_sf")
+    for name in TABLE_NAMES:
+        if name == "documents":
+            load_table(spark, SF_DIR, name).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") == 0, F.concat(F.col("text"), F.lit(" z"))
+                ).otherwise(F.col("text")),
+            ).write.parquet(f"{drift_dir}/{name}.parquet")
+        else:
+            load_table(spark, SF_DIR, name).write.parquet(
+                f"{drift_dir}/{name}.parquet"
+            )
+    from etl_mapwarper_spark.operators.sampling import split_label
+
+    hit_split = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(split_label(F.col("doc_id")).alias("s"))
+        .first()
+        .s
+    )
+    man2 = {
+        r.split: r for r in ds_split_manifest(spark, drift_dir).collect()
+    }
+    for split in man:
+        if split == hit_split:
+            assert man2[split].content_checksum != man[split].content_checksum
+        else:
+            assert man2[split].content_checksum == man[split].content_checksum
