@@ -966,3 +966,91 @@ _register(
     FROM documents WHERE doc_id < 200
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_autocorr — windowed integer autocorrelation at lags 1..4:
+# the periodicity feature (pitch detection, hum/tone screening,
+# silence-vs-structure) that complements the energy (RMS), activity
+# (VAD) and noisiness (ZCR) stages. Computed on CENTERED integer
+# samples with int64 arithmetic, so both engines produce bit-identical
+# sums — no float summation order to defend. The normalized column
+# r_l / r_0 divides two exact integers (one float op per output
+# value). Same Arrow-batched mapInPandas shape as the other audio
+# stages; at scale the decode+window work is embarrassingly parallel
+# per media row and the output is bounded by windows × lags.
+# ---------------------------------------------------------------------------
+
+AC_LAGS = 4
+AC_SCHEMA = (
+    "media_id bigint, win_idx int, lag int, r bigint, r_norm double"
+)
+
+
+def audio_autocorr(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    def ac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "win_idx": [],
+                "lag": [],
+                "r": [],
+                "r_norm": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s = decode_fake(payload).astype(np.int64) - 128
+                n_win = len(s) // window
+                for wi in range(n_win):
+                    fr = s[wi * window : (wi + 1) * window]
+                    r0 = int(np.dot(fr, fr))
+                    for lag in range(1, AC_LAGS + 1):
+                        rl = int(np.dot(fr[:-lag], fr[lag:]))
+                        out["media_id"].append(mid)
+                        out["win_idx"].append(wi)
+                        out["lag"].append(lag)
+                        out["r"].append(rl)
+                        out["r_norm"].append(
+                            round(rl / r0, 6) if r0 else 0.0
+                        )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(ac, schema=AC_SCHEMA)
+
+
+def mm_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir, kind="audio")
+    return audio_autocorr(media)
+
+
+_register(
+    "mm_audio_autocorr",
+    mm_audio_autocorr,
+    f"""
+    WITH sm AS (
+      SELECT doc_id AS media_id,
+             (s.s // {AUDIO_WINDOW})::INT AS win_idx,
+             s.s % {AUDIO_WINDOW} AS n,
+             ((doc_id + s.s) % 256) - 128 AS x
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, {W * H})) AS s) s
+      WHERE doc_id < 200
+    ),
+    lagged AS (
+      SELECT a.media_id, a.win_idx, l.lag,
+             sum(a.x * b.x)::BIGINT AS rl
+      FROM sm a
+      JOIN (SELECT unnest(range(1, {AC_LAGS + 1})) AS lag) l ON true
+      JOIN sm b ON b.media_id = a.media_id AND b.win_idx = a.win_idx
+                AND b.n = a.n + l.lag
+      GROUP BY 1, 2, 3
+    ),
+    r0 AS (
+      SELECT media_id, win_idx, sum(x * x)::BIGINT AS r0
+      FROM sm GROUP BY 1, 2
+    )
+    SELECT l.media_id, l.win_idx, l.lag::INT AS lag, l.rl AS r,
+           CASE WHEN r0.r0 = 0 THEN 0.0
+                ELSE round(l.rl * 1.0 / r0.r0, 6) END AS r_norm
+    FROM lagged l JOIN r0 USING (media_id, win_idx)
+    """,
+)

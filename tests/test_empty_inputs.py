@@ -85,6 +85,7 @@ EMPTY_SAFE = [
     "dd_soft_dedup_weights",
     "dd_bbit_minhash_lsh",
     "dd_ngram_jaccard_capped",
+    "mm_audio_autocorr",
     # IVF-PQ trains on collected artifacts: like IVF/PQ/k-means it
     # raises on an empty training set (the honest contract) — NOT
     # listed here; see the exemption note above.
