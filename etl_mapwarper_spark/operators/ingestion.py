@@ -324,6 +324,53 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# src_xml_roundtrip — Spark 4's built-in XML source completes the
+# format matrix (parquet/csv/json/orc/xml): write the documents table
+# as row-tagged XML, read it back with the declared schema, and prove
+# value preservation with the same per-source aggregate the other
+# roundtrips use. XML matters for ingest parity because it is the one
+# text format where field ORDER and escaping differ structurally from
+# the delimited family — a schema-first read is the only reliable
+# contract.
+# ---------------------------------------------------------------------------
+
+
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="xml_rt_") + "/documents"
+    docs.write.mode("overwrite").format("xml").option(
+        "rootTag", "documents"
+    ).option("rowTag", "doc").save(path)
+    back = (
+        spark.read.schema(SCHEMAS["documents"])
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+        F.sum("n_chars").alias("total_n_chars"),
+    )
+
+
+_register(
+    "src_xml_roundtrip",
+    src_xml_roundtrip,
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(length(text))::BIGINT AS total_text_chars,
+           sum(n_chars)::BIGINT AS total_n_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Malformed-record quarantine (error-as-data #23 at the parse layer,
 # mapwarper.js:122-129 applied to file ingestion). A deterministic CSV
 # fixture where every 7th row has an unparseable numeric field is read

@@ -86,6 +86,7 @@ EMPTY_SAFE = [
     "dd_bbit_minhash_lsh",
     "dd_ngram_jaccard_capped",
     "mm_audio_autocorr",
+    "src_xml_roundtrip",
     # IVF-PQ trains on collected artifacts: like IVF/PQ/k-means it
     # raises on an empty training set (the honest contract) — NOT
     # listed here; see the exemption note above.
