@@ -75,9 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tx_bpe_train_merges, tx_bigram_logprob) and 6 canaries re-checking
 # earlier greens / the formerly-no-oracle q29 (now contract-verified).
 #
-# ROUND-5 ROTATION TODO: 62 never-checked entries remain after this
+# ROUND-5 ROTATION TODO: 63 never-checked entries remain after this
 # window (recompute: keys absent from all CORRECTNESS_r*.json) — the
-# twenty-six round-4 additions (dq_observed_metrics,
+# twenty-seven round-4 additions (dq_observed_metrics,
+# dq_freshness_report,
 # src_xml_roundtrip,
 # mm_audio_autocorr,
 # dd_ngram_jaccard_capped,

@@ -397,3 +397,55 @@ _register(
     FROM orders
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_report — event-time freshness per stream partition key
+# (event_type): the data-quality dimension the rule sets above don't
+# cover — "is every stream still ARRIVING?". A partition whose max
+# event time trails the corpus high-water mark has stalled upstream
+# even if every row it ever landed is valid. Lag is anchored to the
+# corpus-wide max (a deterministic 1-row aggregate, crossJoin-
+# broadcast) rather than wall-clock, so the report is reproducible on
+# any engine at any time. One scan + a per-key aggregate; the anchor
+# is the repo's bounded 1-row-aggregate pattern.
+# ---------------------------------------------------------------------------
+
+
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hwm = ev.agg(F.max("ts").alias("corpus_max_ts"))
+    per_key = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+    )
+    return per_key.crossJoin(F.broadcast(hwm)).select(
+        "event_type",
+        "n_events",
+        F.col("max_ts"),
+        F.expr(
+            "CAST(unix_seconds(corpus_max_ts) - unix_seconds(max_ts) AS BIGINT)"
+        ).alias("lag_seconds"),
+        F.expr(
+            "CAST(unix_seconds(max_ts) - unix_seconds(min_ts) AS BIGINT)"
+        ).alias("span_seconds"),
+    )
+
+
+_register(
+    "dq_freshness_report",
+    dq_freshness_report,
+    """
+    WITH hwm AS (SELECT max(ts) AS corpus_max_ts FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           max(ts) AS max_ts,
+           CAST(date_diff('second', max(ts), corpus_max_ts) AS BIGINT)
+             AS lag_seconds,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+             AS span_seconds
+    FROM events CROSS JOIN hwm
+    GROUP BY event_type, corpus_max_ts
+    """,
+)

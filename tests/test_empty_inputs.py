@@ -87,6 +87,7 @@ EMPTY_SAFE = [
     "dd_ngram_jaccard_capped",
     "mm_audio_autocorr",
     "src_xml_roundtrip",
+    "dq_freshness_report",
     # IVF-PQ trains on collected artifacts: like IVF/PQ/k-means it
     # raises on an empty training set (the honest contract) — NOT
     # listed here; see the exemption note above.
