@@ -1214,7 +1214,20 @@ def q90_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_s = (
         F.expr("unix_seconds(ts)") - F.expr("unix_seconds(o_orderdate)")
     )
-    packed = F.shiftleft(delta_s, 33) + F.col("event_id")
+    # Same in-plan packing-contract guard as q93: raises on violation,
+    # +0 otherwise (assert_true -> NULL -> coalesce 0).
+    guard = F.assert_true(
+        (delta_s < F.lit(1 << 30)) & (F.col("event_id") < F.lit(1 << 33)),
+        F.lit(
+            "q90_asof_forward packing contract violated: "
+            "gap >= 2^30 s or event_id >= 2^33"
+        ),
+    )
+    packed = (
+        F.shiftleft(delta_s, 33)
+        + F.col("event_id")
+        + F.coalesce(guard.cast("long"), F.lit(0))
+    )
     return (
         j.groupBy("o_orderkey", "o_custkey")
         .agg(F.min(packed).alias("p"))
@@ -1384,7 +1397,22 @@ def q93_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_s = F.abs(
         F.expr("unix_seconds(ts)") - F.expr("unix_seconds(o_orderdate)")
     )
-    packed = F.shiftleft(gap_s, 33) + F.col("event_id")
+    # In-plan packing-contract guard: |gap| < 2^30 s and event_id < 2^33,
+    # else the packed argmin ordering silently corrupts. assert_true
+    # raises at execution time on violation and evaluates to NULL (-> +0)
+    # otherwise, so the guard rides the same scan with no extra pass.
+    guard = F.assert_true(
+        (gap_s < F.lit(1 << 30)) & (F.col("event_id") < F.lit(1 << 33)),
+        F.lit(
+            "q93_asof_nearest packing contract violated: "
+            "|gap| >= 2^30 s or event_id >= 2^33"
+        ),
+    )
+    packed = (
+        F.shiftleft(gap_s, 33)
+        + F.col("event_id")
+        + F.coalesce(guard.cast("long"), F.lit(0))
+    )
     return (
         j.groupBy("o_orderkey", "o_custkey")
         .agg(F.min(packed).alias("p"))

@@ -1027,12 +1027,19 @@ _register(
     mm_audio_autocorr,
     f"""
     WITH sm AS (
+      -- Bound s to FULL windows only ((W*H // window) * window): the
+      -- engine drops any partial tail window (n_win = len(s) // window),
+      -- so the oracle must too — parity must not depend on W*H being
+      -- divisible by AUDIO_WINDOW.
       SELECT doc_id AS media_id,
              (s.s // {AUDIO_WINDOW})::INT AS win_idx,
              s.s % {AUDIO_WINDOW} AS n,
              ((doc_id + s.s) % 256) - 128 AS x
       FROM documents
-      CROSS JOIN (SELECT unnest(range(0, {W * H})) AS s) s
+      CROSS JOIN (
+        SELECT unnest(range(0, {(W * H // AUDIO_WINDOW) * AUDIO_WINDOW}))
+          AS s
+      ) s
       WHERE doc_id < 200
     ),
     lagged AS (

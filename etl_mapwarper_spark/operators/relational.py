@@ -729,9 +729,24 @@ def q22_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Packing contract: order dates are midnight-aligned (true of order
     # data by definition) and < year 2149 (16 bits of days);
     # orderkey < 2^47.
-    packed = F.shiftleft(
-        F.expr("unix_seconds(o_orderdate) div 86400"), 47
-    ) + F.col("o_orderkey")
+    day_num = F.expr("unix_seconds(o_orderdate) div 86400")
+    # In-plan contract guard (see q93_asof_nearest): raises loudly on a
+    # date past the 16-bit day horizon or an oversized orderkey instead
+    # of silently corrupting the argmax ordering.
+    guard = F.assert_true(
+        (day_num >= F.lit(0))
+        & (day_num < F.lit(1 << 16))
+        & (F.col("o_orderkey") < F.lit(1 << 47)),
+        F.lit(
+            "q22_asof_last_order packing contract violated: "
+            "o_orderdate outside [1970, 2149) or o_orderkey >= 2^47"
+        ),
+    )
+    packed = (
+        F.shiftleft(day_num, 47)
+        + F.col("o_orderkey")
+        + F.coalesce(guard.cast("long"), F.lit(0))
+    )
     return (
         j.groupBy("event_id", "user_id")
         .agg(F.max(packed).alias("p"))

@@ -687,16 +687,24 @@ _register(
       GROUP BY fp
     ),
     landed AS (
-      SELECT s.source FROM streamed s
+      SELECT s.source, count(*) AS n_new_landed
+      FROM streamed s
       JOIN survivors v ON s.fp = v.fp AND s.doc_id = v.doc_id
+      GROUP BY s.source
+    ),
+    per_source AS (
+      SELECT source, count(*) AS n_streamed FROM streamed GROUP BY source
     )
-    SELECT source,
-           (SELECT count(*) FROM streamed t WHERE t.source = x.source)
-             AS n_streamed,
-           count(*) AS n_new_landed,
-           (SELECT count(*) FROM streamed t WHERE t.source = x.source)
-             - count(*) AS n_dropped_dup
-    FROM landed x
-    GROUP BY source
+    -- Drive the final aggregation from `streamed` (every source with at
+    -- least one streamed doc), not from `landed`: a source whose entire
+    -- stream is deduplicated away must still emit a row with
+    -- n_new_landed = 0 and n_dropped_dup = n_streamed, matching the
+    -- engine's left join of survivors onto all streamed sources.
+    SELECT p.source,
+           p.n_streamed,
+           coalesce(l.n_new_landed, 0) AS n_new_landed,
+           p.n_streamed - coalesce(l.n_new_landed, 0) AS n_dropped_dup
+    FROM per_source p
+    LEFT JOIN landed l ON p.source = l.source
     """,
 )
