@@ -67,104 +67,99 @@ def entry(spark: SparkSession) -> DataFrame:
     return ds_llm_pipeline(spark, "/root/testdata/sf0.001")
 
 
-# Entries pulled to the FRONT of the merged registry. Round-4 window:
-# 44 never-checked entries (weakest-evidence first: local-replica-only
-# classes — dq_*, the report ops, ds_* flagships, tx_* LM family — plus
-# the entries whose code CHANGED this round: st_dq_gate,
-# src_ndjson_malformed, dq_key_integrity, ds_llm_pipeline,
-# tx_bpe_train_merges, tx_bigram_logprob) and 6 canaries re-checking
-# earlier greens / the formerly-no-oracle q29 (now contract-verified).
+# Entries pulled to the FRONT of the merged registry. The external
+# driver checks the FIRST 50 merged entries against their oracles.
 #
-# ROUND-5 ROTATION TODO: 63 never-checked entries remain after this
-# window (recompute: keys absent from all CORRECTNESS_r*.json) — the
-# twenty-seven round-4 additions (dq_observed_metrics,
-# dq_freshness_report,
-# src_xml_roundtrip,
-# mm_audio_autocorr,
-# dd_ngram_jaccard_capped,
-# dd_bbit_minhash_lsh,
-# dd_soft_dedup_weights,
-# sim_ivfpq_topk, sim_ivfpq_recall,
-# tx_kneser_ney_logprob, ds_split_manifest,
-# dd_bloom_incremental, q89_approx_quantiles,
-# ds_global_row_ids, ds_shard_manifest, dq_skew_report, ds_source_cap,
-# ds_dsir_importance, dd_substring_span_pairs,
-# ds_contamination_report, tx_bpe_fertility, tx_logreg_train_steps,
-# sim_int8_quantize_report, st_incremental_dedup, q93_asof_nearest,
-# dq_column_profile, mm_audio_zcr; every one replica-verified at
-# sf0.001+sf0.01, most also at sf0.1) plus —
-# st_cms_topk, st_rest_incremental, mm_phash_neardups, mm_av_sync_check,
-# src_pyds_write_roundtrip, src_dpp_join, ds_decontaminate,
-# ds_epoch_shuffle, ds_pack_sequences, ds_token_budget_planner,
-# dd_cdc_chunks, dd_incremental_dedup, dd_pagerank_centrality,
-# dd_semantic_clusters, dd_triangle_count, sim_knn_graph, sim_pq_recall,
-# sim_radius_search, sim_norm_report, tx_js_divergence, tx_ndcg_eval,
-# tx_pii_redact, mw_tile_coords, q64, q77-q80, q83, q85-q92 — most are
-# judge-replica green (r3 VERDICT), so they were deprioritized behind
-# the local-only entries this round. Fill round 5 with those 36 plus
-# 14 canary re-checks of r1-r3 greens (q-family, st_*, mm_*, pipe_*).
+# WINDOW COMPOSITION RULE (standing, per r4 verdict item 8): every
+# window carries (a) entries whose code changed this round — a code
+# change voids prior evidence; (b) never-driver-checked entries,
+# weakest external evidence first; (c) canaries re-checking earlier
+# driver greens so that, counting (a)+(b)+(c), EVERY family (q/mw/dd/
+# sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window.
+#
+# Round-5 window: 6 canaries (q01/q05 relational, q22 — code changed
+# this round: packing guard —, mw_map_objects, dd_minhash_lsh,
+# st_dq_gate) + 44 never-checked entries: all 27 round-4 additions
+# (replica-certified at 2-3 scales but never driver-windowed; includes
+# st_incremental_dedup + mm_audio_autocorr + q93 whose oracles/plans
+# changed this round per ADVICE) + 17 of the remaining 36 (q90 —
+# code changed —, the graph ops dd_pagerank/dd_triangle — skew-salted
+# this round —, and family-completing picks: st_*, mm_*, src_*,
+# sim_*, tx_*, ds_*, mw_tile_coords, q91).
+#
+# ROUND-6 ROTATION TODO — the 19 still-never-checked entries (keys
+# absent from all CORRECTNESS_r0[1-5].json): dd_cdc_chunks,
+# dd_incremental_dedup, dd_semantic_clusters, sim_pq_recall,
+# sim_norm_report, tx_ndcg_eval, ds_pack_sequences,
+# ds_token_budget_planner, q64_small_qty_revenue,
+# q77_notin_null_semantics, q78_map_type_aggs, q79_try_functions,
+# q80_calendar_arith, q83_explode_outer_semantics,
+# q85_chi2_independence, q86_skyline, q87_mad_robust_stats,
+# q88_argmax_aggregate, q92_modern_sql. Fill the other 31 slots with
+# canaries per the composition rule (and anything r5 touches).
 _PRIORITY = [
-    # canaries: earlier driver greens re-checked (+ q29, r1 no_oracle,
-    # now emits exact counts + a within-bound contract column)
+    # canaries: earlier driver greens re-checked across families
     "q01_pricing_summary",
     "q05_region_revenue",
+    "q22_asof_last_order",  # code changed r5: packing guard
+    "mw_map_objects",
     "dd_minhash_lsh",
-    "mm_image_stats",
-    "dd_levenshtein_blocked",
-    "q29_approx_distinct",
-    # streaming DQ gate (changed: NULL-predicate quarantine + sink guard)
     "st_dq_gate",
-    # file sources
-    "src_ndjson_malformed",
-    "src_union_by_name",
-    "src_bucketed_join",
-    "src_partitioned_pruning",
-    # multimodal
-    "mm_audio_vad",
-    "mm_shot_detect",
-    "mm_image_entropy",
-    # data-quality expectations
-    "dq_expectations",
-    "dq_key_integrity",
-    # dataset-pipeline flagships and reports
-    "ds_llm_pipeline",
-    "ds_rag_index_stats",
-    "ds_dataset_card",
-    "ds_quality_ablation",
-    "ds_priority_sample",
-    "ds_dedup_aware_split",
-    "ds_length_histogram",
-    "ds_pack_efficiency",
-    "ds_anneal_schedule",
-    "ds_temperature_mixture",
-    # dedup family
-    "dd_dedup_apply",
-    "dd_containment",
-    "dd_chunk_dedup",
-    "dd_lsh_tuning_report",
-    "dd_shingle_df_profile",
-    "dd_source_overlap_matrix",
-    # similarity family
-    "sim_pq_topk",
-    "sim_l2_bruteforce_topk",
-    "sim_mips_topk",
-    "sim_lsh_recall",
-    "sim_bucket_balance",
-    "sim_embedding_covariance",
-    # text/LM family
-    "tx_hashed_linear_score",
-    "tx_unigram_logprob",
-    "tx_bigram_logprob",
-    "tx_zipf_fit",
-    "tx_entropy",
-    "tx_pmi_collocations",
-    "tx_heavy_hitters_cms",
-    "tx_udtf_analyze",
-    "tx_bpe_train_merges",
-    # relational extras
-    "q81_gap_fill_locf",
-    "q82_three_step_funnel",
-    "q84_interval_overlap_join",
+    # --- never-driver-checked: round-4 additions (27) ---
+    # data-quality reports
+    "dq_observed_metrics",
+    "dq_freshness_report",
+    "dq_skew_report",
+    "dq_column_profile",
+    # sources
+    "src_xml_roundtrip",
+    # multimodal audio
+    "mm_audio_autocorr",  # oracle changed r5: full-window bound
+    "mm_audio_zcr",
+    # dedup additions
+    "dd_ngram_jaccard_capped",
+    "dd_bbit_minhash_lsh",
+    "dd_soft_dedup_weights",
+    "dd_bloom_incremental",
+    "dd_substring_span_pairs",
+    # similarity additions
+    "sim_ivfpq_topk",
+    "sim_ivfpq_recall",
+    "sim_int8_quantize_report",
+    # text/LM additions
+    "tx_kneser_ney_logprob",
+    "tx_bpe_fertility",
+    "tx_logreg_train_steps",
+    # dataset-pipeline additions
+    "ds_split_manifest",
+    "ds_global_row_ids",
+    "ds_shard_manifest",
+    "ds_source_cap",
+    "ds_dsir_importance",
+    "ds_contamination_report",
+    # relational additions
+    "q89_approx_quantiles",
+    "q93_asof_nearest",  # code changed r5: packing guard
+    # streaming addition
+    "st_incremental_dedup",  # oracle changed r5: streamed-driven agg
+    # --- never-driver-checked: earlier-round entries (17) ---
+    "q90_asof_forward",  # code changed r5: packing guard
+    "dd_pagerank_centrality",  # code changed r5: skew salting
+    "dd_triangle_count",  # code changed r5: skew salting
+    "mw_tile_coords",
+    "st_cms_topk",
+    "st_rest_incremental",
+    "mm_phash_neardups",
+    "mm_av_sync_check",
+    "src_pyds_write_roundtrip",
+    "src_dpp_join",
+    "sim_knn_graph",
+    "sim_radius_search",
+    "tx_js_divergence",
+    "tx_pii_redact",
+    "ds_decontaminate",
+    "ds_epoch_shuffle",
+    "q91_sql_interface",
 ]
 
 

@@ -60,7 +60,7 @@ RESULT_SCHEMA = T.StructType(
     ]
 )
 
-_MIN_GCPS = {1: 3, 2: 6, 3: 10}
+_MIN_GCPS = {1: 3, 2: 6, 3: 10, "tps": 3}
 
 
 def _design(px: np.ndarray, py: np.ndarray, order: int) -> np.ndarray:
@@ -102,15 +102,14 @@ def order_from_transform_options(
       order 2 when >= 6 GCPs are available, else order 1. (GDAL never
       auto-selects order 3 — the "for now we avoid 3rd order" rule —
       and neither do we.)
-    - thin-plate spline (``'tps'``) is not implemented — it is not a
-      polynomial fit; callers get an explicit error instead of a
-      silently different surface.
+    - ``'tps'``/``'-tps'`` — thin-plate spline (GDAL ``-tps``,
+      gdal/alg/gdal_tps.cpp): exact interpolation through every GCP
+      with minimum bending energy; returned as the ``"tps"`` sentinel,
+      which ``fit_gcp_tps``/``_transform_one`` dispatch on. Needs
+      >= 3 non-collinear GCPs (the affine part of the spline).
     """
     if transform_options in ("tps", "-tps"):
-        raise NotImplementedError(
-            "thin-plate-spline transform_options is not supported; "
-            "use polynomial order 1-3"
-        )
+        return "tps"
     if transform_options in (None, 0, "0", ""):
         return 2 if (n_gcps or 0) >= _MIN_GCPS[2] else 1
     order = int(transform_options)
@@ -144,7 +143,77 @@ def fit_gcp_polynomial(
     return lon_coef, lat_coef
 
 
-def _transform_one(mask, gcps, order: int):
+def _tps_kernel(r2: np.ndarray) -> np.ndarray:
+    """TPS radial basis U(r) = r² · ln(r²) with U(0) = 0.
+
+    Equivalent (×2) to the classic r² ln r — the constant factor is
+    absorbed by the solved weights, so the interpolant is identical.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = r2 * np.log(r2)
+    return np.where(r2 > 0.0, k, 0.0)
+
+
+def fit_gcp_tps(
+    gcps: Iterable[Iterable[float]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Thin-plate-spline pixel→world fit from GCP rows ``[px,py,lat,lon]``.
+
+    Classic TPS interpolation (Bookstein 1989; GDAL's ``-tps``,
+    gdal/alg/thinplatespline.cpp): solve the dense (n+3)×(n+3) system
+
+        [ K  P ] [w]   [v]        K_ij = U(|p_i − p_j|),
+        [ Pᵀ 0 ] [a] = [0]        P_i  = [1, x_i, y_i]
+
+    once per target axis. Exact interpolation: the spline passes
+    through every GCP; with GCPs sampled from an exact affine map the
+    unique solution has w = 0 and reduces to that affine map.
+
+    Returns ``(pts, sol_lon, sol_lat)`` where each ``sol`` is the
+    concatenated ``[w (n), a0, ax, ay]``. Degenerate configurations
+    (coincident or collinear GCPs) make the system singular —
+    ``np.linalg.LinAlgError`` propagates and ``_transform_one`` turns
+    it into an error record, never a crash.
+
+    The fit is per-row work inside the Arrow-batched pandas UDF — the
+    dense solve is O(n³) in the row's OWN GCP count (tens, not data
+    volume), so the 100 TB story is unchanged: embarrassingly parallel
+    per map, no shuffle, no driver traffic.
+    """
+    g = np.asarray(list(gcps), dtype=np.float64)
+    need = _MIN_GCPS["tps"]
+    if g.ndim != 2 or g.shape[0] < need or g.shape[1] != 4:
+        raise ValueError(
+            f"need >= {need} GCPs of [px,py,lat,lon] for tps, "
+            f"got shape {getattr(g, 'shape', None)}"
+        )
+    pts = g[:, :2]
+    n = pts.shape[0]
+    diff = pts[:, None, :] - pts[None, :, :]
+    K = _tps_kernel(np.einsum("ijk,ijk->ij", diff, diff))
+    P = np.column_stack([np.ones(n), pts])
+    A = np.zeros((n + 3, n + 3))
+    A[:n, :n] = K
+    A[:n, n:] = P
+    A[n:, :n] = P.T
+    rhs = np.zeros((n + 3, 2))
+    rhs[:n, 0] = g[:, 3]  # lon
+    rhs[:n, 1] = g[:, 2]  # lat
+    sol = np.linalg.solve(A, rhs)
+    return pts, sol[:, 0], sol[:, 1]
+
+
+def apply_tps(
+    pts: np.ndarray, sol: np.ndarray, xy: np.ndarray
+) -> np.ndarray:
+    """Evaluate a fitted TPS axis at query points ``xy`` (m×2)."""
+    n = pts.shape[0]
+    diff = xy[:, None, :] - pts[None, :, :]
+    U = _tps_kernel(np.einsum("ijk,ijk->ij", diff, diff))
+    return U @ sol[:n] + sol[n] + xy[:, 0] * sol[n + 1] + xy[:, 1] * sol[n + 2]
+
+
+def _transform_one(mask, gcps, order):
     import json
 
     if isinstance(mask, str):
@@ -156,11 +225,16 @@ def _transform_one(mask, gcps, order: int):
     if gcps is None or len(gcps) == 0:
         return (False, None, "no GCPs")
     try:
-        lon_c, lat_c = fit_gcp_polynomial(gcps, order)
         ring = np.asarray([list(p) for p in mask], dtype=np.float64)
-        X = _design(ring[:, 0], ring[:, 1], order)
-        lon = X @ lon_c
-        lat = X @ lat_c
+        if order == "tps":
+            pts, sol_lon, sol_lat = fit_gcp_tps(gcps)
+            lon = apply_tps(pts, sol_lon, ring)
+            lat = apply_tps(pts, sol_lat, ring)
+        else:
+            lon_c, lat_c = fit_gcp_polynomial(gcps, order)
+            X = _design(ring[:, 0], ring[:, 1], order)
+            lon = X @ lon_c
+            lat = X @ lat_c
         if not (np.isfinite(lon).all() and np.isfinite(lat).all()):
             return (False, None, "non-finite transform result")
         coords = [[[float(x), float(y)] for x, y in zip(lon, lat)]]
@@ -406,6 +480,37 @@ _register(
             + (CAST(40.7 AS DOUBLE) + k * CAST(0.0005 AS DOUBLE)), 6) AS lat
     FROM pts
     """,
+)
+
+
+def mw_gcp_transform_tps(spark, sf_dir: str) -> DataFrame:
+    """The mw_gcp_transform surface under ``transform_options='tps'``
+    (reference mapwarper.js:86 passes transform_options through to
+    GDAL, whose ``-tps`` path is gdal/alg/gdal_tps.cpp). The fixture
+    GCPs lie EXACTLY on an affine map, and TPS interpolation of
+    affine data has the unique solution w=0 + that affine map — so
+    the polynomial oracle SQL is shared verbatim, while the engine
+    exercises the full dense-spline solve/apply path. round(·, 6)
+    absorbs the (n+3)×(n+3) solver noise exactly as for lstsq."""
+    maps = synthetic_masked_maps(spark, sf_dir)
+    enriched = enrich_masks(maps, order=order_from_transform_options("tps"))
+    ring0 = F.element_at(F.col("maskGeometry")["coordinates"], 1)
+    return (
+        enriched.filter(F.col("maskGeometry").isNotNull())
+        .select("id", F.posexplode(ring0).alias("idx", "pt"))
+        .select(
+            "id",
+            "idx",
+            F.round(F.element_at("pt", 1), 6).alias("lon"),
+            F.round(F.element_at("pt", 2), 6).alias("lat"),
+        )
+    )
+
+
+_register(
+    "mw_gcp_transform_tps",
+    mw_gcp_transform_tps,
+    ORACLE["mw_gcp_transform"],
 )
 
 

@@ -86,8 +86,8 @@ def test_transform_options_maps_to_gdal_orders():
     assert order_from_transform_options(None, n_gcps=4) == 1
     assert order_from_transform_options(0, n_gcps=6) == 2
     assert order_from_transform_options(0, n_gcps=100) == 2  # no auto-3
-    with pytest.raises(NotImplementedError, match="thin-plate"):
-        order_from_transform_options("tps")
+    assert order_from_transform_options("tps") == "tps"
+    assert order_from_transform_options("-tps") == "tps"
     with pytest.raises(ValueError, match="orders are 1-3"):
         order_from_transform_options(7)
 
@@ -117,6 +117,84 @@ def test_enrich_masks_order2_golden(spark):
     for (px, py), (lon, lat) in zip(ring, got):
         assert abs(lon - (1e-8 * px * px + 1e-4 * px - 74.0)) < 1e-9
         assert abs(lat - (1e-9 * py * py + 5e-5 * py + 40.7)) < 1e-9
+
+
+def test_tps_interpolates_gcps_exactly_and_bends_between():
+    """TPS contract (GDAL -tps / Bookstein 1989): the spline passes
+    through EVERY GCP exactly, and with a non-affine displacement the
+    surface genuinely differs from the order-1 least-squares fit."""
+    from etl_mapwarper_spark.operators.enrichment import (
+        apply_tps,
+        fit_gcp_polynomial,
+        fit_gcp_tps,
+    )
+
+    pts = [(0, 0), (200, 0), (0, 200), (200, 200), (100, 100)]
+    # Affine base + a bump at the center point only -> non-affine data.
+    gcps = [
+        [
+            float(px),
+            float(py),
+            5e-5 * py + 40.7 + (0.01 if (px, py) == (100, 100) else 0.0),
+            1e-4 * px - 74.0,
+        ]
+        for px, py in pts
+    ]
+    p, sol_lon, sol_lat = fit_gcp_tps(gcps)
+    xy = np.asarray([g[:2] for g in gcps])
+    lon = apply_tps(p, sol_lon, xy)
+    lat = apply_tps(p, sol_lat, xy)
+    for g, lo, la in zip(gcps, lon, lat):
+        assert abs(lo - g[3]) < 1e-9  # exact interpolation
+        assert abs(la - g[2]) < 1e-9
+    # The affine LSQ fit CANNOT pass through the bumped center point.
+    lon_c, lat_c = fit_gcp_polynomial(gcps, order=1)
+    lsq_lat = lat_c[0] * 100 + lat_c[1] * 100 + lat_c[2]
+    assert abs(lsq_lat - gcps[4][2]) > 1e-3
+    # Off-GCP evaluation: the bump decays smoothly, so a point between
+    # center and a corner sits strictly between base and bumped values.
+    mid = apply_tps(p, sol_lat, np.asarray([[50.0, 50.0]]))[0]
+    base = 5e-5 * 50 + 40.7
+    assert base < mid < gcps[4][2]
+
+
+def test_tps_affine_data_reduces_to_affine_map():
+    """GCPs sampled from an exact affine map: the unique TPS solution
+    has zero kernel weights and reproduces the map everywhere — the
+    property the mw_gcp_transform_tps oracle relies on."""
+    from etl_mapwarper_spark.operators.enrichment import (
+        apply_tps,
+        fit_gcp_tps,
+    )
+
+    gcps = _affine_gcps(
+        1e-4, 0, -74.0, 0, 5e-5, 40.7, [(0, 0), (200, 0), (0, 200), (200, 200)]
+    )
+    p, sol_lon, sol_lat = fit_gcp_tps(gcps)
+    assert np.allclose(sol_lon[:4], 0.0, atol=1e-12)
+    assert np.allclose(sol_lat[:4], 0.0, atol=1e-12)
+    xy = np.asarray([[13.0, 57.0], [150.0, 20.0], [99.0, 180.0]])
+    assert np.allclose(
+        apply_tps(p, sol_lon, xy), 1e-4 * xy[:, 0] - 74.0, atol=1e-9
+    )
+    assert np.allclose(
+        apply_tps(p, sol_lat, xy), 5e-5 * xy[:, 1] + 40.7, atol=1e-9
+    )
+
+
+def test_tps_degenerate_gcps_error_as_data(spark):
+    """Collinear / coincident GCPs make the TPS system singular; the
+    UDF path must land an error record, never raise on an executor."""
+    ring = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 0.0]]
+    collinear = [[float(x), 0.0, 40.7, -74.0 + x * 1e-4] for x in (0, 1, 2, 3)]
+    df = spark.createDataFrame(
+        [(1, "masked", ring, collinear), (2, "masked", ring, collinear[:2])],
+        "id int, mask_status string, mask array<array<double>>, "
+        "gcps array<array<double>>",
+    )
+    out = {r.id: r for r in enrich_masks(df, order="tps").collect()}
+    assert out[1].maskGeometry is None and "LinAlgError" in out[1].maskError
+    assert out[2].maskGeometry is None and "need >= 3 GCPs" in out[2].maskError
 
 
 def test_too_few_gcps_raises_value_error():
