@@ -267,14 +267,15 @@ def q47_supplier_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    ranked, n = exact_global_row_number(sup, "s_acctbal", "s_suppkey")
+    ranked = exact_global_row_number(sup, "s_acctbal", "s_suppkey")
     rn0 = F.col("_rn0")
+    n = F.col("_n")
     return ranked.select(
         "s_suppkey",
         "s_nationkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
-        F.round(rn0 / F.lit(max(n - 1, 1)), 6).alias("pct_rank"),
-        F.round((rn0 + 1) / F.lit(n), 6).alias("cume"),
+        F.round(rn0 / F.greatest(n - 1, F.lit(1)), 6).alias("pct_rank"),
+        F.round((rn0 + 1) / n, 6).alias("cume"),
     )
 
 

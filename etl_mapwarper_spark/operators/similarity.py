@@ -991,17 +991,20 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    m2 = emb.agg(
-        F.max(dot(F.col("v"), F.col("v"))).alias("m2")
-    ).collect()[0]["m2"]
-    aug = emb.select(
+    # M² rides the plan as a broadcast 1-row aggregate (narrow scan +
+    # partial max, no shuffle of vectors) instead of a construction-
+    # time collect — zero driver jobs while building the frame, same
+    # double arithmetic.
+    m2df = emb.agg(F.max(dot(F.col("v"), F.col("v"))).alias("_m2"))
+    aug = emb.crossJoin(F.broadcast(m2df)).select(
         "vec_id",
+        F.col("_m2"),
         F.concat(
             F.col("v"),
             F.array(
                 F.sqrt(
                     F.greatest(
-                        F.lit(float(m2)) - dot(F.col("v"), F.col("v")),
+                        F.col("_m2") - dot(F.col("v"), F.col("v")),
                         F.lit(0.0),
                     )
                 )
@@ -1027,7 +1030,7 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             cosine_similarity(F.col("qa"), F.col("xa"))
             * l2_norm(F.col("qa"))
-            * F.sqrt(F.lit(float(m2))),
+            * F.sqrt(F.col("_m2")),
             6,
         ),
     )

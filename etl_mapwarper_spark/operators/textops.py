@@ -1586,7 +1586,24 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(F.explode(bigrams).alias("b")).select(
         F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    n_bg = bg.count()
+    # Corpus totals ride the SAME plan as the scored output — no
+    # driver-side count()/collect() during construction (the bench's
+    # zero-construction-jobs rule). Both totals are identities of the
+    # per-doc token count (n_uni = Σ |tokens|, n_bg = Σ max(|tokens|−1,
+    # 0)), so ONE narrow scan — tokenize + size, no explode, no
+    # shuffle beyond the 1-row partial agg — produces a single-row
+    # frame that broadcast-crossjoins onto every scored row. (A 1-row
+    # re-aggregate of the grouped tables would be vocab-bounded too,
+    # but its exchange does not canonicalize with the scoring
+    # subtree's — lambda variables in the bigram transform defeat
+    # ReuseExchange — so it would re-explode the corpus; the identity
+    # form sidesteps that.)
+    totals = docs.agg(
+        F.sum(F.size(t)).cast("double").alias("_nuni"),
+        F.sum(F.greatest(F.size(t) - 1, F.lit(0)))
+        .cast("double")
+        .alias("_nbg"),
+    )
     bgc = (
         bg.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
@@ -1595,19 +1612,19 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select(F.explode(t).alias("term")).groupBy("term").agg(
         F.count(F.lit(1)).alias("cu")
     )
-    n_uni = uni.agg(F.sum("cu")).collect()[0][0]
     u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("c1"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("c2"))
     pmi = F.log(
-        (F.col("c12") / F.lit(float(n_bg)))
+        (F.col("c12") / F.col("_nbg"))
         / (
-            (F.col("c1") / F.lit(float(n_uni)))
-            * (F.col("c2") / F.lit(float(n_uni)))
+            (F.col("c1") / F.col("_nuni"))
+            * (F.col("c2") / F.col("_nuni"))
         )
     )
     scored = (
         bgc.join(u1, "w1")
         .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
         .select(
             "w1", "w2", "c12", F.round(pmi, 4).alias("pmi")
         )

@@ -917,3 +917,62 @@ def test_bench_queries_construct_without_jobs(spark):
         if after - before:
             offenders.append(name)
     assert not offenders, f"driver actions during construction: {offenders}"
+
+
+def test_registry_queries_construct_without_jobs(spark):
+    """Registry-wide extension of the bench rule (r4 verdict item 5:
+    tx_pmi_collocations ran two corpus-pass scalar actions during
+    construction and nothing flagged it because only BENCH_QUERIES
+    were sampled): EVERY registered batch query must construct its
+    frame without running a Spark job at steady state. Iterative
+    trainers (Lloyd/GD loops) and streaming entries legitimately run
+    bounded jobs while building artifacts or draining a stream —
+    those are listed with the reason, everything else is held to
+    zero."""
+    import bench as benchmod
+
+    # Bounded, documented construction work:
+    #   st_*            — foreachBatch/trigger-once streams execute on
+    #                     construction by design
+    #   src_*           — write-then-read roundtrips materialize files
+    #   *_train/_ivf*/_pq*/kmeans-backed sim_* — iterative training
+    #                     collects bounded K×dim artifacts per round
+    #                     (PLAN_AUDIT.md 'iterative ops' section)
+    #   tx_bpe_*/tx_logreg_* — same, fused training jobs
+    #   dd_pagerank/dd_triangle/dd_cc — fixed-round graph iteration
+    #   mw_*/pipe_*     — bounded fixture parquet cache (cold only,
+    #                     warmed below before measuring)
+    exempt_prefixes = (
+        "st_",
+        "src_",
+        "sim_ivf",
+        "sim_pq",
+        "sim_ivfpq",
+        "sim_kmeans",
+        "tx_bpe",
+        "tx_logreg",
+        "dd_pagerank",
+        "dd_triangle",
+        "dd_cc_",
+        "dd_connected",  # large-star/small-star rounds, scalar per round
+        "dd_semantic_clusters",  # kmeans training collects (bounded K×dim)
+        "ds_dedup_aware_split",  # connected-components rounds inside
+        "dq_observed_metrics",  # observe() metrics REQUIRE running the pass
+    )
+    queries = entrymod.queries()
+    benched = set(benchmod.BENCH_QUERIES)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    offenders = []
+    for name, fn in queries.items():
+        if name in benched or name.startswith(exempt_prefixes):
+            continue
+        fn(spark, SF_DIR)  # warm fixture caches (cold-only work)
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        fn(spark, SF_DIR)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        if after - before:
+            offenders.append((name, len(after - before)))
+    assert not offenders, (
+        f"driver actions during steady-state construction: {offenders}"
+    )
