@@ -77,26 +77,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver greens so that, counting (a)+(b)+(c), EVERY family (q/mw/dd/
 # sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window.
 #
-# Round-5 window: 6 canaries (q01/q05 relational, q22 — code changed
-# this round: packing guard —, mw_map_objects, dd_minhash_lsh,
-# st_dq_gate) + 44 never-checked entries: all 27 round-4 additions
-# (replica-certified at 2-3 scales but never driver-windowed; includes
-# st_incremental_dedup + mm_audio_autocorr + q93 whose oracles/plans
-# changed this round per ADVICE) + 17 of the remaining 36 (q90 —
-# code changed —, the graph ops dd_pagerank/dd_triangle — skew-salted
-# this round —, and family-completing picks: st_*, mm_*, src_*,
-# sim_*, tx_*, ds_*, mw_tile_coords, q91).
+# Round-5 window: 8 canaries (q01/q05 relational, mw_map_objects,
+# dd_minhash_lsh, st_dq_gate, pipe_map_objects, pipe_relations — the
+# pipe rows the rule requires — plus q22, code changed this round:
+# packing guard) + 2 re-checks whose CODE changed this round
+# (q35_price_percentiles — sorted-array percentiles; dd_ngram_jaccard
+# — PPJoin prefix filter) + 40 never-checked entries: all 27 round-4
+# additions (replica-certified at 2-3 scales but never
+# driver-windowed; includes st_incremental_dedup + mm_audio_autocorr
+# + q93 whose oracles/plans changed this round per ADVICE) + 13 of
+# the remaining 36 (q90 — code changed —, the graph ops
+# dd_pagerank/dd_triangle — skew-salted this round —, and
+# family-completing picks: st_*, mm_*, src_*, sim_*, tx_*, ds_*,
+# mw_tile_coords, q91).
 #
-# ROUND-6 ROTATION TODO — the 19 still-never-checked entries (keys
+# ROUND-6 ROTATION TODO — the 23 still-never-checked entries (keys
 # absent from all CORRECTNESS_r0[1-5].json): dd_cdc_chunks,
 # dd_incremental_dedup, dd_semantic_clusters, sim_pq_recall,
-# sim_norm_report, tx_ndcg_eval, ds_pack_sequences,
-# ds_token_budget_planner, q64_small_qty_revenue,
-# q77_notin_null_semantics, q78_map_type_aggs, q79_try_functions,
-# q80_calendar_arith, q83_explode_outer_semantics,
-# q85_chi2_independence, q86_skyline, q87_mad_robust_stats,
-# q88_argmax_aggregate, q92_modern_sql. Fill the other 31 slots with
-# canaries per the composition rule (and anything r5 touches).
+# sim_norm_report, sim_radius_search, tx_ndcg_eval, tx_js_divergence,
+# ds_pack_sequences, ds_token_budget_planner, ds_epoch_shuffle,
+# mm_av_sync_check, q64_small_qty_revenue, q77_notin_null_semantics,
+# q78_map_type_aggs, q79_try_functions, q80_calendar_arith,
+# q83_explode_outer_semantics, q85_chi2_independence, q86_skyline,
+# q87_mad_robust_stats, q88_argmax_aggregate, q92_modern_sql. Fill
+# the other 27 slots with canaries per the composition rule (and
+# anything r6 touches).
 _PRIORITY = [
     # canaries: earlier driver greens re-checked across families
     "q01_pricing_summary",
@@ -105,6 +110,11 @@ _PRIORITY = [
     "mw_map_objects",
     "dd_minhash_lsh",
     "st_dq_gate",
+    "pipe_map_objects",
+    "pipe_relations",
+    # code changed r5 — prior driver evidence voided
+    "q35_price_percentiles",  # sorted-array percentile rewrite
+    "dd_ngram_jaccard",  # PPJoin prefix-filtered exact path
     # --- never-driver-checked: round-4 additions (27) ---
     # data-quality reports
     "dq_observed_metrics",
@@ -150,15 +160,11 @@ _PRIORITY = [
     "st_cms_topk",
     "st_rest_incremental",
     "mm_phash_neardups",
-    "mm_av_sync_check",
     "src_pyds_write_roundtrip",
     "src_dpp_join",
     "sim_knn_graph",
-    "sim_radius_search",
-    "tx_js_divergence",
     "tx_pii_redact",
     "ds_decontaminate",
-    "ds_epoch_shuffle",
     "q91_sql_interface",
 ]
 

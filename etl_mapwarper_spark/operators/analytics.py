@@ -1471,79 +1471,89 @@ _Q89_ACC = 1000
 
 
 def q89_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")
         .alias("cents"),
     )
-    # Exact side via the q35 windowed-interpolation pattern: ONE
-    # rank-sort per group + conditional aggregates. Nine separate
-    # ``percentile`` calls each buffer a value→count ObjectHashAggregate
-    # map per group (no codegen) — measured 7.1 s at sf0.1 vs ~0.5 s
-    # for this form. The sketch under test stays ``approx_percentile``
-    # (a mergeable single-pass summary, the actual scale path); the
-    # exact columns exist only to ground the in-query contract.
-    w = Window.partitionBy("l_returnflag").orderBy("cents")
-    wp = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "cents",
-        (F.row_number().over(w) - 1).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+    # ONE aggregate carries BOTH sides: the sketch under test
+    # (``approx_percentile`` — mergeable single-pass summary, the
+    # actual 100-TB path) and the exact grounding via
+    # ``array_sort(collect_list)`` + element_at rank interpolation
+    # (the q35 shape; r1-r4 used a row_number window whose WindowExec
+    # overhead was ~0.2 s of the query at sf0.1, and a split
+    # two-branch join was measured slower still — the broadcast build
+    # serializes the branches). Exact values materialize per group on
+    # one reducer, the same bound the windowed sort had; the sketch
+    # alone is what survives when groups outgrow an executor.
+    g = li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_list("cents")).alias("_vals"),
+        F.count(F.lit(1)).alias("_n"),
+        F.expr(
+            f"approx_percentile(cents, array(0.25, 0.5, 0.75), {_Q89_ACC})"
+        ).alias("ap"),
     )
 
     def interp(q):
-        pos = F.lit(q) * (F.col("n") - 1)
-        lo, hi = F.floor(pos), F.ceil(pos)
-        v_lo = F.max(F.when(F.col("rn") == lo, F.col("cents")))
-        v_hi = F.max(F.when(F.col("rn") == hi, F.col("cents")))
-        return v_lo + (v_hi - v_lo) * F.max(pos - lo)
+        pos = F.lit(q) * (F.col("_n") - 1)
+        lo = F.floor(pos).cast("int")
+        hi = F.ceil(pos).cast("int")
+        v_lo = F.element_at("_vals", lo + 1)
+        v_hi = F.element_at("_vals", hi + 1)
+        return v_lo + (v_hi - v_lo) * (pos - F.floor(pos))
 
-    ps = [0.25, 0.50, 0.75]
-    aggs = [
-        F.expr(
-            f"approx_percentile(cents, array(0.25, 0.5, 0.75), {_Q89_ACC})"
-        ).alias("ap")
-    ]
-    for i, p in enumerate(ps):
-        aggs.append(interp(p).alias(f"x{i}"))
-        aggs.append(interp(max(p - _Q89_EPS, 0.0)).alias(f"lo{i}"))
-        aggs.append(interp(min(p + _Q89_EPS, 1.0)).alias(f"hi{i}"))
-    # One aggregation over the ranked frame: a split exact/sketch
-    # two-branch join was measured SLOWER (extra exchange + AQE stage
-    # latency beat the sketch's sort-free savings at this SF).
-    g = ranked.groupBy("l_returnflag").agg(*aggs)
     out_cols = [F.col("l_returnflag")]
-    for i, name in enumerate(("p25", "p50", "p75")):
-        out_cols.append(F.col(f"x{i}").alias(f"exact_{name}_cents"))
+    for i, (p, name) in enumerate(
+        zip((0.25, 0.50, 0.75), ("p25", "p50", "p75"))
+    ):
+        out_cols.append(interp(p).alias(f"exact_{name}_cents"))
         out_cols.append(
             (
-                (F.element_at("ap", i + 1) >= F.col(f"lo{i}"))
-                & (F.element_at("ap", i + 1) <= F.col(f"hi{i}"))
+                (F.element_at("ap", i + 1) >= interp(max(p - _Q89_EPS, 0.0)))
+                & (F.element_at("ap", i + 1) <= interp(min(p + _Q89_EPS, 1.0)))
             ).alias(f"ok_{name}")
         )
     return g.select(*out_cols)
 
 
+# Oracle: DuckDB verifies the SAME rank-error contract with ITS OWN
+# mergeable sketch (approx_quantile, a t-digest) — the faithful
+# translation of "sketch quantile must land inside the exact p±eps
+# band". Each engine's ok_* concerns its own sketch (the sketches'
+# raw values are engine-specific and never compared); both satisfy
+# the 5×-margin band, so the booleans agree. (r1-r4 shortcut the
+# oracle side to literal TRUE; computing the contract for real keeps
+# the timed work comparable too.)
 _register(
     "q89_approx_quantiles",
     q89_approx_quantiles,
-    """
+    f"""
     WITH c AS (
       SELECT l_returnflag,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
       FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag,
+             quantile_cont(cents, 0.25) AS x25,
+             quantile_cont(cents, 0.50) AS x50,
+             quantile_cont(cents, 0.75) AS x75,
+             quantile_cont(cents, {0.25 - _Q89_EPS}) AS lo25,
+             quantile_cont(cents, {0.25 + _Q89_EPS}) AS hi25,
+             quantile_cont(cents, {0.50 - _Q89_EPS}) AS lo50,
+             quantile_cont(cents, {0.50 + _Q89_EPS}) AS hi50,
+             quantile_cont(cents, {0.75 - _Q89_EPS}) AS lo75,
+             quantile_cont(cents, {0.75 + _Q89_EPS}) AS hi75,
+             approx_quantile(cents, 0.25) AS a25,
+             approx_quantile(cents, 0.50) AS a50,
+             approx_quantile(cents, 0.75) AS a75
+      FROM c GROUP BY 1
     )
     SELECT l_returnflag,
-           quantile_cont(cents, 0.25) AS exact_p25_cents,
-           true AS ok_p25,
-           quantile_cont(cents, 0.50) AS exact_p50_cents,
-           true AS ok_p50,
-           quantile_cont(cents, 0.75) AS exact_p75_cents,
-           true AS ok_p75
-    FROM c GROUP BY 1
+           x25 AS exact_p25_cents, a25 BETWEEN lo25 AND hi25 AS ok_p25,
+           x50 AS exact_p50_cents, a50 BETWEEN lo50 AND hi50 AS ok_p50,
+           x75 AS exact_p75_cents, a75 BETWEEN lo75 AND hi75 AS ok_p75
+    FROM g
     """,
 )

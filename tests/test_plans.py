@@ -83,20 +83,24 @@ def test_q05_broadcasts_all_dims(spark):
     assert n_shuffle_join <= 1
 
 
-def test_dd_ngram_jaccard_hashed_index_join(spark):
+def test_dd_ngram_jaccard_prefix_filtered_join(spark):
     plan = plan_of(spark, "dd_ngram_jaccard")
-    # the inverted-index self-join must shuffle 8-byte xxhash64 keys,
-    # never raw shingle strings
+    # shuffle keys must be 8-byte xxhash64 values, never raw shingles
     assert "xxhash64" in plan.lower(), "shingles must be hashed pre-shuffle"
-    # exactly ONE join (the index self-join); Catalyst picks broadcast
-    # at tiny SF and sort-merge/shuffled-hash at scale — both fine
+    # PPJoin shape: the candidate self-join runs over SLICED prefixes
+    # (n − ⌈t·n⌉ + 1 hashes per doc, not the full shingle set) and the
+    # verify step intersects the full sorted arrays JVM-side — exactly
+    # three joins: prefix×prefix, then two doc_id-keyed array lookups.
+    assert "slice(" in plan.lower(), "candidate join must explode prefixes only"
+    assert "array_intersect" in plan.lower(), "verify must be JVM array_intersect"
     n_join = len(
         re.findall(
             r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
             plan,
         )
     )
-    assert n_join == 1, f"expected exactly the index self-join, saw {n_join}"
+    assert n_join == 3, f"prefix join + 2 verify joins expected, saw {n_join}"
+    assert not re.search(r"\bBatchEvalPython\b", plan)
 
 
 def test_dd_simhash_single_shuffle(spark):
@@ -246,8 +250,9 @@ def test_plan_audit_utility(spark):
     assert not a5.has_row_python
 
     aj = audit(ALL_QUERIES["dd_ngram_jaccard"](spark, SF_DIR))
-    assert aj.n_shuffle_joins + aj.n_broadcast_joins == 1
-    assert aj.n_exchanges <= 4
+    # PPJoin shape: prefix candidate self-join + 2 doc_id verify joins
+    assert aj.n_shuffle_joins + aj.n_broadcast_joins == 3
+    assert aj.n_exchanges <= 8
 
     az = audit(ALL_QUERIES["pd_zscore"](spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in az.arrow_python_nodes
@@ -673,6 +678,38 @@ def test_cdc_chunks_is_shuffle_free_scan(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", body)) <= 1
     assert "Join" not in body
     assert "Sort" not in body
+
+
+def test_pagerank_salted_join(spark):
+    """Each PageRank round's rank join must be salted: edge rows carry
+    a deterministic 8-way salt (so a template-hub src's edges spread
+    over 8 reducers instead of one), the node-sized ranks side is
+    replicated via a broadcast cross join of the 8-row salt range, and
+    the per-round equi-join keys on (src, _salt). At 100 TB a single
+    boilerplate dup-cluster otherwise lands deg(hub) rows on ONE task
+    in EVERY round."""
+    plan = plan_of(spark, "dd_pagerank_centrality")
+    body = plan.split("===== Subqueries =====")[0]
+    assert "_salt" in body, "edge join must key on (src, _salt)"
+    # the replication side: 8-row salt range, broadcast cross join —
+    # one per round, never a shuffle
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in body
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", body))
+    assert n_bnlj == 3, f"expected one salt replication per round, saw {n_bnlj}"
+
+
+def test_triangle_count_degree_oriented(spark):
+    """Triangle wedges must be generated under degree orientation
+    (node-iterator++): every edge oriented low-(deg,id) → high, so
+    per-key wedge fan-out is bounded by arboricity (O(√m)) instead of
+    hub degree. The tell: the plan carries the degree columns into the
+    orientation filter before the wedge self-join."""
+    plan = plan_of(spark, "dd_triangle_count")
+    body = plan.split("===== Subqueries =====")[0]
+    assert re.search(r"\bdu\b", body) and re.search(r"\bdv\b", body), (
+        "orientation must compare endpoint degrees (du/dv)"
+    )
+    assert not re.search(r"\bBatchEvalPython\b", plan)
 
 
 def test_pagerank_never_broadcasts_corpus(spark):

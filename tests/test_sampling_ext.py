@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -94,3 +96,52 @@ def test_pack_sequences_accounting(spark):
         # shard's total token count
         assert max(r.seq for r in rows) <= total // _PACK_BUDGET
         assert min(r.seq for r in rows) == 0
+
+
+def test_pagerank_salted_matches_reference_on_hub_graph(spark):
+    """The salted (src, _salt) join must be a pure physical rewrite:
+    on a hub-skewed graph (one node of degree 200, exactly the
+    template-dup-cluster shape salting exists for) the ranks must
+    equal a plain-Python power iteration with the engine's own
+    rounding schedule."""
+    from etl_mapwarper_spark.operators.dedup import (
+        _PR_DAMP,
+        _PR_ROUNDS,
+        pagerank_on_edges,
+    )
+
+    n_leaf = 200
+    # star: hub 0 — leaves 1..200, plus a leaf ring so leaves have
+    # degree 3 (graph stays symmetric, no dangling nodes)
+    und = [(0, i) for i in range(1, n_leaf + 1)] + [
+        (i, i % n_leaf + 1) for i in range(1, n_leaf + 1)
+    ]
+    sym = sorted(set(und) | {(b, a) for a, b in und})
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.doc_id: r.pr
+        for r in pagerank_on_edges(spark, edges).collect()
+    }
+
+    n_nodes = n_leaf + 1
+    deg = {0: n_leaf}
+    for i in range(1, n_leaf + 1):
+        deg[i] = 3
+    ranks = {v: 1.0 / n_nodes for v in range(n_nodes)}
+    adj_in = {v: [] for v in range(n_nodes)}
+    for s, d in sym:
+        adj_in[d].append(s)
+    for _ in range(_PR_ROUNDS):
+        ranks = {
+            v: round(
+                (1.0 - _PR_DAMP) / n_nodes
+                + _PR_DAMP * sum(ranks[s] / deg[s] for s in adj_in[v]),
+                10,
+            )
+            for v in range(n_nodes)
+        }
+    assert set(got) == set(range(n_nodes))
+    for v in range(n_nodes):
+        assert got[v] == pytest.approx(round(ranks[v], 6), abs=2e-6), v
+    # the hub must out-rank every leaf (sanity that skew path executed)
+    assert got[0] > max(got[v] for v in range(1, n_nodes))
