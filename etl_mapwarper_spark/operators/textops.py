@@ -1762,24 +1762,16 @@ _register(
 # frequency, (b) takes the arg-max pair (count desc, pair asc — the
 # deterministic tie-break), (c) rewrites every word's symbol array by
 # a left-to-right greedy fold (the exact merge semantics of reference
-# BPE implementations). Only the per-round winner row is collected —
-# O(1) driver traffic per round, like sim_kmeans_2iter's centroids.
-# Symbols are joined on U+001F inside the fold; corpus text is assumed
-# not to contain that control character (true of any sane corpus).
+# BPE implementations). The merge loop itself runs vocab-locally in
+# one Arrow-batched group (see the function docstring for why the
+# per-round JVM plan lost); the JVM helpers below remain the
+# distributed APPLY path used by tx_bpe_fertility. Symbols are joined
+# on U+001F in the JVM fold; corpus text is assumed not to contain
+# that control character (true of any sane corpus).
 # ---------------------------------------------------------------------------
 
 _BPE_ROUNDS = 3
 _BPE_US = "\x1f"
-# Up to this many rounds the training runs as ONE fused Spark job:
-# each round's winner is a 1-row broadcast side and the merge fold
-# references it as a column, so no per-round collect/checkpoint ever
-# happens. The fused DAG re-evaluates earlier rounds' folds (common
-# subplans are not shared across branches — ~2^R copies of the
-# vocab-sized fold work), which is cheap for small R on a cached,
-# vocab-bounded table but wrong for real 30k-merge training — past
-# the bound the loop falls back to per-round checkpointed rounds
-# (O(R) work, O(R) jobs), the large-R scale shape.
-_BPE_FUSE_MAX_ROUNDS = 4
 
 
 def _bpe_pair_counts(cur: DataFrame) -> DataFrame:
@@ -1866,6 +1858,25 @@ def _bpe_apply_merge_bc(cur: DataFrame, winner: DataFrame) -> DataFrame:
 
 
 def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule learning: R rounds of (pair-count argmax →
+    greedy non-overlapping rewrite) over the word-frequency table.
+
+    Scale shape: the ONLY corpus-proportional stage is the word-count
+    aggregate (explode → partial-agg shuffle). Merge learning then
+    runs on the VOCABULARY — Zipf-bounded (heaps' law ~ corpus^0.5-0.7;
+    single-digit-millions of rows even at 100 TB, tens of MB) — as ONE
+    Arrow-batched ``applyInPandas`` group. BPE's serial argmax→rewrite
+    dependency is why this beats a per-round JVM plan: each round
+    needs its predecessor's winner, so r4's fused single-job plan
+    still paid ~9 DEPENDENT stage waves of pure scheduling floor
+    (0.45 s at sf0.1 on kilobytes of vocab, 6.9× the oracle); the
+    vocab-local trainer is one stage after the count, and rounds cost
+    Python-loop time on bounded data (R-independent plan, so the old
+    large-R checkpoint path is gone too). The JVM fold
+    (``_bpe_apply_merge``) pins identical merge semantics
+    (tests/test_text_properties.py::test_bpe_merge_fold_semantics)
+    and remains the distributed APPLY path (tx_bpe_fertility).
+    """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -1873,57 +1884,63 @@ def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    if _BPE_ROUNDS <= _BPE_FUSE_MAX_ROUNDS:
-        # Fused path: the corpus is scanned once into the cached
-        # word-frequency table; every round's pair-count, winner and
-        # rewrite are branches of ONE declarative plan, so the whole
-        # training is a single Spark job (r3 bench showed the
-        # per-round job floor dominating: 3 rounds x (TakeOrdered
-        # collect + eager checkpoint) ~ 2.5 s on kilobytes of vocab).
-        vocab = vocab.cache()
-        cur = vocab.select(
-            "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
-        )
-        winners = []
-        for r in range(_BPE_ROUNDS):
-            w = _bpe_winner(_bpe_pair_counts(cur), r + 1)
-            winners.append(w)
-            if r + 1 < _BPE_ROUNDS:
-                cur = _bpe_apply_merge_bc(cur, w)
-        out = winners[0]
-        for w in winners[1:]:
-            out = out.unionByName(w)
-        return out.select(
-            "merge_round",
-            "p1",
-            "p2",
-            F.concat("p1", "p2").alias("merged"),
-            "pair_count",
-        )
-    # Large-R path: per-round materialization — collect the (bounded)
-    # winner, checkpoint the rewritten vocab so round R never re-runs
-    # the R-1 prior folds (O(R^2) otherwise).
-    from ..operators.dedup import _cc_checkpoint
+    rounds, us = _BPE_ROUNDS, _BPE_US
 
-    cur = vocab.select(
-        "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
-    )
-    rows = []
-    for r in range(_BPE_ROUNDS):
-        top_rows = (
-            _bpe_pair_counts(cur)
-            .orderBy(F.desc("total"), F.asc("p"))
-            .limit(1)
-            .collect()
+    def train(pdf):
+        import pandas as pd
+
+        words = [(list(w), int(c)) for w, c in zip(pdf["w"], pdf["cnt"])]
+        out = []
+        for r in range(rounds):
+            counts: dict = {}
+            for syms, c in words:
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    counts[k] = counts.get(k, 0) + c
+            if not counts:
+                break  # no adjacent pairs left
+            # winner: count desc, then "p1<US>p2" asc — the same
+            # (desc total, asc p) order the JVM winner used; UTF-8
+            # byte order equals code-point order, so Python string
+            # comparison matches Spark/DuckDB binary collation.
+            (p1, p2), total = min(
+                counts.items(),
+                key=lambda kv: (-kv[1], kv[0][0] + us + kv[0][1]),
+            )
+            out.append((r + 1, p1, p2, p1 + p2, total))
+            merged = p1 + p2
+            rewritten = []
+            for syms, c in words:
+                ns, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == p1
+                        and syms[i + 1] == p2
+                    ):
+                        ns.append(merged)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                rewritten.append((ns, c))
+            words = rewritten
+        return pd.DataFrame(
+            out,
+            columns=["merge_round", "p1", "p2", "merged", "pair_count"],
         )
-        if not top_rows:  # empty corpus / no adjacent pairs left
-            break
-        top = top_rows[0]
-        p1, p2 = top["p"].split(_BPE_US)
-        rows.append((r + 1, p1, p2, p1 + p2, top["total"]))
-        cur = _cc_checkpoint(_bpe_apply_merge(cur, p1, p2))
-    return spark.createDataFrame(
-        rows, "merge_round int, p1 string, p2 string, merged string, pair_count long"
+
+    # Empty corpus → zero groups → the trainer never runs and the
+    # frame is empty with the stable schema (pinned by
+    # tests/test_text_properties.py::test_bpe_train_merges_empty_corpus).
+    return (
+        vocab.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            train,
+            "merge_round int, p1 string, p2 string, merged string,"
+            " pair_count long",
+        )
     )
 
 
