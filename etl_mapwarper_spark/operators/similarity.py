@@ -1541,103 +1541,120 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     # 1. Coarse quantizer: per-label centroids, rounded at the
-    # artifact boundary (one hash-agg job; the K×dim index artifact).
-    cents_rows = sorted(
+    # artifact boundary. DECLARATIVE (r5, verdict item 6): the K×dim
+    # centroid table stays a DataFrame — a 1-row broadcast carries the
+    # whole centroid array into a narrow per-row argmax, so the
+    # coarse-training collect (a full-corpus hash-agg job during
+    # construction) is gone; assignment, residuals and probe routing
+    # all reference the same agg subtree through broadcasts. Build
+    # jobs drop 4 → 3 (Forgy init, Lloyd, probe routing).
+    cells_df = (
         load_table(spark, sf_dir, "embeddings")
         .select("label", to_double_array(F.col("embedding")).alias("v"))
         .groupBy("label")
         .agg(
-            *[
-                F.round(F.avg(F.col("v")[i]), 6).alias(f"c{i}")
-                for i in range(_EMB_DIM)
-            ]
+            F.array(
+                *[
+                    F.round(F.avg(F.col("v")[i]), 6)
+                    for i in range(_EMB_DIM)
+                ]
+            ).alias("cv")
         )
-        .collect(),
-        key=lambda r: r["label"],
+        .select(F.col("label").alias("cell"), "cv")
     )
-    cells = [
-        (int(r["label"]), [float(r[f"c{i}"]) for i in range(_EMB_DIM)])
-        for r in cents_rows
-    ]
-    cells_df = spark.createDataFrame(
-        [(c, cv) for c, cv in cells], "cell long, cv array<double>"
+    cents_one = cells_df.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cell").alias("label"), "cv"))
+        ).alias("cents")
     )
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("label"),
-                F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            )
-            for c, cv in cells
-        ]
+    # 2. Cell assignment + residual: one narrow pass — the argmax
+    # struct orders by (cosine desc, label asc) exactly as before and
+    # carries the winning centroid so the residual needs no join.
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias(
+                    "acos"
+                ),
+                (-c["label"]).alias("nl"),
+                c["label"].alias("label"),
+                c["cv"].alias("cv"),
+            ),
+        )
     )
-    scored_cells = F.transform(
-        cents_lit,
-        lambda c: F.struct(
-            F.round(cosine_similarity(F.col("v"), c["cv"]), 6).alias("acos"),
-            (-c["label"]).alias("nl"),
-            c["label"].alias("label"),
-        ),
-    )
-    # 2. Cell assignment (narrow) + residual via broadcast join — the
-    # residual column replaces v for everything PQ-related below.
     assigned = (
-        emb.withColumn("cell", F.array_max(scored_cells)["label"])
-        .join(broadcast(cells_df), "cell")
+        emb.join(broadcast(cents_one))
+        .withColumn("b", best)
         .select(
             "vec_id",
-            "cell",
-            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+            F.col("b.label").alias("cell"),
+            F.zip_with("v", F.col("b.cv"), lambda a, b: a - b).alias("r"),
         )
     )
     # The assignment+residual pass feeds FOUR actions (init collect,
     # Lloyd collect, probe routing, final encode) — persist it once,
     # as materializing the inverted lists is exactly what an index
     # build does; without this each action re-runs the full-corpus
-    # centroid-literal cosine transform (measured 7.7 s -> ~4 s at
-    # sf0.1).
+    # centroid cosine transform (measured 7.7 s -> ~4 s at sf0.1).
     rv = assigned.select(
         "vec_id", "cell", F.col("r").alias("v")
     ).persist()
 
     # 3. PQ codebooks on residuals: Forgy init (first K vec_ids'
-    # residuals, rounded) + one distributed Lloyd pass.
-    init_rows = sorted(
+    # residuals, rounded) + one distributed Lloyd pass. The init
+    # codebook is DECLARATIVE (r5, verdict item 6) — a 1-row
+    # broadcast of the K init residual vectors joined into the Lloyd
+    # aggregate — so init+Lloyd is ONE job instead of two; only the
+    # M×K×D Lloyd means (the bounded index artifact) are collected.
+    # Winner selection is the same (−round(d2,6), −k) struct-max as
+    # _pq_code_expr, with k carried directly instead of a positional
+    # index into the collected init list.
+    init_one = (
         rv.filter(F.col("vec_id") < _PQ_K)
         .select(
-            "vec_id",
-            F.transform(F.col("v"), lambda x: F.round(x, 6)).alias("v"),
+            F.col("vec_id").alias("k"),
+            F.transform(F.col("v"), lambda x: F.round(x, 6)).alias("iv"),
         )
-        .collect(),
-        key=lambda row: row["vec_id"],
+        .agg(F.sort_array(F.collect_list(F.struct("k", "iv"))).alias("ic"))
     )
-    init_cb = {
-        m: [
-            (
-                int(row["vec_id"]),
-                [row["v"][m * _PQ_D + j] for j in range(_PQ_D)],
-            )
-            for row in init_rows
-        ]
-        for m in range(_PQ_M)
-    }
-    mc = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                _pq_code_expr(init_cb[m], m * _PQ_D).alias("pos"),
-            )
-            for m in range(_PQ_M)
-        ]
+    ms = F.array(*[F.lit(m) for m in range(_PQ_M)])
+    subspaced = (
+        rv.join(broadcast(init_one))
+        .select("v", "ic", F.explode(ms).alias("m"))
+        .select(
+            "m",
+            F.slice(F.col("v"), F.col("m") * _PQ_D + 1, _PQ_D).alias("sv"),
+            "ic",
+        )
+        .select(
+            "m",
+            "sv",
+            F.array_max(
+                F.transform(
+                    F.col("ic"),
+                    lambda c: F.struct(
+                        (
+                            -F.round(
+                                _pq_d2(
+                                    F.col("sv"),
+                                    F.slice(
+                                        c["iv"],
+                                        F.col("m") * _PQ_D + 1,
+                                        _PQ_D,
+                                    ),
+                                ),
+                                6,
+                            )
+                        ).alias("nd"),
+                        (-c["k"]).alias("nk"),
+                    ),
+                )
+            )["nk"].alias("nk"),
+        )
     )
     lloyd_rows = (
-        rv.select("vec_id", "v", F.explode(mc).alias("a"))
-        .select(
-            F.col("a.m").alias("m"),
-            F.col("a.pos").alias("pos"),
-            F.slice(F.col("v"), F.col("a.m") * _PQ_D + 1, _PQ_D).alias("sv"),
-        )
-        .groupBy("m", "pos")
+        subspaced.groupBy("m", "nk")
         .agg(
             *[
                 F.round(F.avg(F.col("sv")[j]), 6).alias(f"d{j}")
@@ -1648,8 +1665,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final_cb = {m: [] for m in range(_PQ_M)}
     for row in lloyd_rows:
-        k = init_cb[row["m"]][row["pos"]][0]
-        final_cb[row["m"]].append((k, [row[f"d{j}"] for j in range(_PQ_D)]))
+        final_cb[int(row["m"])].append(
+            (-int(row["nk"]), [row[f"d{j}"] for j in range(_PQ_D)])
+        )
     for m in final_cb:
         final_cb[m].sort(key=lambda kc: kc[0])
 
