@@ -415,12 +415,40 @@ _register(
 def st_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithState twin of st_user_totals — NOT registered as a
     driver entry: the TWS Python worker needs google.protobuf, absent
-    in this container (see ops.stateful_user_totals_tws docstring).
-    Kept callable so the gate is testable; registering it would put a
-    guaranteed-crash row in a driver window."""
-    raise NotImplementedError(
-        "use st_user_totals; transformWithState needs google.protobuf"
+    in this container (see ops.stateful_user_totals_tws docstring);
+    registering it would put a guaranteed-crash row in a driver window.
+
+    On a protobuf-present host this runs the REAL
+    transformWithStateInPandas pipeline through the same
+    foreachBatch landing zone + settled readback as st_user_totals,
+    and tests/test_streaming.py::test_transform_with_state_gate
+    becomes a DIFFERENTIAL test asserting its rows equal the
+    applyInPandasWithState twin's (the executable parity artifact for
+    the one env-gated surface). Here it fails fast with the gate's
+    NotImplementedError."""
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir)
+    tws = ops.stateful_user_totals_tws(ev)  # raises without protobuf
+    land = tempfile.mkdtemp(prefix="st_user_totals_tws_") + "/updates"
+
+    def write_updates(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(land)
+
+    run_foreach_batch(tws, write_updates, output_mode="update")
+    settled = (
+        spark.read.parquet(land)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value"),
+                F.struct("batch_id", "n_events"),
+            ).alias("s")
+        )
     )
+    return settled.select("user_id", "s.n_events", "s.total_value")
 
 
 # ---------------------------------------------------------------------------

@@ -236,27 +236,35 @@ def test_transform_with_state_gate(spark):
     """transformWithState is implemented but environment-gated: without
     google.protobuf the TWS state server cannot start, so the operator
     must fail fast with the documented NotImplementedError instead of
-    crashing mid-stream. If the dependency appears, this test flips to
-    exercising the real replay."""
+    crashing mid-stream. On a protobuf-present host this becomes a
+    DIFFERENTIAL parity test: the transformWithStateInPandas twin must
+    settle to exactly the applyInPandasWithState rows (the executable
+    equivalence artifact for the one env-gated surface)."""
     import pytest
 
     from etl_mapwarper_spark.streaming import ops
-    from etl_mapwarper_spark.streaming.queries import read_events_stream
+    from etl_mapwarper_spark.streaming.queries import (
+        read_events_stream,
+        st_user_totals,
+        st_user_totals_tws,
+    )
 
-    ev = read_events_stream(spark, SF_DIR)
     try:
         from google.protobuf import descriptor  # noqa: F401
         has_protobuf = True
     except ImportError:
         has_protobuf = False
     if not has_protobuf:
+        ev = read_events_stream(spark, SF_DIR)
         with pytest.raises(NotImplementedError, match="protobuf"):
             ops.stateful_user_totals_tws(ev)
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            st_user_totals_tws(spark, SF_DIR)
     else:
-        df = ops.stateful_user_totals_tws(ev)
-        assert set(df.schema.fieldNames()) == {
-            "user_id", "n_events", "total_value"
-        }
+        a = st_user_totals(spark, SF_DIR)
+        b = st_user_totals_tws(spark, SF_DIR)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
 
 
 def test_rest_incremental_lands_each_page_exactly_once(spark):
