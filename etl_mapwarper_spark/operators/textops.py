@@ -1216,11 +1216,17 @@ def _bigram_instances(docs, with_w2: bool = False):
 
 def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    # Instance stream: ONE bigram explode feeds both the per-doc score
-    # join and (via map-side-combined aggregation) the type-count
-    # table — all keys are 8-byte xxhash64, so the corpus-sized rows
-    # are 24 bytes and no string ever shuffles.
-    inst = _bigram_instances(docs)
+    # Instance stream reduced IMMEDIATELY to per-(doc, bigram-type)
+    # counts (r5: the instance frame used to feed the type-count agg
+    # AND the score join as two separate corpus explodes — one full
+    # tokenize+explode pass wasted). The (doc_id, bh) aggregate is
+    # map-side combined, so repetitive documents collapse before the
+    # shuffle; the corpus-type table, the score join and the per-doc
+    # score all derive from this ONE explode. All keys are 8-byte
+    # xxhash64 — no string ever shuffles.
+    dt = _bigram_instances(docs).groupBy("doc_id", "bh").agg(
+        F.count(F.lit(1)).alias("c"), F.min("w1h").alias("w1h")
+    )
     uni = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     c1 = uni.groupBy(F.xxhash64("term").alias("th")).agg(
         F.count(F.lit(1)).alias("c1")
@@ -1229,9 +1235,9 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lp is a function of the bigram TYPE alone: resolve it once per
     # type on the vocab²-bounded count table (w1h is functionally
     # determined by bh, so min() just carries it through the groupBy),
-    # then score instances with a single hash-keyed equi-join.
-    c12 = inst.groupBy("bh").agg(
-        F.count(F.lit(1)).alias("c12"), F.min("w1h").alias("w1h")
+    # then score doc-type rows with a single hash-keyed equi-join.
+    c12 = dt.groupBy("bh").agg(
+        F.sum("c").alias("c12"), F.min("w1h").alias("w1h")
     )
     lptab = (
         c12.join(c1, c12.w1h == c1.th)
@@ -1248,12 +1254,19 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if _input_bytes(f"{sf_dir}/documents.parquet") <= _BLM_BCAST_MAX_INPUT:
         lptab = broadcast(lptab)
+    # Instance-weighted mean over types: sum(c·lp)/sum(c). (The
+    # instance-stream avg(lp) it replaces sums the same lp values in
+    # a different grouping; both are rounded to 4 dp at the boundary,
+    # verified value-exact against the per-instance oracle at sf0.01
+    # and sf0.1.)
     return (
-        inst.join(lptab, "bh")
+        dt.join(lptab, "bh")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4
+            ).alias("avg_logprob"),
         )
     )
 
