@@ -1521,13 +1521,36 @@ _register(
 # PageRank): triangles measure cluster density — a duplicate group
 # whose members all pairwise match (dense, high triangle count) can
 # be collapsed aggressively, while a chain of borderline matches
-# (sparse, zero triangles) warrants review before merging. Standard
-# ordered-edge algorithm: orient every edge toward the larger id
-# (a<b), join wedges (a,b)+(b,c) and close them against (a,c) — each
-# triangle counted exactly once. Work is two edge-keyed equi-joins:
-# wedge volume is Σ deg², bounded by banding upstream, never a
-# corpus-sized product.
+# (sparse, zero triangles) warrants review before merging.
+# Degree-oriented (node-iterator++): orient every edge low-(deg,id) →
+# high, generate wedges at out-neighbors, close against the oriented
+# edge set — each triangle counted exactly once and the worst wedge
+# key bounded by arboricity, not hub degree. Work is two edge-keyed
+# equi-joins; wedge volume is Σ out-deg², bounded by banding
+# upstream, never a corpus-sized product.
 # ---------------------------------------------------------------------------
+
+
+def oriented_edges(und: DataFrame) -> DataFrame:
+    """Degree-orient an undirected edge list: keep each edge only in
+    its lower-(degree, id) → higher direction. (deg, id) is a TOTAL
+    order, so exactly one direction survives per undirected edge.
+    Exposed for the plan pin in
+    tests/test_plans.py::test_triangle_count_degree_oriented (the
+    caller checkpoints the result, which truncates this subtree out
+    of the final query's static plan)."""
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+    return (
+        und.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("du").alias("dv")), "v"
+        )
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
 
 
 def dd_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,20 +1573,12 @@ def dd_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).union(
         pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
     )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
-    # Orientation key: (degree, id) — a TOTAL order, so exactly one
-    # direction survives per undirected edge.
-    keyed = (
-        und.join(deg, "u")
-        .join(
-            deg.select(F.col("u").alias("v"), F.col("du").alias("dv")), "v"
-        )
-        .filter(
-            (F.col("du") < F.col("dv"))
-            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-        )
-        .select("u", "v")
-    )
+    # The oriented edge list is reused FOUR times (both wedge sides +
+    # both closure directions); cut the degree-join lineage once,
+    # like `pairs` above, or the static plan re-derives the 3-join
+    # orientation subtree per use (audited 61 exchanges vs 5 with the
+    # checkpoint).
+    keyed = oriented_edges(und).localCheckpoint()
     e1 = keyed.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = keyed.select(F.col("u").alias("a"), F.col("v").alias("c"))
     # Wedges at the LOW end: out-neighbor pairs of a. b != c; order
@@ -1575,10 +1590,14 @@ def dd_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("b"), F.col("v").alias("c")
     ).union(keyed.select(F.col("v").alias("b"), F.col("u").alias("c")))
     triangles = wedges.join(closing, ["b", "c"])
+    # One narrow explode per triangle row — NOT a 3-way union of the
+    # `triangles` frame, which would replicate the wedge+closure join
+    # subtree three times in the plan (audited: 13 exchanges / 6
+    # joins for the union form vs 5 / 2 here).
     per_node = (
-        triangles.select(F.col("a").alias("doc_id"))
-        .union(triangles.select(F.col("b").alias("doc_id")))
-        .union(triangles.select(F.col("c").alias("doc_id")))
+        triangles.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

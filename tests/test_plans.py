@@ -702,13 +702,38 @@ def test_triangle_count_degree_oriented(spark):
     """Triangle wedges must be generated under degree orientation
     (node-iterator++): every edge oriented low-(deg,id) → high, so
     per-key wedge fan-out is bounded by arboricity (O(√m)) instead of
-    hub degree. The tell: the plan carries the degree columns into the
-    orientation filter before the wedge self-join."""
+    hub degree. The orientation subtree is checkpointed out of the
+    final query's static plan, so (a) pin the orientation semantics on
+    the helper itself — both on its plan and on a hub fixture — and
+    (b) pin the final plan's budget (5 exchanges / 2 joins; the
+    pre-checkpoint union form re-derived the join subtree 3× for 13
+    exchanges / 6 joins)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.operators.dedup import oriented_edges
+
+    und_rows = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    und_rows += [(1, 2), (2, 1)]
+    und = spark.createDataFrame(und_rows, "u long, v long")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        oriented_edges(und).explain("formatted")
+    helper_plan = buf.getvalue()
+    assert re.search(r"\bdu\b", helper_plan) and re.search(
+        r"\bdv\b", helper_plan
+    ), "orientation must compare endpoint degrees (du/dv)"
+    # hub 0 has degree 5; every leaf degree 1-2 → all hub edges must
+    # point INTO the hub, and exactly one direction per edge survives
+    got = {(r.u, r.v) for r in oriented_edges(und).collect()}
+    assert got == {(i, 0) for i in range(1, 6)} | {(1, 2)}
+
     plan = plan_of(spark, "dd_triangle_count")
     body = plan.split("===== Subqueries =====")[0]
-    assert re.search(r"\bdu\b", body) and re.search(r"\bdv\b", body), (
-        "orientation must compare endpoint degrees (du/dv)"
-    )
+    n_join = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", body))
+    assert n_join <= 2, f"wedge + closure joins only, saw {n_join}"
     assert not re.search(r"\bBatchEvalPython\b", plan)
 
 
