@@ -141,3 +141,65 @@ def test_bloom_filter_has_no_false_negatives(spark):
         .count()
     )
     assert misses == 0
+
+
+def test_ppjoin_prefix_filter_loses_no_pair(spark, tmp_path):
+    """The PPJoin-style exact Jaccard path (prefix + length +
+    positional pruning, dd_ngram_jaccard) must return EXACTLY the
+    brute-force all-pairs result — the pruning bounds are only valid
+    if no qualifying pair can slip past the prefix window. Randomized
+    corpora drawn from a tiny vocabulary force heavy shingle overlap,
+    duplicate documents, near-duplicates at the 0.8 threshold
+    boundary, and short docs (< 3 tokens → empty shingle sets)."""
+    import itertools
+    import random
+
+    from etl_mapwarper_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dd_ngram_jaccard,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        texts = []
+        for i in range(30):
+            n = rng.choice([1, 2, 8, 12, 16])
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+        # guaranteed exact and near duplicates
+        texts += [texts[0], texts[1] + " beta", texts[2], texts[2]]
+        rows = [
+            (i, t, "en", "s", len(t)) for i, t in enumerate(texts)
+        ]
+        sf_dir = str(tmp_path / f"ppjoin_{seed}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+        got = {
+            (r.d1, r.d2): r.jacc
+            for r in dd_ngram_jaccard(spark, sf_dir).collect()
+        }
+
+        def sh(t):
+            toks = t.split(" ")
+            return {
+                " ".join(toks[i : i + 3])
+                for i in range(max(len(toks) - 2, 0))
+            }
+        sets = {i: sh(t) for i, t in enumerate(texts)}
+        want = {}
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            c = len(sa & sb)
+            j = round(c / (len(sa) + len(sb) - c), 4)
+            if j >= JACCARD_THRESHOLD:
+                want[(a, b)] = j
+        assert got == want, (
+            f"seed {seed}: prefix filter diverged from brute force "
+            f"(missing {set(want) - set(got)}, "
+            f"extra {set(got) - set(want)})"
+        )
