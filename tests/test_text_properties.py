@@ -256,3 +256,74 @@ def test_kneser_ney_probabilities_are_valid(spark):
         (F.col("avg_kn_logprob") > 0) | F.col("avg_kn_logprob").isNull()
     ).count()
     assert bad == 0
+
+
+def test_bpe_python_trainer_matches_jvm_fold_reference(spark, tmp_path):
+    """The applyInPandas trainer duplicates the merge semantics the
+    JVM helpers define (_bpe_pair_counts / _bpe_winner /
+    _bpe_apply_merge). Guard the duplication: on randomized corpora,
+    the trainer's full merge table must equal a reference loop built
+    ONLY from those JVM helpers (weighted pair counts, (count desc,
+    pair asc) winner, greedy non-overlapping rewrite)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from etl_mapwarper_spark.operators.textops import (
+        _BPE_ROUNDS,
+        _bpe_apply_merge,
+        _bpe_pair_counts,
+        _bpe_winner,
+        tx_bpe_train_merges,
+    )
+    from etl_mapwarper_spark.functions.text import tokens
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        vocab = ["ab", "aab", "ba", "bb", "a", "abab"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+            for _ in range(25)
+        ]
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        sf_dir = str(tmp_path / f"bpe_{seed}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+        got = [
+            (r.merge_round, r.p1, r.p2, r.merged, r.pair_count)
+            for r in tx_bpe_train_merges(spark, sf_dir)
+            .orderBy("merge_round")
+            .collect()
+        ]
+
+        # reference: per-round JVM pair counts + winner + fold
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cur = (
+            docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "cnt", F.expr("regexp_extract_all(w, '.', 0)").alias("syms")
+            )
+        )
+        want = []
+        for r in range(_BPE_ROUNDS):
+            w = _bpe_winner(_bpe_pair_counts(cur), r + 1).collect()
+            if not w:
+                break
+            row = w[0]
+            want.append(
+                (
+                    r + 1,
+                    row.p1,
+                    row.p2,
+                    row.p1 + row.p2,
+                    row.pair_count,
+                )
+            )
+            cur = _bpe_apply_merge(cur, row.p1, row.p2)
+        assert got == want, f"seed {seed}: trainer diverged from JVM fold"
