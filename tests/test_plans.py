@@ -1000,7 +1000,9 @@ def test_registry_queries_construct_without_jobs(spark):
     #   *_train/_ivf*/_pq*/kmeans-backed sim_* — iterative training
     #                     collects bounded K×dim artifacts per round
     #                     (PLAN_AUDIT.md 'iterative ops' section)
-    #   tx_bpe_*/tx_logreg_* — same, fused training jobs
+    #   tx_logreg_* — same, fused training jobs (tx_bpe_* came OFF
+    #                     this list in r5: the applyInPandas trainer
+    #                     constructs job-free, so the rule covers it)
     #   dd_pagerank/dd_triangle/dd_cc — fixed-round graph iteration
     #   mw_*/pipe_*     — bounded fixture parquet cache (cold only,
     #                     warmed below before measuring)
@@ -1011,7 +1013,7 @@ def test_registry_queries_construct_without_jobs(spark):
         "sim_pq",
         "sim_ivfpq",
         "sim_kmeans",
-        "tx_bpe",
+        "tx_bpe_fertility",  # per-round broadcast-winner folds, cached vocab
         "tx_logreg",
         "dd_pagerank",
         "dd_triangle",
