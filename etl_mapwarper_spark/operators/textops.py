@@ -1840,34 +1840,6 @@ def _bpe_winner(pc: DataFrame, rnd: int) -> DataFrame:
     )
 
 
-def _bpe_apply_merge_bc(cur: DataFrame, winner: DataFrame) -> DataFrame:
-    # Same left-to-right greedy fold as _bpe_apply_merge, but the merge
-    # pair arrives as a broadcast 1-row join side instead of collected
-    # Python literals — the rewrite stays entirely inside one job.
-    w = F.broadcast(
-        winner.select(F.col("p1").alias("_a"), F.col("p2").alias("_b"))
-    )
-    joined_rows = cur.crossJoin(w)
-    folded = F.aggregate(
-        F.col("syms"),
-        F.lit(""),
-        lambda acc, x: F.when(
-            (F.length(acc) > 0)
-            & (F.substring_index(acc, _BPE_US, -1) == F.col("_a"))
-            & (x == F.col("_b")),
-            F.concat(
-                F.substring(
-                    acc, F.lit(1), F.length(acc) - F.length(F.col("_a"))
-                ),
-                F.col("_a"),
-                F.col("_b"),
-            ),
-        ).otherwise(F.concat(acc, F.lit(_BPE_US), x)),
-    )
-    return joined_rows.select(
-        "cnt",
-        F.split(F.substring(folded, 2, 1 << 30), _BPE_US).alias("syms"),
-    )
 
 
 def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2044,7 +2016,7 @@ def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for r in range(_BPE_ROUNDS):
         w = _bpe_winner(_bpe_pair_counts(cur), r + 1)
-        # Same broadcast-winner fold as _bpe_apply_merge_bc, inlined to
+        # Broadcast-winner variant of the _bpe_apply_merge fold, inlined to
         # carry the word key `w` through the rewrite (fertility buckets
         # by word length; training only needs cnt+syms).
         cur = (
