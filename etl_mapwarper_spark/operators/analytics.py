@@ -1453,8 +1453,9 @@ _register(
 # exact ``percentile`` (which materializes per-group value lists) is the
 # verification baseline only. The contract column proves the sketch's
 # rank-error guarantee in-query: the approximate p-quantile must land
-# between the exact (p±eps) quantiles, so the oracle checks a TRUE
-# constant while the engine computes the real sketch. accuracy=1000
+# between the exact (p±eps) quantiles. Since r5 the oracle computes
+# the SAME contract for real with DuckDB's own mergeable sketch
+# (approx_quantile — see the note above _register). accuracy=1000
 # → rank error ≤ 1/1000; eps=0.005 leaves a 5× safety margin.
 #
 # Engine-portability: the exact columns are computed on INTEGER CENTS.
@@ -1495,13 +1496,10 @@ def q89_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ap"),
     )
 
+    from ..functions.scalar import sorted_array_quantile
+
     def interp(q):
-        pos = F.lit(q) * (F.col("_n") - 1)
-        lo = F.floor(pos).cast("int")
-        hi = F.ceil(pos).cast("int")
-        v_lo = F.element_at("_vals", lo + 1)
-        v_hi = F.element_at("_vals", hi + 1)
-        return v_lo + (v_hi - v_lo) * (pos - F.floor(pos))
+        return sorted_array_quantile(F.col("_vals"), F.col("_n"), q)
 
     out_cols = [F.col("l_returnflag")]
     for i, (p, name) in enumerate(

@@ -38,6 +38,13 @@ ORACLE = {}
 N_SEEDS = 12  # minhash permutations
 N_BANDS = 3  # → 4 seeds per band
 JACCARD_THRESHOLD = 0.8
+# PPJoin pruning threshold as an exact rational, DERIVED from
+# JACCARD_THRESHOLD so the prune bounds and the verify filter can
+# never desynchronize: the verify compares ROUND(jacc, 4) >= T, which
+# admits true Jaccard down to T − 0.00005, so pruning must use
+# t' = (10000·T − 1) / 10000 (7999/10000 for T = 0.8).
+_PP_DEN = 10_000
+_PP_NUM = int(round(JACCARD_THRESHOLD * _PP_DEN)) - 1
 
 # Shared CTE for the oracle side: distinct word 3-gram shingles.
 _SH_CTE = """
@@ -184,7 +191,11 @@ def dd_ngram_jaccard(
                     lambda s: F.xxhash64(s),
                 )
             ).alias("hs"),
-        ).select("doc_id", "hs", F.size("hs").alias("n"))
+        # n as LONG: every prune product below (n·10000, (n1+n2)·7999,
+        # ubound·17999) must run in 64-bit — F.size() is int32 and a
+        # ~120k-shingle document would silently wrap the positional
+        # bound negative, dropping a true pair from the exact path.
+        ).select("doc_id", "hs", F.size("hs").cast("long").alias("n"))
         # The tokenized record store is REUSED three times (prefix
         # explode + both verify sides) — persist it (lazy, no
         # construction job) instead of re-shingling the corpus per
@@ -192,9 +203,10 @@ def dd_ngram_jaccard(
         # materialized record file in its verify stage, and
         # dd_minhash_lsh persists its per_doc frame the same way.
         arrs = arrs.persist()
-        # prefix length n − ⌈t'·n⌉ + 1 with t' = 7999/10000, in exact
-        # integer arithmetic (a float 0.8·n can round past the true
-        # ceiling and silently shorten the prefix).
+        # prefix length n − ⌈t'·n⌉ + 1 with t' = _PP_NUM/_PP_DEN, in
+        # exact integer arithmetic (a float 0.8·n can round past the
+        # true ceiling and silently shorten the prefix); the length is
+        # ≤ n so the cast back to slice's int argument cannot wrap.
         pfx = arrs.select(
             "doc_id",
             "n",
@@ -202,9 +214,14 @@ def dd_ngram_jaccard(
                 F.slice(
                     "hs",
                     F.lit(1),
-                    F.col("n")
-                    - F.expr("(7999 * n + 9999) div 10000")
-                    + F.lit(1),
+                    (
+                        F.col("n")
+                        - F.expr(
+                            f"({_PP_NUM} * n + {_PP_DEN - 1})"
+                            f" div {_PP_DEN}"
+                        )
+                        + F.lit(1)
+                    ).cast("int"),
                 )
             ).alias("p", "h"),
         )
@@ -217,9 +234,9 @@ def dd_ngram_jaccard(
         # 8-byte hash key, which is the 100-TB shape anyway.
         #
         # PPJoin pruning on top of the prefix filter (both in exact
-        # integer arithmetic with t' = 7999/10000):
+        # 64-bit integer arithmetic with t' = _PP_NUM/_PP_DEN):
         #  - length: J(x,y) ≤ min(n1,n2)/max(n1,n2), so qualifying
-        #    pairs satisfy min·10000 ≥ max·7999 (two-sided below);
+        #    pairs satisfy min·DEN ≥ max·NUM (two-sided below);
         #  - position: overlap ≤ 1 + min(n1−p1, n2−p2) at a common
         #    prefix hash (p is posexplode's 0-based index — one looser
         #    than the 1-based PPJoin bound, i.e. strictly safe), and
@@ -233,8 +250,8 @@ def dd_ngram_jaccard(
                 pfx.alias("b"),
                 (F.col("a.h") == F.col("b.h"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & (F.col("a.n") * 10000 >= F.col("b.n") * 7999)
-                & (F.col("b.n") * 10000 >= F.col("a.n") * 7999)
+                & (F.col("a.n") * _PP_DEN >= F.col("b.n") * _PP_NUM)
+                & (F.col("b.n") * _PP_DEN >= F.col("a.n") * _PP_NUM)
                 & (
                     (
                         F.lit(1)
@@ -243,21 +260,28 @@ def dd_ngram_jaccard(
                             F.col("b.n") - F.col("b.p"),
                         )
                     )
-                    * F.lit(10000 + 7999)
-                    >= (F.col("a.n") + F.col("b.n")) * F.lit(7999)
+                    * F.lit(_PP_DEN + _PP_NUM)
+                    >= (F.col("a.n") + F.col("b.n")) * F.lit(_PP_NUM)
                 )
             )
             .select(
                 F.col("a.doc_id").alias("d1"),
                 F.col("b.doc_id").alias("d2"),
             )
+            # Distinct BEFORE the verify joins is load-bearing: a pair
+            # sharing k prefix hashes appears k times, and k scales
+            # with prefix length — two near-identical megabyte
+            # documents (130k shingles) share ~26k prefix hashes, so
+            # without this the verify stage would drag both full
+            # hash arrays through 26k duplicate rows and run 26k
+            # array_intersects for ONE pair (pinned by
+            # test_ppjoin_bounds_survive_megabyte_documents; a
+            # corpus-tuned "dedupe after verify" variant ran minutes
+            # instead of seconds there). On the bench corpus the
+            # distinct costs one 38k-row shuffle (~0.1 s with the
+            # AQE-planned join).
+            .distinct()
         )
-        # NO distinct here: a pair sharing k prefix hashes appears k
-        # times, but measured duplication is ~3% (230k → 223k at
-        # sf0.1) while the distinct's extra pair-keyed shuffle cost
-        # 0.57 s — verification is deterministic, so duplicates are
-        # collapsed AFTER the ≥t filter, on the survivor set (orders
-        # of magnitude smaller than the candidate set).
         a1 = arrs.select(
             F.col("doc_id").alias("d1"),
             F.col("hs").alias("hs1"),
@@ -284,7 +308,6 @@ def dd_ngram_jaccard(
             )
             .filter(F.col("jacc") >= JACCARD_THRESHOLD)
             .select("d1", "d2", "jacc")
-            .distinct()
         )
         return verified
     sh = (

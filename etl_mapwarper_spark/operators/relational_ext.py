@@ -146,18 +146,15 @@ def q35_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
+    from ..functions.scalar import sorted_array_quantile
+
     g = li.groupBy("l_returnflag").agg(
         F.array_sort(F.collect_list("l_extendedprice")).alias("_vals"),
         F.count(F.lit(1)).alias("_n"),
     )
 
     def interp(q):
-        pos = F.lit(q) * (F.col("_n") - 1)
-        lo = F.floor(pos).cast("int")
-        hi = F.ceil(pos).cast("int")
-        v_lo = F.element_at("_vals", lo + 1)
-        v_hi = F.element_at("_vals", hi + 1)
-        return v_lo + (v_hi - v_lo) * (pos - F.floor(pos))
+        return sorted_array_quantile(F.col("_vals"), F.col("_n"), q)
 
     return g.select(
         "l_returnflag",

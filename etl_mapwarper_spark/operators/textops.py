@@ -1254,11 +1254,12 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if _input_bytes(f"{sf_dir}/documents.parquet") <= _BLM_BCAST_MAX_INPUT:
         lptab = broadcast(lptab)
-    # Instance-weighted mean over types: sum(c·lp)/sum(c). (The
-    # instance-stream avg(lp) it replaces sums the same lp values in
-    # a different grouping; both are rounded to 4 dp at the boundary,
-    # verified value-exact against the per-instance oracle at sf0.01
-    # and sf0.1.)
+    # Instance-weighted mean over types: sum(c·lp)/sum(c). The oracle
+    # computes the SAME weighted form over the same per-(doc, type)
+    # counts, so both engines sum identical c·lp terms per doc and
+    # only commutative-sum order differs under the 4-dp round (a
+    # per-instance oracle avg() would be a structurally different
+    # float expression — see the oracle's dt CTE comment).
     return (
         dt.join(lptab, "bh")
         .groupBy("doc_id")
@@ -1287,19 +1288,31 @@ _register(
     bgk AS (
       SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg
     ),
+    -- per-(doc, bigram-type) counts: the SAME grouping the engine
+    -- reduces to, so both sides sum the IDENTICAL set of c·ln(...)
+    -- terms per doc (a per-instance avg() would instead add each lp
+    -- c times — a different floating-point expression whose ulp can
+    -- straddle the 4-dp rounding boundary). Only commutative-sum
+    -- order remains engine-specific, the same exposure every float
+    -- oracle in this registry carries under round(.,4).
+    dt AS (
+      SELECT doc_id, b, any_value(w1) AS w1, count(*) AS c
+      FROM bgk GROUP BY 1, 2
+    ),
     uni AS (
       SELECT unnest(t) AS term FROM toks
     ),
     c1 AS (SELECT term, count(*) AS c1 FROM uni GROUP BY 1),
     vocab AS (SELECT count(*) AS v FROM c1),
-    c12 AS (SELECT b, count(*) AS c12 FROM bgk GROUP BY 1)
+    c12 AS (SELECT b, sum(c) AS c12 FROM dt GROUP BY 1)
     SELECT doc_id,
-           count(*) AS n_bigrams,
-           round(avg(ln((c12 + {_BLM_K})
-                        / (c1.c1 + {_BLM_K} * v))), 4) AS avg_logprob
-    FROM bgk
+           sum(c)::BIGINT AS n_bigrams,
+           round(sum(c * ln((c12 + {_BLM_K})
+                            / (c1.c1 + {_BLM_K} * v))) / sum(c), 4)
+             AS avg_logprob
+    FROM dt
     JOIN c12 USING (b)
-    JOIN c1 ON bgk.w1 = c1.term
+    JOIN c1 ON dt.w1 = c1.term
     CROSS JOIN vocab
     GROUP BY doc_id
     """,
@@ -1874,7 +1887,18 @@ def tx_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     def train(pdf):
         import pandas as pd
 
-        words = [(list(w), int(c)) for w, c in zip(pdf["w"], pdf["cnt"])]
+        # Symbol split must match the ORACLE's regexp_extract_all(w,
+        # '.') — RE2's '.' matches every character except '\n', so a
+        # token containing a line terminator (tokens() splits on
+        # single spaces only) must drop it here too; a plain list(w)
+        # would keep it and diverge on pair counts. (Java's '.'
+        # additionally excludes \r and U+0085/U+2028/U+2029 — a
+        # nuance the JVM apply path carries against its own
+        # oracle, out of scope here.)
+        words = [
+            ([ch for ch in w if ch != "\n"], int(c))
+            for w, c in zip(pdf["w"], pdf["cnt"])
+        ]
         out = []
         for r in range(rounds):
             counts: dict = {}

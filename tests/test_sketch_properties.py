@@ -203,3 +203,28 @@ def test_ppjoin_prefix_filter_loses_no_pair(spark, tmp_path):
             f"(missing {set(want) - set(got)}, "
             f"extra {set(got) - set(want)})"
         )
+
+
+def test_ppjoin_bounds_survive_megabyte_documents(spark, tmp_path):
+    """Overflow guard: with ~130k shingles per document the positional
+    bound's product (1+min(n1−p1, n2−p2))·(DEN+NUM) exceeds 2^31, so
+    the prune arithmetic must run in 64-bit — an int32 plan silently
+    wraps the bound negative and drops the pair from the 'exact'
+    path. Two near-identical megabyte documents (J ≈ 0.97) must be
+    found."""
+    from etl_mapwarper_spark.operators.dedup import dd_ngram_jaccard
+
+    n_tok = 130_000
+    a = " ".join(str(i) for i in range(n_tok))
+    b = " ".join(str(i) for i in range(n_tok - 4_000))
+    rows = [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b))]
+    sf_dir = str(tmp_path / "ppjoin_big")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = dd_ngram_jaccard(spark, sf_dir).collect()
+    assert len(got) == 1 and (got[0].d1, got[0].d2) == (0, 1)
+    sa, sb = n_tok - 2, n_tok - 4_000 - 2
+    want = round(sb / sa, 4)  # B's shingles are a prefix-subset of A's
+    assert got[0].jacc == want
