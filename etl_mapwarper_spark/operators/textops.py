@@ -1215,38 +1215,88 @@ def _bigram_instances(docs, with_w2: bool = False):
 
 
 def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two corpus passes, the minimum for train-then-score without
+    # caching the corpus (r5 rewrite: the previous per-(doc, type)
+    # formulation LOOKED like one shared explode, but divergent column
+    # pruning broke exchange reuse between its dt/c12/c1/vocab branches
+    # and the physical plan exploded the corpus FOUR times across 15
+    # stages — .explain() is the ground truth, not the DataFrame DAG):
+    #
+    #   MODEL pass — ONE tagged explode emits unigram and bigram type
+    #   rows together (kind, h, w1h); groupBy(kind, h) map-side
+    #   combines straight to TYPE scale, so the only shuffle in the
+    #   pass is vocab²-bounded. Both count tables filter the SAME
+    #   aggregate and consume identical columns (c1 joins on w1h — for
+    #   unigram rows w1h is the token's own hash), so the exchange is
+    #   physically reused, not re-derived. V rides a single-partition
+    #   window over the vocab-bounded c1 slice — never a corpus pass.
+    #
+    #   SCORE pass — bigram instances join the resolved (bh, lp) table
+    #   (size-gated broadcast, see _BLM_BCAST_MAX_INPUT) and aggregate
+    #   per doc directly: map-side partial aggs reduce to DOC scale, so
+    #   the corpus never shuffles at instance or (doc, type) grain.
+    #
+    # All keys are 8-byte xxhash64 — no string ever shuffles. No UDFs.
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    # Instance stream reduced IMMEDIATELY to per-(doc, bigram-type)
-    # counts (r5: the instance frame used to feed the type-count agg
-    # AND the score join as two separate corpus explodes — one full
-    # tokenize+explode pass wasted). The (doc_id, bh) aggregate is
-    # map-side combined, so repetitive documents collapse before the
-    # shuffle; the corpus-type table, the score join and the per-doc
-    # score all derive from this ONE explode. All keys are 8-byte
-    # xxhash64 — no string ever shuffles.
-    dt = _bigram_instances(docs).groupBy("doc_id", "bh").agg(
-        F.count(F.lit(1)).alias("c"), F.min("w1h").alias("w1h")
+    t = tokens(F.col("text"))
+    length = F.greatest(F.size(t) - 1, F.lit(0))
+    uni_structs = F.transform(
+        t,
+        lambda w: F.struct(
+            F.lit(1).alias("kind"),
+            F.xxhash64(w).alias("h"),
+            F.xxhash64(w).alias("w1h"),
+        ),
     )
-    uni = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    c1 = uni.groupBy(F.xxhash64("term").alias("th")).agg(
-        F.count(F.lit(1)).alias("c1")
+    # arrays_zip/slice, not element_at-in-transform — see
+    # functions/text.py on the interpreted-HOF O(tokens^2) trap.
+    bi_structs = F.transform(
+        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
+        lambda s: F.struct(
+            F.lit(2).alias("kind"),
+            F.xxhash64(F.concat_ws(" ", s["0"], s["1"])).alias("h"),
+            F.xxhash64(s["0"]).alias("w1h"),
+        ),
     )
-    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
-    # lp is a function of the bigram TYPE alone: resolve it once per
-    # type on the vocab²-bounded count table (w1h is functionally
-    # determined by bh, so min() just carries it through the groupBy),
-    # then score doc-type rows with a single hash-keyed equi-join.
-    c12 = dt.groupBy("bh").agg(
-        F.sum("c").alias("c12"), F.min("w1h").alias("w1h")
+    # groupBy(h) ALONE: token strings contain no space and bigram
+    # strings always do, so the two hash key spaces are disjoint
+    # (modulo the same 2^-64 xxhash64 collision exposure every
+    # hash-keyed join in this registry accepts) and one h-keyed
+    # aggregate counts both populations. kind is recovered as an
+    # AGGREGATE (min over the group) precisely so the kind filters
+    # below CANNOT be pushed beneath the aggregate — a pushed
+    # grouping-key filter would specialize each branch's subtree and
+    # break exchange reuse, re-exploding the corpus per branch (the
+    # failure mode this rewrite removes; .explain() shows one
+    # ReusedExchange now).
+    types = (
+        docs.select(
+            F.explode(F.concat(uni_structs, bi_structs)).alias("i")
+        )
+        .select("i.kind", "i.h", "i.w1h")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("kind").alias("kind"),
+            F.min("w1h").alias("w1h"),
+        )
     )
+    # Vocab-bounded frames; both consume every column of `types`, so
+    # the type aggregate's exchange is physically reused verbatim.
+    c1 = types.filter(F.col("kind") == 1).withColumn(
+        "v", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    c12 = types.filter(F.col("kind") == 2)
     lptab = (
-        c12.join(c1, c12.w1h == c1.th)
-        .crossJoin(broadcast(vocab))
+        c12.alias("b")
+        .join(c1.alias("u"), F.col("b.w1h") == F.col("u.w1h"))
         .select(
-            "bh",
+            F.col("b.h").alias("bh"),
             F.log(
-                (F.col("c12") + F.lit(_BLM_K))
-                / (F.col("c1") + F.lit(_BLM_K) * F.col("v"))
+                (F.col("b.c") + F.lit(_BLM_K))
+                / (F.col("u.c") + F.lit(_BLM_K) * F.col("v"))
             ).alias("lp"),
         )
     )
@@ -1254,20 +1304,20 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if _input_bytes(f"{sf_dir}/documents.parquet") <= _BLM_BCAST_MAX_INPUT:
         lptab = broadcast(lptab)
-    # Instance-weighted mean over types: sum(c·lp)/sum(c). The oracle
-    # computes the SAME weighted form over the same per-(doc, type)
-    # counts, so both engines sum identical c·lp terms per doc and
-    # only commutative-sum order differs under the 4-dp round (a
-    # per-instance oracle avg() would be a structurally different
-    # float expression — see the oracle's dt CTE comment).
+    # Per-INSTANCE mean: each bigram occurrence contributes its type's
+    # lp once. The oracle aggregates the same per-instance stream, so
+    # both engines sum the identical multiset of lp terms per doc and
+    # only commutative-sum order differs under the 4-dp round — the
+    # same exposure every float oracle in this registry carries.
     return (
-        dt.join(lptab, "bh")
+        _bigram_instances(docs)
+        .join(lptab, "bh")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4
-            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias(
+                "avg_logprob"
+            ),
         )
     )
 
@@ -1288,31 +1338,25 @@ _register(
     bgk AS (
       SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg
     ),
-    -- per-(doc, bigram-type) counts: the SAME grouping the engine
-    -- reduces to, so both sides sum the IDENTICAL set of c·ln(...)
-    -- terms per doc (a per-instance avg() would instead add each lp
-    -- c times — a different floating-point expression whose ulp can
-    -- straddle the 4-dp rounding boundary). Only commutative-sum
-    -- order remains engine-specific, the same exposure every float
-    -- oracle in this registry carries under round(.,4).
-    dt AS (
-      SELECT doc_id, b, any_value(w1) AS w1, count(*) AS c
-      FROM bgk GROUP BY 1, 2
-    ),
+    -- per-INSTANCE scoring, mirroring the engine: every bigram
+    -- occurrence contributes its type's ln(...) term once, so both
+    -- engines sum the identical multiset of lp terms per doc and only
+    -- commutative-sum order differs under the 4-dp round — the same
+    -- exposure every float oracle in this registry carries.
     uni AS (
       SELECT unnest(t) AS term FROM toks
     ),
     c1 AS (SELECT term, count(*) AS c1 FROM uni GROUP BY 1),
     vocab AS (SELECT count(*) AS v FROM c1),
-    c12 AS (SELECT b, sum(c) AS c12 FROM dt GROUP BY 1)
+    c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1)
     SELECT doc_id,
-           sum(c)::BIGINT AS n_bigrams,
-           round(sum(c * ln((c12 + {_BLM_K})
-                            / (c1.c1 + {_BLM_K} * v))) / sum(c), 4)
+           count(*)::BIGINT AS n_bigrams,
+           round(sum(ln((c12 + {_BLM_K})
+                        / (c1.c1 + {_BLM_K} * v))) / count(*), 4)
              AS avg_logprob
-    FROM dt
+    FROM bgk
     JOIN c12 USING (b)
-    JOIN c1 ON dt.w1 = c1.term
+    JOIN c1 ON bgk.w1 = c1.term
     CROSS JOIN vocab
     GROUP BY doc_id
     """,

@@ -124,14 +124,21 @@ def test_tx_bigram_logprob_single_corpus_shuffle(spark):
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", body), (
         "score join must broadcast the vocab²-bounded side at gated SF"
     )
-    # Catalyst doesn't share common subplans, so the logical single
-    # explode still appears once per consuming branch (inst, c12, c1,
-    # vocab) — pin the branch count so a new redundant stream is
-    # caught (the pre-r4 shape had a separate string-typed types
-    # stream on top of these).
-    n_scans = len(re.findall(r"Scan parquet", body))
-    assert n_scans <= 4, f"bigram stream grew extra branches: {n_scans}"
     assert "BatchEvalPython" not in plan
+    # r5 pin: exactly TWO corpus passes — the tagged model explode
+    # (whose type exchange is physically reused by the c1 and c12
+    # slices, kind being an aggregate so the slice filters cannot push
+    # below it and re-specialize the subtree) and the score explode.
+    # Exchange reuse is an AQE RUNTIME decision, so pin the EXECUTED
+    # plan — the static explain still shows one subtree per consumer.
+    df = ALL_QUERIES["tx_bigram_logprob"](spark, SF_DIR)
+    df.write.mode("overwrite").format("noop").save()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    n_gen = executed.count("Generate ")
+    assert n_gen <= 2, f"bigram stream grew extra explodes: {n_gen}"
+    assert "ReusedExchange" in executed, (
+        "c1/c12 slices must physically share the type aggregate"
+    )
 
 
 def test_dd_levenshtein_blocked_plan_shape(spark):
