@@ -99,22 +99,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # mm_av_sync_check, q64_small_qty_revenue, q77_notin_null_semantics,
 # q78_map_type_aggs, q79_try_functions, q80_calendar_arith,
 # q83_explode_outer_semantics, q85_chi2_independence, q86_skyline,
-# q87_mad_robust_stats, q88_argmax_aggregate, q92_modern_sql. Fill
-# the other 27 slots with canaries per the composition rule (and
-# anything r6 touches).
+# q87_mad_robust_stats, q88_argmax_aggregate, q92_modern_sql, plus
+# the late-r5 additions mm_jpeg_roundtrip and q05_region_revenue
+# (canary slot ceded this round). Fill the other slots with canaries
+# per the composition rule (and anything r6 touches).
 _PRIORITY = [
     # canaries: earlier driver greens re-checked across families
     "q01_pricing_summary",
-    "q05_region_revenue",
     "q22_asof_last_order",  # code changed r5: packing guard
     "mw_map_objects",
     "dd_minhash_lsh",
     "st_dq_gate",
     "pipe_map_objects",
     "pipe_relations",
-    # code changed r5 — prior driver evidence voided
+    # code changed r5 — prior driver evidence voided (q05's canary
+    # slot ceded to tx_bigram_logprob; the q family keeps 8+ window
+    # rows via q01/q22/q35/q89/q90/q91/q93)
     "q35_price_percentiles",  # sorted-array percentile rewrite
     "dd_ngram_jaccard",  # PPJoin prefix-filtered exact path
+    "tx_bigram_logprob",  # two-pass tagged-explode LM rewrite
     # --- never-driver-checked: round-4 additions (27) ---
     # data-quality reports
     "dq_observed_metrics",

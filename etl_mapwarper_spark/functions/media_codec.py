@@ -1,7 +1,8 @@
-"""Real media codecs with stdlib only — no PIL/ffmpeg in this
-container, but PNG is zlib deflate + per-scanline filters and WAV is a
-RIFF header + PCM samples, both fully decodable with ``zlib``/
-``struct``/``wave``.
+"""Real media codecs with stdlib+numpy only — no PIL/ffmpeg in this
+container, but PNG is zlib deflate + per-scanline filters, WAV is a
+RIFF header + PCM samples, and baseline JPEG is markers + canonical
+Huffman + an 8×8 DCT — all implementable from the public specs
+(ISO/IEC 10918-1 / ITU T.81 Annex K for the JPEG tables).
 
 Scope (documented contract):
 - PNG: 8-bit greyscale and 8-bit RGB/RGBA, non-interlaced; all five
@@ -9,8 +10,13 @@ Scope (documented contract):
   emits filter 0. This covers the lossless-screenshot/map-tile class
   of payloads the reference pipeline moves around.
 - WAV: PCM 8/16-bit mono/stereo via the stdlib ``wave`` module.
-- JPEG/MP4/etc. genuinely need external codecs → NotImplementedError
-  (import-gated, same contract as before).
+- JPEG: baseline sequential DCT (SOF0), 8-bit, greyscale or 3-channel
+  YCbCr with 1×1 sampling (no subsampling), standard Annex-K Huffman
+  and quantization tables with libjpeg-style quality scaling.
+  Progressive (SOF2), restart intervals, subsampled chroma, and
+  arithmetic coding are out of scope → NotImplementedError.
+- MP4/video containers genuinely need external codecs →
+  NotImplementedError (import-gated, same contract as before).
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py) —
 per-row Python cost is the codec itself, the Arrow boundary stays
@@ -186,9 +192,434 @@ def decode_wav(payload: bytes) -> np.ndarray:
     return samples
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81). Everything below is from the public spec:
+# Annex-K typical Huffman/quantization tables, the zigzag scan, the
+# libjpeg quality-scaling convention, and the JFIF YCbCr transform.
+#
+# Design note for the pipeline: quality=100 scales the Annex-K tables
+# to all-ones, under which any image whose 8×8 blocks are CONSTANT
+# roundtrips bit-exactly (each block reduces to a DC-only spectrum the
+# integer pipeline preserves) — that is what lets mm_jpeg_roundtrip
+# value-check the full marker/Huffman/DCT path against a closed-form
+# SQL oracle even though JPEG is lossy in general. Textured-image
+# behavior is pinned by golden tests (tests/test_media_codec.py).
+# ---------------------------------------------------------------------------
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 luminance quantization table (raster order).
+_QTAB_BASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Annex K.3: typical DC/AC luminance Huffman tables (BITS, HUFFVAL).
+# One DC and one AC table serve every component here — legal JPEG, the
+# SOS simply points each component at table 0.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _quality_qtab(quality: int) -> np.ndarray:
+    """libjpeg convention: 50 → base table, 100 → all ones."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_QTAB_BASE * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c  # orthonormal: F = C @ B @ C.T is the T.81 spectrum
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_huffman_decode(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) → value."""
+    return {
+        (length, code): v
+        for v, (code, length) in _build_huffman(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # entropy-coded byte stuffing
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                marker = self.data[self.pos]
+                if marker == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xff{marker:02x} in scan"
+                    )
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_code(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: value → (size category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: appended bits → signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode HxW grey or HxWx3 RGB uint8 as baseline JFIF JPEG.
+
+    1×1 sampling for every component (no chroma subsampling); one
+    quantization table and one DC/AC Huffman table pair (Annex K,
+    quality-scaled) shared by all components.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        comps = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        # JFIF YCbCr, rounded to integers like any integer-input codec
+        comps = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+        comps = [np.clip(c, 0, 255) for c in comps]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[0], img.shape[1]
+    qtab = _quality_qtab(quality)
+    dct = _dct_matrix()
+    dc_enc = _build_huffman(_DC_BITS, _DC_VALS)
+    ac_enc = _build_huffman(_AC_BITS, _AC_VALS)
+
+    # pad to 8×8 multiples by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [
+        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps
+    ]
+
+    bw = _BitWriter()
+    prev_dc = [0] * len(comps)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, comp in enumerate(padded):
+                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                spec = dct @ block @ dct.T
+                q = np.round(spec / qtab).astype(np.int64)
+                zz = q.ravel()[_ZIGZAG]
+                # DC difference
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                size, bits = _magnitude(diff)
+                code, length = dc_enc[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+                # AC run-length
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_enc[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, length = ac_enc[(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    code, length = ac_enc[0x00]  # EOB
+                    bw.write(code, length)
+    bw.flush()
+
+    n_comp = len(comps)
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = bytes([0x00]) + bytes(int(v) for v in qtab.ravel()[_ZIGZAG])
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0])  # id, 1×1 sampling, qtab 0
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, app0)
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1×1 sampling).
+
+    Returns HxW for one component, HxWx3 RGB for three. Progressive,
+    subsampled, restart-interval, and arithmetic-coded streams raise
+    NotImplementedError — the documented scope boundary.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int]] = []  # (component id, qtab id)
+    h = w = None
+    scan: bytes | None = None
+    scan_tabs: list[tuple[int, int]] = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only baseline sequential (SOF0) supported, got SOF {marker:#x}"
+            )
+        if marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_ZIGZAG] = zz
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0:
+            precision, h, w, n_comp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            for ci in range(n_comp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling unsupported (1×1 only)"
+                    )
+                comps.append((cid, tq))
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n_vals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n_vals])
+                tab = _build_huffman_decode(bits, vals)
+                (ac_tabs if tc else dc_tabs)[th] = tab
+                i += 17 + n_vals
+        elif marker == 0xDA:
+            ns = body[0]
+            for ci in range(ns):
+                _cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_tabs.append((tabs >> 4, tabs & 0xF))
+            scan = payload[pos + 2 + length :]
+            break
+        pos += 2 + length
+    if scan is None or h is None:
+        raise ValueError("missing SOS/SOF0 segment")
+
+    dct = _dct_matrix()
+    br = _BitReader(scan)
+    bh, bwd = -(-h // 8), -(-w // 8)
+    planes = [
+        np.zeros((bh * 8, bwd * 8), dtype=np.float64) for _ in comps
+    ]
+    prev_dc = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bwd):
+            for ci, (_cid, tq) in enumerate(comps):
+                dc_tab = dc_tabs[scan_tabs[ci][0]]
+                ac_tab = ac_tabs[scan_tabs[ci][1]]
+                zz = np.zeros(64, dtype=np.int64)
+                size = br.read_code(dc_tab)
+                prev_dc[ci] += _extend(br.read_bits(size), size)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = br.read_code(ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                spec = np.zeros(64, dtype=np.float64)
+                spec[_ZIGZAG] = zz * qtabs[tq].ravel()[_ZIGZAG]
+                block = dct.T @ spec.reshape(8, 8) @ dct + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    planes = [
+        np.clip(np.round(p[:h, :w]), 0, 255) for p in planes
+    ]
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+
+
 def sniff_kind(payload: bytes) -> str:
     if payload[:8] == _PNG_MAGIC:
         return "png"
     if payload[:4] == _WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == _JPEG_MAGIC:
+        return "jpeg"
     return "unknown"

@@ -7,16 +7,18 @@ payload BINARY, meta STRUCT<width,height,channels,frames>)``; each
 processing stage is a ``mapInPandas`` UDF that consumes whole Arrow
 batches, never a row-at-a-time Python UDF.
 
-Codecs: ``decode_real`` REALLY decodes PNG and WAV with stdlib
+Codecs: ``decode_real`` REALLY decodes PNG, WAV, and baseline JPEG
 (functions/media_codec.py — zlib deflate + scanline filters, RIFF
-PCM); only formats that genuinely need external libraries
-(JPEG/MP4 via PIL/ffmpeg, absent here) raise NotImplementedError
-behind an import-try. The arithmetic fixtures use a **deterministic
-fake codec** — payload byte ``i`` of media ``m`` is ``(m + i) % 256``,
-generated JVM-side (hex-string → ``unhex``) — so every downstream
-stat is exact integer arithmetic DuckDB reproduces; mm_png_roundtrip
-re-encodes that pattern through the REAL PNG codec and value-checks
-the decode against the same oracle.
+PCM, T.81 markers/Huffman/DCT); only formats that genuinely need
+external libraries (MP4/video via ffmpeg, absent here) raise
+NotImplementedError behind an import-try. The arithmetic fixtures use
+a **deterministic fake codec** — payload byte ``i`` of media ``m`` is
+``(m + i) % 256``, generated JVM-side (hex-string → ``unhex``) — so
+every downstream stat is exact integer arithmetic DuckDB reproduces;
+mm_png_roundtrip re-encodes that pattern through the REAL PNG codec
+and value-checks the decode against the same oracle, and
+mm_jpeg_roundtrip does the same through the REAL JPEG codec on the
+block-flat image class it preserves exactly.
 
 Scale notes: payloads stay opaque bytes through shuffles (never
 exploded to per-pixel rows on the JVM side); per-stage parallelism is
@@ -73,26 +75,34 @@ FRAMES = 4
 
 
 def decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """Real codec path: PNG and WAV decode with stdlib (zlib/wave) —
-    see functions/media_codec.py for the format scope. JPEG/MP4 and
-    other codecs genuinely need external libraries (PIL/ffmpeg), which
+    """Real codec path: PNG/WAV with stdlib (zlib/wave) and baseline
+    JPEG (markers + canonical Huffman + 8×8 DCT) — see
+    functions/media_codec.py for each format's scope. MP4 and other
+    video containers genuinely need external libraries (ffmpeg), which
     are not in this container; those kinds raise NotImplementedError
     behind an import-try, preserving the documented stub contract."""
-    from ..functions.media_codec import decode_png, decode_wav, sniff_kind
+    from ..functions.media_codec import (
+        decode_jpeg,
+        decode_png,
+        decode_wav,
+        sniff_kind,
+    )
 
     sniffed = sniff_kind(bytes(payload))
     if sniffed == "png":
         return decode_png(bytes(payload))
     if sniffed == "wav":
         return decode_wav(bytes(payload))
+    if sniffed == "jpeg":
+        return decode_jpeg(bytes(payload))
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            f"decode of kind={kind!r} (not PNG/WAV) requires PIL/ffmpeg, "
-            "not present in this environment"
+            f"decode of kind={kind!r} (not PNG/WAV/JPEG) requires "
+            "PIL/ffmpeg, not present in this environment"
         ) from e
-    raise NotImplementedError("non-PNG/WAV decode not implemented")
+    raise NotImplementedError("non-PNG/WAV/JPEG decode not implemented")
 
 
 def decode_fake(payload: bytes) -> np.ndarray:
@@ -371,6 +381,106 @@ _register(
            min((doc_id + i.i) % 256)::INT AS min_px,
            max((doc_id + i.i) % 256)::INT AS max_px
     FROM documents CROSS JOIN (SELECT unnest(range(0, {W * H})) AS i) i
+    WHERE doc_id < 200
+    GROUP BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Real-codec roundtrip #2: baseline JPEG (markers + canonical Huffman +
+# 8×8 DCT, functions/media_codec.py). JPEG is lossy in general, so the
+# oracle-gated fixture uses the one image class the integer pipeline
+# preserves bit-exactly: 8×8-block-CONSTANT images at quality 100
+# (all-ones quant table ⇒ each block is a DC-only spectrum carried
+# exactly through quantize/Huffman/dequantize/IDCT). That still
+# exercises every moving part — marker emit/parse, DC DIFF coding
+# across blocks, EOB runs, byte stuffing — with a closed-form SQL
+# oracle; textured-image fidelity (AC paths) is pinned by golden tests
+# in tests/test_media_codec.py.
+# ---------------------------------------------------------------------------
+
+JW = JH = 16  # JPEG fixture dims: 2×2 grid of 8×8 blocks
+_JBLK_STEP = 37  # block value stride (coprime to 256 → distinct values)
+
+
+def block_flat_media(
+    spark: SparkSession, sf_dir: str, limit: int = 200
+) -> DataFrame:
+    """Fixture: pixel (y,x) of media m = (m + 37·block) % 256 where
+    block = (y//8)*2 + (x//8) — constant over each 8×8 block.
+    Generated JVM-side (hex → unhex) like synthetic_media."""
+    m = F.col("doc_id")
+    blk = lambda i: ((i / JW).cast("int") / 8).cast("int") * 2 + (
+        (i % JW) / 8
+    ).cast("int")
+    payload_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(JW * JH - 1)),
+            lambda i: F.lpad(
+                F.lower(F.hex((m + _JBLK_STEP * blk(i)) % 256)), 2, "0"
+            ),
+        ),
+        "",
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(m < limit)
+        .select(
+            m.alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.unhex(payload_hex).alias("payload"),
+            F.struct(
+                F.lit(JW).alias("width"),
+                F.lit(JH).alias("height"),
+                F.lit(1).alias("channels"),
+                F.lit(1).alias("frames"),
+            ).alias("meta"),
+        )
+    )
+
+
+def encode_jpeg_stage(media: DataFrame, quality: int = 100) -> DataFrame:
+    """Re-encode fake-codec payloads as real baseline-JPEG payloads."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media_codec import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                w, h = meta["width"], meta["height"]
+                img = decode_fake(payload)[: w * h].reshape(h, w)
+                payloads.append(encode_jpeg(img, quality=quality))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return media.mapInPandas(encode, schema=media.schema)
+
+
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = encode_jpeg_stage(block_flat_media(spark, sf_dir), quality=100)
+    return image_stats_real(media).select(
+        "media_id", "n_bytes", F.round("mean_px", 6).alias("mean_px"),
+        "min_px", "max_px"
+    )
+
+
+_register(
+    "mm_jpeg_roundtrip",
+    mm_jpeg_roundtrip,
+    # Each 8×8 block holds 64 copies of (m + 37·b) % 256, b ∈ 0..3, so
+    # stats over pixels equal stats over the four block values (equal
+    # weights). Exact equality relies on the q=100 flat-block
+    # losslessness documented on the codec.
+    f"""
+    SELECT doc_id AS media_id,
+           {JW * JH} AS n_bytes,
+           round(avg((doc_id + {_JBLK_STEP} * b.b) % 256), 6) AS mean_px,
+           min((doc_id + {_JBLK_STEP} * b.b) % 256)::INT AS min_px,
+           max((doc_id + {_JBLK_STEP} * b.b) % 256)::INT AS max_px
+    FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
     WHERE doc_id < 200
     GROUP BY doc_id
     """,

@@ -1,4 +1,4 @@
-"""Stdlib PNG/WAV codec tests (functions/media_codec.py).
+"""Stdlib PNG/WAV + baseline JPEG codec tests (functions/media_codec.py).
 
 The decoder is exercised against scanline data filtered with ALL five
 PNG filter types — hand-assembled IDAT streams, not just our own
@@ -16,8 +16,10 @@ import pytest
 
 from etl_mapwarper_spark.functions.media_codec import (
     _paeth,
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_jpeg,
     encode_png,
     encode_wav,
     sniff_kind,
@@ -123,6 +125,9 @@ def test_wav_roundtrip_int16():
 def test_sniff_kind():
     assert sniff_kind(encode_png(np.zeros((2, 2), np.uint8))) == "png"
     assert sniff_kind(encode_wav(np.zeros(4, np.int16))) == "wav"
+    assert (
+        sniff_kind(encode_jpeg(np.zeros((8, 8), np.uint8))) == "jpeg"
+    )
     assert sniff_kind(b"\x00\x01\x02") == "unknown"
 
 
@@ -133,5 +138,110 @@ def test_decode_real_dispatch():
     assert np.array_equal(decode_real(encode_png(img), "image"), img)
     s = np.arange(16, dtype=np.int16)
     assert np.array_equal(decode_real(encode_wav(s), "audio"), s)
+    flat = np.full((8, 8), 93, dtype=np.uint8)
+    assert np.array_equal(
+        decode_real(encode_jpeg(flat, quality=100), "image"), flat
+    )
+    # video containers stay behind the documented stub contract
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0 fake jpeg", "image")
+        decode_real(b"\x00\x00\x00\x18ftypmp42 fake mp4", "video")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_exact_q100():
+    """All-ones quant (q=100) carries block-constant images bit-exactly
+    through DC-diff Huffman coding — the invariant mm_jpeg_roundtrip's
+    closed-form oracle relies on."""
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (7 + 37 * b) % 256
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
+    # negative DC diffs too (descending block values)
+    desc = np.repeat(
+        np.repeat(np.array([[200, 9], [130, 255]], np.uint8), 8, 0), 8, 1
+    )
+    assert np.array_equal(decode_jpeg(encode_jpeg(desc, quality=100)), desc)
+
+
+def test_jpeg_ramp_golden():
+    """Textured 8×8 (AC coefficients + category bits + ZRL-free runs):
+    decode must stay within ±1 at q=90 and match a pinned checksum —
+    the codec is deterministic, so any drift is a real change."""
+    ramp = (np.arange(64, dtype=np.int64).reshape(8, 8) * 3 % 256).astype(
+        np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(ramp, quality=90))
+    assert int(np.abs(dec.astype(int) - ramp.astype(int)).max()) <= 1
+    assert int(dec.astype(np.int64).sum()) == 6056
+
+
+def test_jpeg_grey_rgb_exact_q100():
+    """r=g=b maps to (Y=v, Cb=Cr=128) exactly under the JFIF transform,
+    so grey RGB roundtrips exactly at q=100 through the 3-component
+    interleaved scan."""
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (11 + 53 * b) % 256
+    rgb = np.stack([img] * 3, axis=-1)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=100))
+    assert dec.shape == (16, 16, 3)
+    assert np.array_equal(dec, rgb)
+
+
+def test_jpeg_color_roundtrip_tolerance():
+    """Smooth color image through the full YCbCr path at q=85: lossy,
+    but bounded — pins that quantization behaves sanely."""
+    y, x = np.mgrid[0:24, 0:24]
+    rgb = np.stack(
+        [(y * 5 + 40) % 200 + 28, (x * 5 + 80) % 200 + 28, ((x + y) * 3) % 200 + 28],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb, quality=85))
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert float(err.mean()) < 8.0
+    assert int(err.max()) < 64  # block-edge ringing bound
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    """Edge-replicated padding must crop back to the exact source dims."""
+    odd = (np.arange(10 * 13, dtype=np.int64) % 256).astype(np.uint8)
+    odd = odd.reshape(10, 13)
+    dec = decode_jpeg(encode_jpeg(odd, quality=100))
+    assert dec.shape == (10, 13)
+    assert int(np.abs(dec.astype(int) - odd.astype(int)).max()) <= 1
+
+
+def test_jpeg_byte_stuffing_exercised():
+    """A high-valued flat image produces 0xFF entropy bytes often
+    enough across many values to exercise stuffing; independently,
+    scan bytes must never contain a bare 0xFF before EOI."""
+    for v in range(0, 256, 17):
+        img = np.full((8, 8), v, dtype=np.uint8)
+        enc = encode_jpeg(img, quality=100)
+        scan = enc[enc.find(b"\xff\xda") + 2 :][:-2]
+        i = 0
+        # skip the SOS header (length-prefixed)
+        seg_len = int.from_bytes(scan[:2], "big")
+        body = scan[seg_len:]
+        while i < len(body):
+            if body[i] == 0xFF:
+                assert body[i + 1] == 0x00, "unstuffed 0xFF in scan"
+                i += 2
+            else:
+                i += 1
+        assert np.array_equal(decode_jpeg(enc), img)
+
+
+def test_jpeg_rejects_unsupported():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rebrand as progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG definitely not a jpeg")
