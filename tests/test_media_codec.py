@@ -245,3 +245,44 @@ def test_jpeg_rejects_unsupported():
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG definitely not a jpeg")
+
+
+# ---------------------------------------------------------------------------
+# JPEG property tests (hypothesis): decoder vs encoder over arbitrary
+# shapes/contents, not just the golden fixtures. q=100 keeps every
+# quantizer at 1, so the only loss is coefficient rounding — empirically
+# and analytically a |err| <= 2 bound per pixel; flat blocks are exact.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_q100_roundtrip_bounded(h, w, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=12
+    ),
+)
+def test_jpeg_flat_block_grid_exact(vals):
+    """Any grid of constant 8×8 blocks roundtrips exactly at q=100 —
+    the mm_jpeg_roundtrip oracle invariant, over arbitrary DC walks
+    (large positive and negative diffs through every size category)."""
+    n = len(vals)
+    img = np.zeros((8, 8 * n), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        img[:, 8 * i : 8 * (i + 1)] = v
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
