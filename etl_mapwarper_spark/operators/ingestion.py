@@ -16,6 +16,7 @@ with ``range()``. The reference's two scan modes are both covered:
 from __future__ import annotations
 
 import json
+import os
 import tempfile
 from urllib.parse import parse_qs, urlparse
 
@@ -824,5 +825,159 @@ _register(
            count(DISTINCT e.user_id) AS n_users
     FROM events e JOIN dim USING (event_type)
     GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# src_binaryfile_media — Spark's `binaryFile` format, THE ingestion
+# path for a media corpus at scale: each file becomes one row (path,
+# modificationTime, length, content) with parallelism by file and
+# `pathGlobFilter`/partition-dir pruning at the scan. At 100 TB the
+# scan distributes over millions of objects with no driver listing
+# bottleneck beyond the file index, and payloads stay opaque bytes on
+# the JVM side until an Arrow-batched decode stage needs them — the
+# same discipline as operators/multimodal.py.
+#
+# Fixture: a bounded (40-file) directory of REAL encoded media written
+# driver-side once per machine — 20 PNGs carrying the (m+i)%256
+# arithmetic pattern and 20 quality-100 block-flat JPEGs (the image
+# class the integer JPEG pipeline preserves exactly, see
+# functions/media_codec.py) — deterministic content at a fixed path so
+# the statically-registered oracle SQL can read the SAME files with
+# DuckDB's read_blob. The oracle cross-checks the scan itself
+# (octet_length(content) vs the scan's `length` column — real
+# compressed byte sizes, not synthetic) and the decoded stats against
+# the closed-form pixel arithmetic.
+# ---------------------------------------------------------------------------
+
+_BINMEDIA_N = 20  # files per format
+_BINMEDIA_DIR = os.path.join(
+    tempfile.gettempdir(), "spark_graft_binmedia_fixture_v1"
+)
+
+
+def _binmedia_fixture_dir() -> str:
+    """Write the deterministic media files once per machine (content is
+    a pure function of the file index, so concurrent writers race
+    benignly via write-to-temp + atomic rename). Pure Python file I/O —
+    no Spark jobs at construction."""
+    import numpy as np
+
+    from ..functions.media_codec import encode_jpeg, encode_png
+
+    os.makedirs(_BINMEDIA_DIR, exist_ok=True)
+    for m in range(_BINMEDIA_N):
+        png_path = os.path.join(_BINMEDIA_DIR, f"img_{m:03d}.png")
+        if not os.path.exists(png_path):
+            img = (
+                (m + np.arange(64, dtype=np.int64)) % 256
+            ).astype(np.uint8).reshape(8, 8)
+            tmp = png_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(encode_png(img))
+            os.replace(tmp, png_path)
+        jpg_path = os.path.join(_BINMEDIA_DIR, f"img_{m:03d}.jpg")
+        if not os.path.exists(jpg_path):
+            img = np.zeros((16, 16), dtype=np.uint8)
+            for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    m + 37 * b
+                ) % 256
+            tmp = jpg_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(encode_jpeg(img, quality=100))
+            os.replace(tmp, jpg_path)
+    return _BINMEDIA_DIR
+
+
+def src_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    path = _binmedia_fixture_dir()
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "img_*")
+        .load(path)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            "content",
+        )
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media_codec import (
+            decode_jpeg,
+            decode_png,
+            sniff_kind,
+        )
+
+        for pdf in batches:
+            kinds, means, mins, maxs = [], [], [], []
+            for payload in pdf["content"]:
+                raw = bytes(payload)
+                kind = sniff_kind(raw)
+                px = (
+                    decode_png(raw) if kind == "png" else decode_jpeg(raw)
+                ).ravel()
+                kinds.append(kind)
+                means.append(round(float(px.mean()), 6))
+                mins.append(int(px.min()))
+                maxs.append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "fname": pdf["fname"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "kind": kinds,
+                    "mean_px": means,
+                    "min_px": mins,
+                    "max_px": maxs,
+                }
+            )
+
+    return scan.mapInPandas(
+        stats,
+        schema=(
+            "fname string, n_bytes bigint, kind string, "
+            "mean_px double, min_px int, max_px int"
+        ),
+    )
+
+
+_binmedia_glob = _BINMEDIA_DIR.replace("'", "''") + "/img_*"
+_register(
+    "src_binaryfile_media",
+    src_binaryfile_media,
+    # read_blob sees the same files: the byte length is a REAL
+    # cross-check of the binary scan; the decoded stats are closed-form
+    # from the filename index (PNG is lossless; the JPEGs are q=100
+    # block-flat, preserved exactly by construction).
+    f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+             octet_length(content) AS n_bytes,
+             CASE WHEN filename LIKE '%.png' THEN 'png' ELSE 'jpeg' END
+               AS kind,
+             regexp_extract(filename, 'img_(\\d+)', 1)::INT AS m
+      FROM read_blob('{_binmedia_glob}')
+    ),
+    px AS (
+      SELECT fname, (m + i.i) % 256 AS v
+      FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+      WHERE kind = 'png'
+      UNION ALL
+      SELECT fname, (m + 37 * blk.b) % 256 AS v
+      FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
+      WHERE kind = 'jpeg'
+    )
+    SELECT b.fname, b.n_bytes, b.kind,
+           round(avg(v), 6) AS mean_px,
+           min(v)::INT AS min_px,
+           max(v)::INT AS max_px
+    FROM b JOIN px USING (fname)
+    GROUP BY 1, 2, 3
     """,
 )
