@@ -100,7 +100,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # q78_map_type_aggs, q79_try_functions, q80_calendar_arith,
 # q83_explode_outer_semantics, q85_chi2_independence, q86_skyline,
 # q87_mad_robust_stats, q88_argmax_aggregate, q92_modern_sql, plus
-# the late-r5 additions mm_jpeg_roundtrip and src_binaryfile_media,
+# the late-r5 additions mm_jpeg_roundtrip, src_binaryfile_media,
+# src_webdataset_roundtrip,
 # and q05_region_revenue (canary slot ceded this round). Fill the
 # other slots with canaries per the composition rule (and anything
 # r6 touches).

@@ -981,3 +981,122 @@ _register(
     GROUP BY 1, 2, 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# src_webdataset_roundtrip — WebDataset-style tar shards, the de-facto
+# packaging for multimodal training corpora (one tar per shard, one
+# member per sample, samples read sequentially at train time). Sink
+# half: shard assignment is a pure hash of the key (doc_id % N — the
+# ds_shard_manifest planning discipline), each shard's tar is written
+# by the executor holding that group via applyInPandas, with
+# DETERMINISTIC bytes (members in doc_id order, zeroed mtime/uid/gid)
+# so task retries are idempotent overwrites of identical content.
+# Source half: the shard directory is scanned back with binaryFile and
+# each tar is parsed member-by-member in an Arrow-batched stage.
+# The oracle computes the expected per-shard member stats straight
+# from the documents table (utf-8 member payloads ↔ octet_length), so
+# any loss or duplication anywhere in sink → bytes → scan → parse
+# fails value parity. At 100 TB: shards are written by whichever
+# executor owns the group (no driver fan-in), shard count scales with
+# the corpus, and the read side distributes per tar file.
+# ---------------------------------------------------------------------------
+
+_WDS_SHARDS = 4
+_WDS_LIMIT = 100
+
+
+def src_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    out_dir = tempfile.mkdtemp(prefix="wds_rt_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WDS_LIMIT)
+        .select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") % _WDS_SHARDS).cast("int").alias("shard"),
+        )
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = str(text).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(doc_id):06d}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(payload))
+        tmp = os.path.join(out_dir, f".shard_{shard:04d}.tar.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, os.path.join(out_dir, f"shard_{shard:04d}.tar"))
+        return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+    # sink action: one task per shard group writes its tar (bounded
+    # fixture; a real pipeline keys groups so each tar is ~target MB)
+    docs.groupBy("shard").applyInPandas(
+        write_shard, schema="shard int, n long"
+    ).write.mode("overwrite").format("noop").save()
+
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard_*.tar")
+        .load(out_dir)
+        .select("path", "content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import re
+        import tarfile
+
+        for pdf in batches:
+            out = {"shard": [], "doc_id": [], "member_bytes": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(re.search(r"shard_(\d+)\.tar", path).group(1))
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        out["shard"].append(shard)
+                        out["doc_id"].append(int(m.name.split(".")[0]))
+                        out["member_bytes"].append(int(m.size))
+            yield pd.DataFrame(out)
+
+    members = scan.mapInPandas(
+        parse, schema="shard int, doc_id bigint, member_bytes bigint"
+    )
+    return members.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("member_bytes").alias("payload_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_register(
+    "src_webdataset_roundtrip",
+    src_webdataset_roundtrip,
+    # expected stats straight from the source table: member payloads
+    # are the utf-8 text bytes, so octet_length is the member size.
+    f"""
+    SELECT (doc_id % {_WDS_SHARDS})::INT AS shard,
+           count(*) AS n_docs,
+           sum(octet_length(encode(text)))::BIGINT AS payload_bytes,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    WHERE doc_id < {_WDS_LIMIT}
+    GROUP BY 1
+    """,
+)
