@@ -101,7 +101,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # q83_explode_outer_semantics, q85_chi2_independence, q86_skyline,
 # q87_mad_robust_stats, q88_argmax_aggregate, q92_modern_sql, plus
 # the late-r5 additions mm_jpeg_roundtrip, src_binaryfile_media,
-# src_webdataset_roundtrip,
+# src_webdataset_roundtrip, src_compact_roundtrip,
 # and q05_region_revenue (canary slot ceded this round). Fill the
 # other slots with canaries per the composition rule (and anything
 # r6 touches).

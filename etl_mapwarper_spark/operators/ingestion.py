@@ -1100,3 +1100,101 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# src_compact_roundtrip — small-file compaction (sources/compaction.py),
+# the maintenance operation behind Delta OPTIMIZE / Iceberg
+# rewrite_data_files, exercised end-to-end under the oracle gate. An
+# incremental pipeline (streaming micro-batches, per-page REST landing)
+# accretes files far below the parquet row-group sweet spot; at 100 TB
+# a million 1 MB files means a million scan tasks and footer-read-
+# dominated I/O. The entry fragments a bounded document slice into 16
+# deliberately-tiny files, runs the measured-bytes compaction plan
+# (ceil(bytes / target) with a 128 MB target → exactly one output
+# file for a KB-scale fixture), and re-reads the compacted layout.
+# Parity is the whole contract: file counts are MEASURED from
+# input_file_name() on both layouts (16 → 1 is a literal oracle
+# expectation, honest because repartition(16) round-robins 400 rows
+# into 16 non-empty partitions and the fixture is orders of magnitude
+# under the target size), and the content checksums (rows, distinct
+# sources, doc_id sum, utf-8 text bytes) prove the rewrite lost and
+# duplicated nothing.
+# ---------------------------------------------------------------------------
+
+_COMPACT_LIMIT = 400
+_COMPACT_FRAGMENTS = 16
+
+
+def src_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.compaction import compact
+
+    base = tempfile.mkdtemp(prefix="compact_rt_")
+    frag_dir = os.path.join(base, "fragmented")
+    out_dir = os.path.join(base, "compacted")
+
+    # sink action: fragment the slice into 16 tiny files (the layout a
+    # micro-batch landing zone produces)
+    (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _COMPACT_LIMIT)
+        .select("doc_id", "source", "text")
+        .repartition(_COMPACT_FRAGMENTS)
+        .write.mode("overwrite")
+        .parquet(frag_dir)
+    )
+    # measured-bytes plan + narrow coalesce rewrite (no shuffle)
+    compact(spark, frag_dir, out_dir)
+
+    def layout_stats(path: str, label: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .select(
+                F.lit(label).alias("layout"),
+                F.input_file_name().alias("fname"),
+                "doc_id",
+                "source",
+                "text",
+            )
+            .groupBy("layout")
+            .agg(
+                F.countDistinct("fname").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("source").alias("n_sources"),
+                F.sum("doc_id").alias("sum_doc_id"),
+                F.sum(F.octet_length("text")).alias("text_bytes"),
+            )
+        )
+
+    return layout_stats(frag_dir, "fragmented").unionByName(
+        layout_stats(out_dir, "compacted")
+    )
+
+
+_register(
+    "src_compact_roundtrip",
+    src_compact_roundtrip,
+    # Content checksums straight from the source table — identical for
+    # both layouts because compaction must preserve contents exactly.
+    # File counts are the layout contract: 16 fragments in (round-robin
+    # repartition of 400 rows leaves no empty partition), 1 file out
+    # (KB-scale corpus, 128 MB target → plan_file_count == 1).
+    f"""
+    WITH slice AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE doc_id < {_COMPACT_LIMIT}
+    ),
+    sums AS (
+      SELECT count(*) AS n_rows,
+             count(DISTINCT source) AS n_sources,
+             sum(doc_id)::BIGINT AS sum_doc_id,
+             sum(octet_length(encode(text)))::BIGINT AS text_bytes
+      FROM slice
+    )
+    SELECT l.layout, l.n_files, s.n_rows, s.n_sources,
+           s.sum_doc_id, s.text_bytes
+    FROM (VALUES ('fragmented', {_COMPACT_FRAGMENTS}::BIGINT),
+                 ('compacted', 1::BIGINT)) AS l(layout, n_files)
+    CROSS JOIN sums s
+    """,
+)
