@@ -11,10 +11,16 @@ Scope (documented contract):
   of payloads the reference pipeline moves around.
 - WAV: PCM 8/16-bit mono/stereo via the stdlib ``wave`` module.
 - JPEG: baseline sequential DCT (SOF0), 8-bit, greyscale or 3-channel
-  YCbCr with 1×1 sampling (no subsampling), standard Annex-K Huffman
-  and quantization tables with libjpeg-style quality scaling.
-  Progressive (SOF2), restart intervals, subsampled chroma, and
-  arithmetic coding are out of scope → NotImplementedError.
+  YCbCr; standard Annex-K Huffman and quantization tables with
+  libjpeg-style quality scaling. The decoder handles arbitrary
+  integer sampling factors (4:4:4, 4:2:0, 4:2:2 — the dominant real
+  scraped-corpus layouts) with pixel-replication chroma upsampling,
+  resolves SOS scan entries to SOF components by component id (T.81
+  allows the orders to differ), and rejects streams referencing
+  undeclared quant/Huffman tables with ValueError. The encoder emits
+  4:4:4 by default and 4:2:0 (2×2-mean chroma downsample) on request.
+  Progressive (SOF2), restart intervals, and arithmetic coding are
+  out of scope → NotImplementedError.
 - MP4/video containers genuinely need external codecs →
   NotImplementedError (import-gated, same contract as before).
 
@@ -393,27 +399,95 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 mean chroma downsample (edge-padded to even dims first)."""
+    h, w = plane.shape
+    plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return np.round(
+        (
+            plane[0::2, 0::2]
+            + plane[0::2, 1::2]
+            + plane[1::2, 0::2]
+            + plane[1::2, 1::2]
+        )
+        / 4.0
+    )
+
+
+def _encode_block(
+    bw: "_BitWriter",
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dct: np.ndarray,
+    dc_enc: dict,
+    ac_enc: dict,
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8×8 block; returns new DC."""
+    spec = dct @ (block - 128.0) @ dct.T
+    q = np.round(spec / qtab).astype(np.int64)
+    zz = q.ravel()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_enc[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_enc[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        code, length = ac_enc[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """Encode HxW grey or HxWx3 RGB uint8 as baseline JFIF JPEG.
 
-    1×1 sampling for every component (no chroma subsampling); one
-    quantization table and one DC/AC Huffman table pair (Annex K,
+    ``subsampling="444"`` (default) emits 1×1 sampling for every
+    component; ``"420"`` emits 2×2 luma / 1×1 chroma with a 2×2-mean
+    chroma downsample (the dominant layout in real scraped corpora).
+    One quantization table and one DC/AC Huffman table pair (Annex K,
     quality-scaled) shared by all components.
     """
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
-        comps = [img.astype(np.float64)]
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
     elif img.ndim == 3 and img.shape[2] == 3:
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
         b = img[:, :, 2].astype(np.float64)
         # JFIF YCbCr, rounded to integers like any integer-input codec
-        comps = [
+        ycc = [
             np.round(0.299 * r + 0.587 * g + 0.114 * b),
             np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
             np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
         ]
-        comps = [np.clip(c, 0, 255) for c in comps]
+        ycc = [np.clip(c, 0, 255) for c in ycc]
+        if subsampling == "444":
+            planes = ycc
+            samp = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+            planes = [ycc[0], _downsample2(ycc[1]), _downsample2(ycc[2])]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
     h, w = img.shape[0], img.shape[1]
@@ -422,56 +496,41 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     dc_enc = _build_huffman(_DC_BITS, _DC_VALS)
     ac_enc = _build_huffman(_AC_BITS, _AC_VALS)
 
-    # pad to 8×8 multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # pad each component plane to its MCU-grid extent by edge replication
     padded = [
-        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps
+        np.pad(
+            p,
+            ((0, mcy * vi * 8 - p.shape[0]), (0, mcx * hi * 8 - p.shape[1])),
+            mode="edge",
+        )
+        for p, (hi, vi) in zip(planes, samp)
     ]
 
     bw = _BitWriter()
-    prev_dc = [0] * len(comps)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, comp in enumerate(padded):
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                spec = dct @ block @ dct.T
-                q = np.round(spec / qtab).astype(np.int64)
-                zz = q.ravel()[_ZIGZAG]
-                # DC difference
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_enc[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(bits, size)
-                # AC run-length
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, length = ac_enc[0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = ac_enc[(run << 4) | size]
-                    bw.write(code, length)
-                    bw.write(bits, size)
-                    run = 0
-                if run:
-                    code, length = ac_enc[0x00]  # EOB
-                    bw.write(code, length)
+    prev_dc = [0] * len(planes)
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (comp, (hi, vi)) in enumerate(zip(padded, samp)):
+                for v in range(vi):
+                    for u in range(hi):
+                        by, bx = my * vi + v, mx * hi + u
+                        block = comp[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ]
+                        prev_dc[ci] = _encode_block(
+                            bw, block, qtab, dct, dc_enc, ac_enc, prev_dc[ci]
+                        )
     bw.flush()
 
-    n_comp = len(comps)
+    n_comp = len(planes)
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
     dqt = bytes([0x00]) + bytes(int(v) for v in qtab.ravel()[_ZIGZAG])
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
-    for ci in range(n_comp):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1×1 sampling, qtab 0
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])  # id, sampling, qtab 0
     dht = (
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
@@ -492,11 +551,50 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     )
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1×1 sampling).
+def _decode_block(
+    br: "_BitReader",
+    qtab: np.ndarray,
+    dct: np.ndarray,
+    dc_tab: dict,
+    ac_tab: dict,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode + dequantize + IDCT one 8×8 block."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = br.read_code(dc_tab)
+    dc = prev_dc + _extend(br.read_bits(size), size)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = br.read_code(ac_tab)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    spec = np.zeros(64, dtype=np.float64)
+    spec[_ZIGZAG] = zz * qtab.ravel()[_ZIGZAG]
+    return dct.T @ spec.reshape(8, 8) @ dct + 128.0, dc
 
-    Returns HxW for one component, HxWx3 RGB for three. Progressive,
-    subsampled, restart-interval, and arithmetic-coded streams raise
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0, 8-bit).
+
+    Returns HxW for one component, HxWx3 RGB for three. Sampling
+    factors are general (4:4:4 / 4:2:0 / 4:2:2 / ...): subsampled
+    components are upsampled by integer pixel replication. SOS scan
+    entries are resolved to SOF components by component id — T.81
+    permits the SOS to list components in a different order than SOF,
+    and the MCU loop follows SOS order. Streams referencing undeclared
+    quant/Huffman tables or undeclared component ids raise ValueError
+    (corrupt input), matching the decoder's error contract.
+    Progressive, restart-interval, and arithmetic-coded streams raise
     NotImplementedError — the documented scope boundary.
     """
     if payload[:2] != b"\xff\xd8":
@@ -505,10 +603,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
-    comps: list[tuple[int, int]] = []  # (component id, qtab id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
     h = w = None
     scan: bytes | None = None
-    scan_tabs: list[tuple[int, int]] = []
+    scan_comps: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -540,11 +638,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit precision supported")
             for ci in range(n_comp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (1×1 only)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, sampling >> 4, sampling & 0xF, tq))
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -558,61 +652,83 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:
             ns = body[0]
             for ci in range(ns):
-                _cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
-                scan_tabs.append((tabs >> 4, tabs & 0xF))
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_comps.append((cid, tabs >> 4, tabs & 0xF))
             scan = payload[pos + 2 + length :]
             break
         pos += 2 + length
     if scan is None or h is None:
         raise ValueError("missing SOS/SOF0 segment")
 
+    # Resolve each SOS entry to its SOF component by cid and validate
+    # every referenced table exists (corrupt input → ValueError).
+    sof_by_cid = {c[0]: c for c in comps}
+    if len(sof_by_cid) != len(comps):
+        raise ValueError("duplicate component id in SOF")
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved / multi-scan baseline unsupported"
+        )
+    order: list[tuple[int, int, int, np.ndarray, dict, dict]] = []
+    for cid, td, ta in scan_comps:
+        if cid not in sof_by_cid:
+            raise ValueError(f"SOS references undeclared component id {cid}")
+        _, hi, vi, tq = sof_by_cid[cid]
+        if tq not in qtabs:
+            raise ValueError(f"undefined quantization table {tq}")
+        if td not in dc_tabs:
+            raise ValueError(f"undefined DC Huffman table {td}")
+        if ta not in ac_tabs:
+            raise ValueError(f"undefined AC Huffman table {ta}")
+        order.append((cid, hi, vi, qtabs[tq], dc_tabs[td], ac_tabs[ta]))
+    hmax = max(o[1] for o in order)
+    vmax = max(o[2] for o in order)
+    for cid, hi, vi, *_ in order:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer upsampling ratio for component {cid} "
+                f"({hi}×{vi} vs max {hmax}×{vmax})"
+            )
+
     dct = _dct_matrix()
     br = _BitReader(scan)
-    bh, bwd = -(-h // 8), -(-w // 8)
-    planes = [
-        np.zeros((bh * 8, bwd * 8), dtype=np.float64) for _ in comps
-    ]
-    prev_dc = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bwd):
-            for ci, (_cid, tq) in enumerate(comps):
-                dc_tab = dc_tabs[scan_tabs[ci][0]]
-                ac_tab = ac_tabs[scan_tabs[ci][1]]
-                zz = np.zeros(64, dtype=np.int64)
-                size = br.read_code(dc_tab)
-                prev_dc[ci] += _extend(br.read_bits(size), size)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = br.read_code(ac_tab)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                spec = np.zeros(64, dtype=np.float64)
-                spec[_ZIGZAG] = zz * qtabs[tq].ravel()[_ZIGZAG]
-                block = dct.T @ spec.reshape(8, 8) @ dct + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [
-        np.clip(np.round(p[:h, :w]), 0, 255) for p in planes
-    ]
-    if len(planes) == 1:
-        return planes[0].astype(np.uint8)
-    if len(planes) == 3:
-        y, cb, cr = planes
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcy * vi * 8, mcx * hi * 8), dtype=np.float64)
+        for cid, hi, vi, *_ in order
+    }
+    prev_dc = {cid: 0 for cid, *_ in order}
+    for my in range(mcy):
+        for mx in range(mcx):
+            for cid, hi, vi, qtab, dc_tab, ac_tab in order:
+                for v in range(vi):
+                    for u in range(hi):
+                        block, prev_dc[cid] = _decode_block(
+                            br, qtab, dct, dc_tab, ac_tab, prev_dc[cid]
+                        )
+                        by, bx = my * vi + v, mx * hi + u
+                        planes[cid][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = block
+
+    # Crop each plane to its true component extent (T.81 A.1.1:
+    # ceil(dim * factor / max factor)), replicate up, crop to h×w.
+    out = []
+    for cid, hi, vi, _tq in comps:  # output in SOF order (Y, Cb, Cr)
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        p = planes[cid][:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(np.clip(np.round(p[:h, :w]), 0, 255))
+    if len(out) == 1:
+        return out[0].astype(np.uint8)
+    if len(out) == 3:
+        y, cb, cr = out
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
         rgb = np.stack([r, g, b], axis=-1)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    raise NotImplementedError(f"{len(planes)}-component JPEG unsupported")
+    raise NotImplementedError(f"{len(out)}-component JPEG unsupported")
 
 
 def sniff_kind(payload: bytes) -> str:

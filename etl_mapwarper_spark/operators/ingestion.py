@@ -15,6 +15,7 @@ with ``range()``. The reference's two scan modes are both covered:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -839,55 +840,95 @@ _register(
 # the JVM side until an Arrow-batched decode stage needs them — the
 # same discipline as operators/multimodal.py.
 #
-# Fixture: a bounded (40-file) directory of REAL encoded media written
+# Fixture: a bounded (60-file) directory of REAL encoded media written
 # driver-side once per machine — 20 PNGs carrying the (m+i)%256
-# arithmetic pattern and 20 quality-100 block-flat JPEGs (the image
-# class the integer JPEG pipeline preserves exactly, see
-# functions/media_codec.py) — deterministic content at a fixed path so
-# the statically-registered oracle SQL can read the SAME files with
+# arithmetic pattern, 20 quality-100 block-flat 4:4:4 JPEGs, and 20
+# quality-100 MCU-flat grey-RGB 4:2:0 JPEGs (both image classes the
+# integer JPEG pipeline preserves exactly, see functions/media_codec.py
+# — grey RGB maps to Cb=Cr=128 exactly so 2×2 chroma averaging is
+# lossless) — deterministic content at a fixed path so the
+# statically-registered oracle SQL can read the SAME files with
 # DuckDB's read_blob. The oracle cross-checks the scan itself
 # (octet_length(content) vs the scan's `length` column — real
 # compressed byte sizes, not synthetic) and the decoded stats against
 # the closed-form pixel arithmetic.
+#
+# SHARED-FS NOTE: the fixture lives in the driver's local temp dir and
+# is read back with binaryFile — correct on local[k] (driver and
+# executors share the filesystem). On a real cluster the fixture dir
+# would have to live on shared storage (s3/hdfs/nfs); the directory
+# constant is the single knob.
 # ---------------------------------------------------------------------------
 
 _BINMEDIA_N = 20  # files per format
-_BINMEDIA_DIR = os.path.join(
-    tempfile.gettempdir(), "spark_graft_binmedia_fixture_v1"
+# The dir name embeds a hash of the generation parameters: changing
+# the count or pixel patterns lands in a FRESH directory instead of
+# silently reusing stale files (r5 ADVICE).
+_BINMEDIA_PARAMS = (
+    f"v2:n={_BINMEDIA_N}"
+    ":png=8x8 (m+i)%256"
+    ":jpeg=q100 16x16 4-flat-blocks (m+37b)%256"
+    ":jpeg420=q100 32x32x3 grey 4-flat-MCUs (m+61b)%256"
 )
+_BINMEDIA_DIR = os.path.join(
+    tempfile.gettempdir(),
+    "spark_graft_binmedia_"
+    + hashlib.sha256(_BINMEDIA_PARAMS.encode()).hexdigest()[:16],
+)
+
+
+def _binmedia_files(m: int) -> dict[str, bytes]:
+    """The three deterministic encoded files for index ``m``."""
+    import numpy as np
+
+    from ..functions.media_codec import encode_jpeg, encode_png
+
+    png = (
+        (m + np.arange(64, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(8, 8)
+    jpg = np.zeros((16, 16), dtype=np.uint8)
+    j420 = np.zeros((32, 32, 3), dtype=np.uint8)
+    for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        jpg[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (m + 37 * b) % 256
+        j420[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16, :] = (
+            m + 61 * b
+        ) % 256
+    return {
+        f"img_{m:03d}.png": encode_png(png),
+        f"img_{m:03d}.jpg": encode_jpeg(jpg, quality=100),
+        f"img_{m:03d}_420.jpg": encode_jpeg(
+            j420, quality=100, subsampling="420"
+        ),
+    }
 
 
 def _binmedia_fixture_dir() -> str:
     """Write the deterministic media files once per machine (content is
     a pure function of the file index, so concurrent writers race
-    benignly via write-to-temp + atomic rename). Pure Python file I/O —
-    no Spark jobs at construction."""
-    import numpy as np
-
-    from ..functions.media_codec import encode_jpeg, encode_png
-
+    benignly via write-to-temp + atomic rename). The m==0 files are
+    verified byte-for-byte as sentinels: a foreign or corrupt
+    pre-created directory is regenerated rather than trusted. Pure
+    Python file I/O — no Spark jobs at construction."""
     os.makedirs(_BINMEDIA_DIR, exist_ok=True)
+
+    def write(name: str, payload: bytes) -> None:
+        tmp = os.path.join(_BINMEDIA_DIR, f".{name}.tmp{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(_BINMEDIA_DIR, name))
+
+    sentinel_ok = True
+    for name, payload in _binmedia_files(0).items():
+        try:
+            with open(os.path.join(_BINMEDIA_DIR, name), "rb") as f:
+                sentinel_ok = sentinel_ok and f.read() == payload
+        except OSError:
+            sentinel_ok = False
     for m in range(_BINMEDIA_N):
-        png_path = os.path.join(_BINMEDIA_DIR, f"img_{m:03d}.png")
-        if not os.path.exists(png_path):
-            img = (
-                (m + np.arange(64, dtype=np.int64)) % 256
-            ).astype(np.uint8).reshape(8, 8)
-            tmp = png_path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(encode_png(img))
-            os.replace(tmp, png_path)
-        jpg_path = os.path.join(_BINMEDIA_DIR, f"img_{m:03d}.jpg")
-        if not os.path.exists(jpg_path):
-            img = np.zeros((16, 16), dtype=np.uint8)
-            for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    m + 37 * b
-                ) % 256
-            tmp = jpg_path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(encode_jpeg(img, quality=100))
-            os.replace(tmp, jpg_path)
+        for name, payload in _binmedia_files(m).items():
+            path = os.path.join(_BINMEDIA_DIR, name)
+            if not sentinel_ok or not os.path.exists(path):
+                write(name, payload)
     return _BINMEDIA_DIR
 
 
@@ -953,8 +994,10 @@ _register(
     src_binaryfile_media,
     # read_blob sees the same files: the byte length is a REAL
     # cross-check of the binary scan; the decoded stats are closed-form
-    # from the filename index (PNG is lossless; the JPEGs are q=100
-    # block-flat, preserved exactly by construction).
+    # from the filename index (PNG is lossless; the 4:4:4 JPEGs are
+    # q=100 block-flat and the 4:2:0 JPEGs q=100 MCU-flat grey-RGB,
+    # both preserved exactly by construction — equal-size flat regions,
+    # so block-level averages equal pixel-level averages).
     f"""
     WITH b AS (
       SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
@@ -971,7 +1014,11 @@ _register(
       UNION ALL
       SELECT fname, (m + 37 * blk.b) % 256 AS v
       FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
-      WHERE kind = 'jpeg'
+      WHERE kind = 'jpeg' AND fname NOT LIKE '%420.jpg'
+      UNION ALL
+      SELECT fname, (m + 61 * blk.b) % 256 AS v
+      FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
+      WHERE fname LIKE '%420.jpg'
     )
     SELECT b.fname, b.n_bytes, b.kind,
            round(avg(v), 6) AS mean_px,
@@ -1000,6 +1047,13 @@ _register(
 # fails value parity. At 100 TB: shards are written by whichever
 # executor owns the group (no driver fan-in), shard count scales with
 # the corpus, and the read side distributes per tar file.
+#
+# SHARED-FS NOTE: this fixture lands shards in a driver-created LOCAL
+# temp dir that executor tasks write into and binaryFile re-reads —
+# valid only because driver and executors share a filesystem on
+# local[k]. On a real cluster the landing path must be shared storage
+# (s3a://.../shards, hdfs, nfs); swap `out_dir` for a scratch URI and
+# the plan is unchanged.
 # ---------------------------------------------------------------------------
 
 _WDS_SHARDS = 4
@@ -1120,6 +1174,12 @@ _register(
 # under the target size), and the content checksums (rows, distinct
 # sources, doc_id sum, utf-8 text bytes) prove the rewrite lost and
 # duplicated nothing.
+#
+# SHARED-FS NOTE: the fragmented/compacted layouts live under a
+# driver-created local temp dir — fine on local[k] where driver and
+# executors share the filesystem; on a real cluster both paths would
+# be shared storage (which is also where small-file accretion actually
+# happens).
 # ---------------------------------------------------------------------------
 
 _COMPACT_LIMIT = 400

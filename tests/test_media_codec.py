@@ -286,3 +286,147 @@ def test_jpeg_flat_block_grid_exact(vals):
     for i, v in enumerate(vals):
         img[:, 8 * i : 8 * (i + 1)] = v
     assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 chroma subsampling (round-6 extension), SOS/SOF component-id
+# matching, and the corrupt-table ValueError contract.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_420_grey_rgb_exact_q100():
+    """Grey-valued RGB (r=g=b) maps to (Y=v, Cb=Cr=128) EXACTLY under
+    the JFIF transform, so 2×2 chroma averaging is lossless and the
+    q=100 4:2:0 roundtrip of MCU-constant images is bit-exact."""
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        img[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16, :] = (
+            40 + 61 * b
+        ) % 256
+    enc = encode_jpeg(img, quality=100, subsampling="420")
+    # header really declares 2×2 luma sampling
+    sof = enc.find(b"\xff\xc0")
+    assert enc[sof + 10] == 1 and enc[sof + 11] == 0x22  # Y: id 1, 2×2
+    assert enc[sof + 14] == 0x11 and enc[sof + 17] == 0x11  # Cb/Cr 1×1
+    dec = decode_jpeg(enc)
+    assert np.array_equal(dec, img)
+
+
+def test_jpeg_420_odd_dims_roundtrip():
+    """Non-multiple-of-16 dims: MCU padding + component-extent crop."""
+    rng = np.random.RandomState(7)
+    grey = rng.randint(0, 256, size=(19, 23)).astype(np.uint8)
+    img = np.stack([grey, grey, grey], axis=-1)
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    assert dec.shape == img.shape
+    # grey RGB → chroma constant 128 → only luma rounding error remains
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_420_color_tolerance():
+    """Smoothly-varying color at q=90 stays within the usual JPEG
+    tolerance even with chroma decimated 2×2 + replicated back."""
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack(
+        [
+            (128 + 4 * (xx // 8)).astype(np.uint8),
+            (128 + 4 * (yy // 8)).astype(np.uint8),
+            np.full((32, 32), 96, dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert dec.shape == img.shape
+    assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 8.0
+
+
+def test_jpeg_sos_order_differs_from_sof():
+    """T.81 allows SOS to list components in a different order than
+    SOF; the decoder must match by component id and walk the MCU in
+    SOS order. Constant planes make the expected swap closed-form:
+    with the scan bytes carrying (Y=228, Cb=128, Cr=128) but the SOS
+    relabeled (3, 2, 1), a cid-matching decoder assigns the first
+    block to Cr, giving YCbCr=(128,128,228) → RGB (255, 57, 128)."""
+    img = np.full((8, 8, 3), 228, dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img, quality=100))
+    sos = enc.find(b"\xff\xda")
+    assert enc[sos + 5] == 1 and enc[sos + 7] == 2 and enc[sos + 9] == 3
+    enc[sos + 5], enc[sos + 9] = 3, 1  # swap first/third scan cids
+    dec = decode_jpeg(bytes(enc))
+    y, cb, cr = 128.0, 128.0, 228.0
+    exp = np.clip(
+        np.round(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert np.array_equal(dec, np.broadcast_to(exp, (8, 8, 3)))
+
+
+def test_jpeg_undefined_tables_raise_valueerror():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    sos = enc.find(b"\xff\xda")
+    bad = bytearray(enc)
+    bad[sos + 6] = 0x31  # DC table 3, AC table 1: neither defined
+    with pytest.raises(ValueError, match="undefined DC Huffman table 3"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(enc)
+    bad[sos + 6] = 0x01  # AC table 1 undefined
+    with pytest.raises(ValueError, match="undefined AC Huffman table 1"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(enc)
+    sof = enc.find(b"\xff\xc0")
+    bad[sof + 12] = 2  # component references quant table 2
+    with pytest.raises(ValueError, match="undefined quantization table 2"):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(enc)
+    bad[sos + 5] = 9  # SOS names a component id SOF never declared
+    with pytest.raises(ValueError, match="undeclared component id 9"):
+        decode_jpeg(bytes(bad))
+
+
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=25, deadline=None)
+@_given(
+    h=_st.integers(min_value=1, max_value=40),
+    w=_st.integers(min_value=1, max_value=40),
+    seed=_st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_420_q100_roundtrip_bounded(h, w, seed):
+    """Property: grey-valued RGB roundtrips through 4:2:0 q=100 within
+    the luma rounding bound for ARBITRARY shapes (odd dims, single
+    pixels, non-MCU multiples) — chroma is exactly 128 throughout, so
+    subsampling adds zero error and the 4:4:4 bound carries over."""
+    rng = np.random.RandomState(seed)
+    grey = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    img = np.stack([grey, grey, grey], axis=-1)
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+@_settings(max_examples=20, deadline=None)
+@_given(
+    vals=_st.lists(
+        _st.integers(min_value=0, max_value=255), min_size=1, max_size=8
+    ),
+)
+def test_jpeg_420_flat_mcu_grid_exact(vals):
+    """Any horizontal strip of constant 16×16 grey MCUs roundtrips
+    exactly at q=100 under 4:2:0 — the src_binaryfile_media 4:2:0
+    fixture invariant, over arbitrary DC walks."""
+    n = len(vals)
+    img = np.zeros((16, 16 * n, 3), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        img[:, 16 * i : 16 * (i + 1), :] = v
+    dec = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    assert np.array_equal(dec, img)
