@@ -1485,9 +1485,11 @@ def q89_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the q35 shape; r1-r4 used a row_number window whose WindowExec
     # overhead was ~0.2 s of the query at sf0.1, and a split
     # two-branch join was measured slower still — the broadcast build
-    # serializes the branches). Exact values materialize per group on
-    # one reducer, the same bound the windowed sort had; the sketch
-    # alone is what survives when groups outgrow an executor.
+    # serializes the branches). Exact values materialize per group as
+    # ONE in-memory array on one reducer — faster than the windowed
+    # sort but, unlike it, not spillable: valid only while each
+    # group's values fit executor memory. The sketch alone is what
+    # survives when groups outgrow an executor.
     g = li.groupBy("l_returnflag").agg(
         F.array_sort(F.collect_list("cents")).alias("_vals"),
         F.count(F.lit(1)).alias("_n"),

@@ -132,11 +132,13 @@ _register(
 # partial collect → one tiny exchange → JVM-intrinsic array_sort +
 # element_at: 0.48 s → 0.32 s at sf0.1.
 #
-# Scale: each group's values materialize on ONE reducer — exactly the
-# bound the window form had (its per-group sort also ran on one
-# reducer), so nothing is lost vs r4; both are valid while every
-# group fits an executor (few bounded groups here). For huge groups
-# the two-phase bucketed q76 is the 100-TB path, unchanged.
+# Scale: each group's values materialize on ONE reducer, and —
+# unlike the window-sort form, which spills its sort runs to disk —
+# collect_list buffers the group as a single in-memory array, so the
+# array form TRADES spillability for speed: it is only valid while
+# every group's values fit executor memory (few bounded groups here).
+# A group that outgrows memory OOMs rather than degrading. For huge
+# groups the two-phase bucketed q76 is the 100-TB path, unchanged.
 # Interpolation uses DuckDB quantile_cont's exact formula
 # (lo + (hi−lo)·frac) so doubles match bit-for-bit before rounding.
 # ---------------------------------------------------------------------------
