@@ -91,86 +91,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # family-completing picks: st_*, mm_*, src_*, sim_*, tx_*, ds_*,
 # mw_tile_coords, q91).
 #
-# ROUND-6 ROTATION TODO — the 23 still-never-checked entries (keys
-# absent from all CORRECTNESS_r0[1-5].json): dd_cdc_chunks,
-# dd_incremental_dedup, dd_semantic_clusters, sim_pq_recall,
-# sim_norm_report, sim_radius_search, tx_ndcg_eval, tx_js_divergence,
-# ds_pack_sequences, ds_token_budget_planner, ds_epoch_shuffle,
-# mm_av_sync_check, q64_small_qty_revenue, q77_notin_null_semantics,
-# q78_map_type_aggs, q79_try_functions, q80_calendar_arith,
-# q83_explode_outer_semantics, q85_chi2_independence, q86_skyline,
-# q87_mad_robust_stats, q88_argmax_aggregate, q92_modern_sql, plus
-# the late-r5 additions mm_jpeg_roundtrip, src_binaryfile_media,
-# src_webdataset_roundtrip, src_compact_roundtrip,
-# and q05_region_revenue (canary slot ceded this round). Fill the
-# other slots with canaries per the composition rule (and anything
-# r6 touches).
+# Round-6 window: the FINAL rotation — after this, every one of the
+# 258 registry entries has a driver-green row in some round and the
+# evidence ledger closes. Composition: all 28 never-driver-checked
+# entries (23 pre-r5 + the 5 late-r5 additions; the late-r5 media
+# entries also had code/oracle changes THIS round: the JPEG codec
+# grew general sampling factors + SOS/SOF cid matching, and the
+# binmedia fixture gained a 4:2:0 family + content-hashed dir) + 1
+# entry whose code changed this round (tx_tfidf_top_terms — the
+# n_docs count branch moved off the parallelized scan; r5 driver
+# evidence voided) + q89_approx_quantiles (code UNchanged — kept in
+# the window as the re-measured sketch-constant survivor) + 20
+# canaries re-checking earlier driver greens so every family
+# (q/mw/dd/sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window.
 _PRIORITY = [
-    # canaries: earlier driver greens re-checked across families
+    # --- never-driver-checked (28): the ledger-closing set ---
+    "dd_cdc_chunks",
+    "dd_incremental_dedup",
+    "dd_semantic_clusters",
+    "ds_epoch_shuffle",
+    "ds_pack_sequences",
+    "ds_token_budget_planner",
+    "mm_av_sync_check",
+    "mm_jpeg_roundtrip",  # codec code changed r6 (sampling factors)
+    "mw_gcp_transform_tps",
+    "q64_small_qty_revenue",
+    "q77_notin_null_semantics",
+    "q78_map_type_aggs",
+    "q79_try_functions",
+    "q80_calendar_arith",
+    "q83_explode_outer_semantics",
+    "q85_chi2_independence",
+    "q86_skyline",
+    "q87_mad_robust_stats",
+    "q88_argmax_aggregate",
+    "q92_modern_sql",
+    "sim_norm_report",
+    "sim_pq_recall",
+    "sim_radius_search",
+    "src_binaryfile_media",  # fixture+oracle changed r6 (4:2:0 family)
+    "src_compact_roundtrip",
+    "src_webdataset_roundtrip",
+    "tx_js_divergence",
+    "tx_ndcg_eval",
+    # --- bench-item rows (tfidf code changed r6; q89 re-measured) ---
+    "tx_tfidf_top_terms",  # n_docs branch off the parallelized scan
+    "q89_approx_quantiles",  # unchanged; sketch constant documented
+    # --- canaries (20): every family to >= 2 window rows ---
     "q01_pricing_summary",
-    "q22_asof_last_order",  # code changed r5: packing guard
+    "q22_asof_last_order",
+    "q35_price_percentiles",
+    "q91_sql_interface",
     "mw_map_objects",
     "dd_minhash_lsh",
+    "dd_pagerank_centrality",
+    "sim_ivfpq_topk",
+    "sim_knn_graph",
+    "tx_kneser_ney_logprob",
+    "ds_llm_pipeline",
+    "mm_audio_autocorr",
+    "mm_phash_neardups",
     "st_dq_gate",
+    "st_incremental_dedup",
+    "src_dpp_join",
+    "dq_observed_metrics",
+    "dq_skew_report",
     "pipe_map_objects",
     "pipe_relations",
-    # code changed r5 — prior driver evidence voided (q05's canary
-    # slot ceded to tx_bigram_logprob; the q family keeps 8+ window
-    # rows via q01/q22/q35/q89/q90/q91/q93)
-    "q35_price_percentiles",  # sorted-array percentile rewrite
-    "dd_ngram_jaccard",  # PPJoin prefix-filtered exact path
-    "tx_bigram_logprob",  # two-pass tagged-explode LM rewrite
-    # --- never-driver-checked: round-4 additions (27) ---
-    # data-quality reports
-    "dq_observed_metrics",
-    "dq_freshness_report",
-    "dq_skew_report",
-    "dq_column_profile",
-    # sources
-    "src_xml_roundtrip",
-    # multimodal audio
-    "mm_audio_autocorr",  # oracle changed r5: full-window bound
-    "mm_audio_zcr",
-    # dedup additions
-    "dd_ngram_jaccard_capped",
-    "dd_bbit_minhash_lsh",
-    "dd_soft_dedup_weights",
-    "dd_bloom_incremental",
-    "dd_substring_span_pairs",
-    # similarity additions
-    "sim_ivfpq_topk",
-    "sim_ivfpq_recall",
-    "sim_int8_quantize_report",
-    # text/LM additions
-    "tx_kneser_ney_logprob",
-    "tx_bpe_fertility",
-    "tx_logreg_train_steps",
-    # dataset-pipeline additions
-    "ds_split_manifest",
-    "ds_global_row_ids",
-    "ds_shard_manifest",
-    "ds_source_cap",
-    "ds_dsir_importance",
-    "ds_contamination_report",
-    # relational additions
-    "q89_approx_quantiles",
-    "q93_asof_nearest",  # code changed r5: packing guard
-    # streaming addition
-    "st_incremental_dedup",  # oracle changed r5: streamed-driven agg
-    # --- never-driver-checked: earlier-round entries (17) ---
-    "q90_asof_forward",  # code changed r5: packing guard
-    "dd_pagerank_centrality",  # code changed r5: skew salting
-    "dd_triangle_count",  # code changed r5: skew salting
-    "mw_tile_coords",
-    "st_cms_topk",
-    "st_rest_incremental",
-    "mm_phash_neardups",
-    "src_pyds_write_roundtrip",
-    "src_dpp_join",
-    "sim_knn_graph",
-    "tx_pii_redact",
-    "ds_decontaminate",
-    "q91_sql_interface",
 ]
 
 

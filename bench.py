@@ -104,9 +104,33 @@ _ROUND4_ADDITIONS = [
 BENCH_QUERIES += _ROUND4_ADDITIONS
 
 
+def _load_state() -> dict:
+    """Host-load snapshot recorded alongside the numbers (r5 verdict
+    item 7): the r4→r5 history showed 0.2-0.4 of the vs_oracle ratio
+    is host noise, so every BENCH entry carries the 1-minute load
+    average at start and a single-thread CPU probe (a fixed pure-
+    Python spin whose wall-time scales with steal/contention —
+    ~0.1 s on an idle host here; 2× that means the host was busy)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    probe = round(time.perf_counter() - t0, 3)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {
+        "loadavg_1m": load1,
+        "cpu_probe_sec": probe,
+        "ncpus": os.cpu_count(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_state_start = _load_state()
     spark = get_spark("bench", sf_dir=sf_dir)
 
     # Warm the session: first job pays scheduler/codegen bring-up, the
@@ -230,6 +254,11 @@ def main() -> None:
                 else None,
                 "core43_missing_oracles": core_missing,
                 "methodology": f"noop sink; warmed session; construction-action-free queries (pinned by test) timed over execution only; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
+                "load_state": {
+                    "start": load_state_start,
+                    "end": _load_state(),
+                    "note": "cpu_probe_sec ~0.1 idle; inflation means concurrent load was present during this bench",
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

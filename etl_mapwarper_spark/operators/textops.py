@@ -392,8 +392,14 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = Window.partitionBy("term")
     # doc_id is the table's key, so corpus size is a plain count (a
-    # count_distinct here would pay an extra shuffle for nothing)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # count_distinct here would pay an extra shuffle for nothing).
+    # Counted off a FRESH pristine scan, not the parallelized `docs`:
+    # the tokenize branch wants the repartition, but the count branch
+    # was paying that same 116k-row shuffle just to emit one number —
+    # a zero-column parquet count needs no repartition (r5 bench item).
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     scored = (
         term_lang.withColumn("df", F.sum("df_part").over(wt))
         .crossJoin(F.broadcast(n_docs))
