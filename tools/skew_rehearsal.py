@@ -1,0 +1,153 @@
+"""Skew-stress scaling rehearsal (r5 verdict item 4): no sf1 testdata
+exists, so generate a synthetic corpus with the SAME generator at two
+scales (base ~ sf0.1's 5k docs, and 10x) and measure how the
+shuffle-heavy families' wall-time scales. The corpus is deliberately
+hostile in the two ways a real scraped corpus is:
+
+- a HUB cluster of N/50 byte-identical documents ("the same page
+  uploaded a thousand times") — at 10x that is a degree-999 node in
+  the simhash similarity graph, i.e. a 1000-clique: the worst case
+  for candidate-join fan-out, salted rank joins, and wedge
+  generation;
+- a boilerplate-heavy source (4% of docs share a fixed 40-token
+  paragraph with a tiny unique suffix) — hot shingles that stress
+  the df-cap path in dd_ngram_jaccard_capped and LSH bucket skew.
+
+Vocabulary, language mix, source fan-out, and text lengths mirror
+/root/testdata/sf0.1/documents.parquet so per-row costs are
+comparable; lengths are drawn from the same 44-577 char band.
+
+Usage:
+  python tools/skew_rehearsal.py            # generate both scales + run
+  python tools/skew_rehearsal.py gen        # generate only
+Writes parquet under /tmp/spark_graft_rehearsal/{base,10x}/ and
+prints one JSON line per (entry, scale) plus a scaling summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_N = 5_000
+SCALES = {"base": BASE_N, "10x": 10 * BASE_N}
+ROOT = "/tmp/spark_graft_rehearsal"
+ENTRIES = [
+    "dd_ngram_jaccard_capped",
+    "dd_pagerank_centrality",
+    "dd_triangle_count",
+    "ds_llm_pipeline",
+]
+SEED = 20260815
+
+LANGS = ["en", "de", "zh", "fr", "es"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+
+
+def _vocab() -> list[str]:
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS t"
+        " FROM '/root/testdata/sf0.1/documents.parquet' ORDER BY t"
+    ).fetchall()
+    return [r[0] for r in rows if r[0]]
+
+
+def generate(n: int, out_dir: str) -> str:
+    """Deterministic skewed corpus: hub clique (n/50 identical docs),
+    boilerplate source (4%), rest random text from the sf0.1 vocab."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(SEED)
+    vocab = np.array(_vocab())
+    hub_n = n // 50
+    boiler_n = n // 25
+    hub_text = " ".join(rng.choice(vocab, size=60))
+    boiler = " ".join(rng.choice(vocab, size=40))
+
+    texts: list[str] = []
+    sources: list[str] = []
+    for i in range(n):
+        if i < hub_n:
+            texts.append(hub_text)
+            sources.append("src_hub")
+        elif i < hub_n + boiler_n:
+            suffix = " ".join(rng.choice(vocab, size=3))
+            texts.append(boiler + " " + suffix)
+            sources.append("src_boiler")
+        else:
+            ln = rng.randint(8, 90)
+            texts.append(" ".join(rng.choice(vocab, size=ln)))
+            sources.append(f"src{rng.randint(0, 20)}")
+    langs = rng.choice(LANGS, size=n, p=LANG_P)
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tab, os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+def main() -> None:
+    for name, n in SCALES.items():
+        d = os.path.join(ROOT, name)
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            generate(n, d)
+            print(json.dumps({"generated": d, "n_docs": n}))
+    if sys.argv[1:] == ["gen"]:
+        return
+
+    from etl_mapwarper_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    spark = get_spark("rehearsal", sf_dir=os.path.join(ROOT, "10x"))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id) AS s").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    results: dict[str, dict[str, float]] = {}
+    for entry in ENTRIES:
+        results[entry] = {}
+        for scale in SCALES:
+            sf_dir = os.path.join(ROOT, scale)
+            runs = []
+            for _ in range(2):
+                df = qs[entry](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            results[entry][scale] = round(min(runs), 3)
+            print(
+                json.dumps(
+                    {"entry": entry, "scale": scale, "sec": min(runs)}
+                )
+            )
+    summary = {
+        e: {
+            **r,
+            "scaling_x": round(r["10x"] / max(r["base"], 1e-9), 2),
+        }
+        for e, r in results.items()
+    }
+    print(json.dumps({"rows_scale": 10, "summary": summary}))
+
+
+if __name__ == "__main__":
+    main()
