@@ -92,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # mw_tile_coords, q91).
 #
 # Round-6 window: the FINAL rotation — after this, every one of the
-# 258 registry entries has a driver-green row in some round and the
+# 259 registry entries has a driver-green row in some round and the
 # evidence ledger closes. Composition: all 28 never-driver-checked
 # entries (23 pre-r5 + the 5 late-r5 additions; the late-r5 media
 # entries also had code/oracle changes THIS round: the JPEG codec
@@ -101,9 +101,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry whose code changed this round (tx_tfidf_top_terms — the
 # n_docs count branch moved off the parallelized scan; r5 driver
 # evidence voided) + q89_approx_quantiles (code UNchanged — kept in
-# the window as the re-measured sketch-constant survivor) + 20
+# the window as the re-measured sketch-constant survivor) + the r6
+# skew-rehearsal fallout (dd_simhash_pairs_banded NEW;
+# dd_pagerank_centrality + dd_triangle_count now consume the banded
+# generator — code+oracle changed, prior evidence voided) + 18
 # canaries re-checking earlier driver greens so every family
-# (q/mw/dd/sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window.
+# (q/mw/dd/sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window
+# (q35/q91 canaries dropped to make room — the q family already has
+# 13 window rows via the never-checked q6x-q9x block).
 _PRIORITY = [
     # --- never-driver-checked (28): the ledger-closing set ---
     "dd_cdc_chunks",
@@ -137,14 +142,15 @@ _PRIORITY = [
     # --- bench-item rows (tfidf code changed r6; q89 re-measured) ---
     "tx_tfidf_top_terms",  # n_docs branch off the parallelized scan
     "q89_approx_quantiles",  # unchanged; sketch constant documented
-    # --- canaries (20): every family to >= 2 window rows ---
+    # --- r6 skew-rehearsal fallout: new + code/oracle-changed ---
+    "dd_simhash_pairs_banded",  # NEW: rank-banded candidate generator
+    "dd_triangle_count",  # consumes banded pairs; oracle changed
+    # --- canaries (18): every family to >= 2 window rows ---
     "q01_pricing_summary",
     "q22_asof_last_order",
-    "q35_price_percentiles",
-    "q91_sql_interface",
     "mw_map_objects",
     "dd_minhash_lsh",
-    "dd_pagerank_centrality",
+    "dd_pagerank_centrality",  # consumes banded pairs; oracle changed
     "sim_ivfpq_topk",
     "sim_knn_graph",
     "tx_kneser_ney_logprob",

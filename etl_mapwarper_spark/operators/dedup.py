@@ -663,6 +663,147 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Banded simhash candidate pairs — the PRODUCTION candidate generator
+# for the graph consumers (dd_pagerank_centrality, dd_triangle_count).
+#
+# Why: the plain bucket self-join above is quadratic in the hottest
+# (chunk, chunk_val) bucket. The r6 skew-stress rehearsal
+# (tools/skew_rehearsal.py: a degree-999 identical-doc hub + a
+# boilerplate-heavy source at 10x sf0.1 volume) measured candidate
+# volume growing 1.14M → 116M (101x for 10x rows; max bucket 9,066
+# docs) and the downstream PageRank never finishing — the classic LSH
+# hot-bucket pathology a real scraped corpus WILL hit.
+#
+# Fix — rank-band the bucket: within each bucket, rank members by
+# doc_id and generate a candidate only for rank distance <= band.
+# Candidate volume per bucket drops from O(n²) to O(n·band); an
+# identical-doc hub stays CONNECTED (every member pairs with its band
+# rank-neighbors, all Hamming 0) so cluster structure survives, while
+# the pair list — and therefore graph degree — is bounded by design.
+# The join key carries the rank, so no reducer ever sees more than
+# `band` rows per key: the skew is eliminated in the PLAN, not just
+# reduced. Residual skew: the rank window itself sorts each bucket on
+# one reducer — O(bucket) rows, not O(bucket²), which is the linear
+# cost of knowing bucket membership at all.
+#
+# This is deliberately a SEPARATE generator: dd_simhash_pairs remains
+# the exact ground truth (and the CC entries keep it — min-label CC
+# needs every edge, and banding could split a component whose only
+# link exceeds the band). Banded output is a deterministic subset;
+# equality when band >= max bucket size, hub connectivity, and the
+# 8*band degree bound are pinned in tests/test_sampling_ext.py.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BAND = 32  # max rank distance per bucket → degree cap ~4*band
+
+
+def simhash_banded_pairs(
+    spark: SparkSession, sf_dir: str, band: int = _SIMHASH_BAND
+) -> DataFrame:
+    """Hamming<=3 simhash pairs with per-bucket rank banding."""
+    from pyspark.sql.window import Window
+
+    sig = dd_simhash(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn("chunk_val", F.expr("substring(simhash, chunk * 16 + 1, 16)"))
+    bucket = Window.partitionBy("chunk", "chunk_val")
+    ranked = chunks.select(
+        "doc_id",
+        "simhash",
+        "chunk",
+        "chunk_val",
+        F.row_number().over(bucket.orderBy("doc_id")).alias("r"),
+        F.count(F.lit(1)).over(bucket).alias("bn"),
+    )
+    # sequence(a, b) DESCENDS when a > b — gate on r < bn so the last
+    # bucket member yields NULL (explode drops it) instead of a
+    # backwards range.
+    left = ranked.select(
+        F.col("doc_id").alias("d1"),
+        F.col("simhash").alias("s1"),
+        "chunk",
+        "chunk_val",
+        F.explode(
+            F.when(
+                F.col("r") < F.col("bn"),
+                F.sequence(
+                    F.col("r") + 1,
+                    F.least(F.col("r") + F.lit(band), F.col("bn")),
+                ),
+            )
+        ).alias("r2"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("d2"),
+        F.col("simhash").alias("s2"),
+        "chunk",
+        "chunk_val",
+        F.col("r").alias("r2"),
+    )
+    cand = (
+        left.join(right, ["chunk", "chunk_val", "r2"])
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(s1, i, 1) = substring(s2, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def _banded_pairs_sql(band: int = _SIMHASH_BAND) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, tok, js.j,
+             (strpos('0123456789abcdef',
+                     substring(md5(tok), (js.j // 4) + 1, 1)) - 1) AS val
+      FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j) js
+    ), contribs AS (
+      SELECT doc_id, j,
+             sum(((val // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1) AS s
+      FROM bits GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      FROM contribs GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, simhash, cs.chunk,
+             substring(simhash, cs.chunk * 16 + 1, 16) AS chunk_val,
+             row_number() OVER (
+               PARTITION BY cs.chunk, substring(simhash, cs.chunk * 16 + 1, 16)
+               ORDER BY doc_id
+             ) AS r
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS chunk) cs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                      a.simhash AS s1, b.simhash AS s2
+      FROM ranked a JOIN ranked b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       AND b.r > a.r AND b.r <= a.r + {band}
+    )
+    SELECT d1, d2,
+           list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN s1[i] = s2[i] THEN 0 ELSE 1 END))::BIGINT AS hamming
+    FROM cand
+    WHERE list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN s1[i] = s2[i] THEN 0 ELSE 1 END)) <= 3
+    """
+
+
+_register("dd_simhash_pairs_banded", simhash_banded_pairs, _banded_pairs_sql())
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: all pairs with cosine ≥ 0.45.
 # Correctness-first formulation is the quadratic self-join (fine at
 # test SF; the oracle is the same quadratic). The scale path is
@@ -842,6 +983,11 @@ def _cc_checkpoint(df: DataFrame) -> DataFrame:
 
 
 def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label CC over the EXACT pair list (banding could split a
+    component whose only link exceeds the band, so the CC entries keep
+    ground truth; on a boilerplate-hub corpus swap in
+    simhash_banded_pairs — connectivity survives banding for
+    identical-doc hubs, per the property test)."""
     pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n_docs = docs.count()  # sizes the loop's shuffle width, O(1) scalar
@@ -879,6 +1025,7 @@ def dd_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_EDGE_SQL = ORACLE["dd_simhash_pairs"]
+_BANDED_EDGE_SQL = ORACLE["dd_simhash_pairs_banded"]
 
 _register(
     "dd_connected_components",
@@ -1399,7 +1546,13 @@ def pagerank_on_edges(spark: SparkSession, edges: DataFrame) -> DataFrame:
 
 
 def dd_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
+    """PageRank over the BANDED near-dup graph: the candidate
+    generator is simhash_banded_pairs, not the exact bucket self-join
+    — the r6 skew rehearsal showed the uncapped generator going
+    quadratic (116M candidates) under a hub bucket, which no salting
+    downstream can absorb. Banding caps graph degree at the source;
+    the oracle mirrors the band exactly."""
+    pairs = simhash_banded_pairs(spark, sf_dir).select("d1", "d2")
     edges = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
@@ -1423,7 +1576,7 @@ def _pagerank_sql() -> str:
     )
     return f"""
     WITH pairs AS (
-      {_CC_EDGE_SQL}
+      {_BANDED_EDGE_SQL}
     ),
     e AS (
       SELECT d1 AS src, d2 AS dst FROM pairs
@@ -1591,8 +1744,17 @@ def dd_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub degree. Same exchange count (wedge join + closure join + one
     aggregate); the id-total-ordered (deg, id) key keeps output
     deterministic and each triangle generated exactly once.
+
+    Candidates come from simhash_banded_pairs (r6): degree orientation
+    bounds the worst WEDGE key by out-degree, but the uncapped bucket
+    self-join upstream still built the quadratic EDGE list itself — the
+    skew rehearsal's hub bucket produced 116M candidates before the
+    first wedge. Banding caps degree (and so wedge volume) at the
+    source; the oracle mirrors the band.
     """
-    pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    pairs = (
+        simhash_banded_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    )
     und = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).union(
         pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
     )
@@ -1632,7 +1794,7 @@ _register(
     dd_triangle_count,
     f"""
     WITH pairs AS (
-      {_CC_EDGE_SQL}
+      {_BANDED_EDGE_SQL}
     ),
     e AS (SELECT d1 AS a, d2 AS b FROM pairs),
     tri AS (

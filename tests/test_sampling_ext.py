@@ -145,3 +145,102 @@ def test_pagerank_salted_matches_reference_on_hub_graph(spark):
         assert got[v] == pytest.approx(round(ranks[v], 6), abs=2e-6), v
     # the hub must out-rank every leaf (sanity that skew path executed)
     assert got[0] > max(got[v] for v in range(1, n_nodes))
+
+
+def _write_docs(spark, tmp_path, name, texts):
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    sf_dir = str(tmp_path / name)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_banded_pairs_subset_and_band_semantics(spark, tmp_path):
+    """simhash_banded_pairs is the production candidate generator for
+    the graph consumers (r6 skew rehearsal: the uncapped bucket
+    self-join went quadratic on a hub bucket). Pinned semantics:
+
+    - banded output is EXACTLY the full pair set restricted to
+      per-bucket rank distance <= band (so with band >= max bucket
+      size the two generators are identical);
+    - an identical-doc hub stays CONNECTED under a small band (each
+      member pairs with its rank neighbors, Hamming 0);
+    - degree is bounded by 8 * band (4 chunks x band forward/back).
+    """
+    from etl_mapwarper_spark.operators.dedup import (
+        dd_simhash_pairs,
+        simhash_banded_pairs,
+    )
+
+    hub_n = 12
+    texts = ["same exact duplicated page body tokens"] * hub_n + [
+        f"unique document number {i} with its own words alpha{i} beta{i}"
+        for i in range(8)
+    ]
+    sf_dir = _write_docs(spark, tmp_path, "banded", texts)
+
+    full = {
+        (r.d1, r.d2): r.hamming
+        for r in dd_simhash_pairs(spark, sf_dir).collect()
+    }
+    wide = {
+        (r.d1, r.d2): r.hamming
+        for r in simhash_banded_pairs(spark, sf_dir, band=1000).collect()
+    }
+    assert wide == full  # band >= bucket size → identical
+
+    band = 2
+    narrow = {
+        (r.d1, r.d2): r.hamming
+        for r in simhash_banded_pairs(spark, sf_dir, band=band).collect()
+    }
+    assert set(narrow) <= set(full)
+    assert all(full[p] == h for p, h in narrow.items())
+
+    # hub connectivity survives banding: union-find over narrow pairs
+    parent = {i: i for i in range(hub_n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d1, d2 in narrow:
+        if d1 < hub_n and d2 < hub_n:
+            parent[find(d1)] = find(d2)
+    assert len({find(i) for i in range(hub_n)}) == 1
+
+    # degree bound: no node exceeds 8 * band neighbors
+    deg = {}
+    for d1, d2 in narrow:
+        deg[d1] = deg.get(d1, 0) + 1
+        deg[d2] = deg.get(d2, 0) + 1
+    assert max(deg.values()) <= 8 * band
+
+    # exact band semantics: narrow == full restricted to rank-band.
+    # Recompute bucket ranks from the signatures Python-side.
+    from etl_mapwarper_spark.operators.dedup import dd_simhash
+
+    sigs = {
+        r.doc_id: r.simhash for r in dd_simhash(spark, sf_dir).collect()
+    }
+    expect = set()
+    for chunk in range(4):
+        buckets = {}
+        for did, s in sigs.items():
+            buckets.setdefault(s[chunk * 16 : chunk * 16 + 16], []).append(did)
+        for members in buckets.values():
+            members.sort()
+            for i, a in enumerate(members):
+                for b in members[i + 1 : i + 1 + band]:
+                    h = sum(
+                        1
+                        for x, y in zip(sigs[a], sigs[b])
+                        if x != y
+                    )
+                    if h <= 3:
+                        expect.add((a, b))
+    assert set(narrow) == expect
