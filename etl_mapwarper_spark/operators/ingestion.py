@@ -865,10 +865,12 @@ _BINMEDIA_N = 20  # files per format
 # the count or pixel patterns lands in a FRESH directory instead of
 # silently reusing stale files (r5 ADVICE).
 _BINMEDIA_PARAMS = (
-    f"v2:n={_BINMEDIA_N}"
+    f"v3:n={_BINMEDIA_N}"
     ":png=8x8 (m+i)%256"
     ":jpeg=q100 16x16 4-flat-blocks (m+37b)%256"
     ":jpeg420=q100 32x32x3 grey 4-flat-MCUs (m+61b)%256"
+    ":jpegprog=SOF2 q100 16x16 4-flat-blocks (m+53b)%256"
+    ":jpegrst=q100 ri=1 16x16 4-flat-blocks (m+29b)%256"
 )
 _BINMEDIA_DIR = os.path.join(
     tempfile.gettempdir(),
@@ -881,15 +883,23 @@ def _binmedia_files(m: int) -> dict[str, bytes]:
     """The three deterministic encoded files for index ``m``."""
     import numpy as np
 
-    from ..functions.media_codec import encode_jpeg, encode_png
+    from ..functions.media_codec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        encode_png,
+    )
 
     png = (
         (m + np.arange(64, dtype=np.int64)) % 256
     ).astype(np.uint8).reshape(8, 8)
     jpg = np.zeros((16, 16), dtype=np.uint8)
     j420 = np.zeros((32, 32, 3), dtype=np.uint8)
+    prog = np.zeros((16, 16), dtype=np.uint8)
+    rst = np.zeros((16, 16), dtype=np.uint8)
     for b, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
         jpg[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (m + 37 * b) % 256
+        prog[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (m + 53 * b) % 256
+        rst[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (m + 29 * b) % 256
         j420[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16, :] = (
             m + 61 * b
         ) % 256
@@ -898,6 +908,12 @@ def _binmedia_files(m: int) -> dict[str, bytes]:
         f"img_{m:03d}.jpg": encode_jpeg(jpg, quality=100),
         f"img_{m:03d}_420.jpg": encode_jpeg(
             j420, quality=100, subsampling="420"
+        ),
+        # flat blocks stay exact through the progressive (SOF2) and
+        # restart-interval scan paths too — same closed-form oracle
+        f"img_{m:03d}_prog.jpg": encode_jpeg_progressive(prog, quality=100),
+        f"img_{m:03d}_rst.jpg": encode_jpeg(
+            rst, quality=100, restart_interval=1
         ),
     }
 
@@ -994,10 +1010,12 @@ _register(
     src_binaryfile_media,
     # read_blob sees the same files: the byte length is a REAL
     # cross-check of the binary scan; the decoded stats are closed-form
-    # from the filename index (PNG is lossless; the 4:4:4 JPEGs are
-    # q=100 block-flat and the 4:2:0 JPEGs q=100 MCU-flat grey-RGB,
-    # both preserved exactly by construction — equal-size flat regions,
-    # so block-level averages equal pixel-level averages).
+    # from the filename index (PNG is lossless; the 4:4:4 JPEGs —
+    # sequential, progressive SOF2, and restart-interval variants —
+    # are q=100 block-flat and the 4:2:0 JPEGs q=100 MCU-flat
+    # grey-RGB, all preserved exactly by construction — equal-size
+    # flat regions, so block-level averages equal pixel-level
+    # averages).
     f"""
     WITH b AS (
       SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
@@ -1012,7 +1030,10 @@ _register(
       FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
       WHERE kind = 'png'
       UNION ALL
-      SELECT fname, (m + 37 * blk.b) % 256 AS v
+      SELECT fname,
+             (m + (CASE WHEN fname LIKE '%prog.jpg' THEN 53
+                        WHEN fname LIKE '%rst.jpg' THEN 29
+                        ELSE 37 END) * blk.b) % 256 AS v
       FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
       WHERE kind = 'jpeg' AND fname NOT LIKE '%420.jpg'
       UNION ALL

@@ -240,11 +240,78 @@ def test_jpeg_rejects_unsupported():
     img = np.zeros((8, 8), dtype=np.uint8)
     enc = bytearray(encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rebrand as progressive
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[sof + 1] = 0xC9  # rebrand as arithmetic-coded sequential
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(enc))
+    # rebranding a BASELINE stream as progressive makes its full-band
+    # scan header (Ss=0, Se=63) illegal for a progressive DC scan —
+    # corrupt input, not a scope boundary
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG definitely not a jpeg")
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn streams decode bit-identically to the same image
+    encoded without restarts (predictor resets + marker alignment are
+    internal); a wrong restart index is corrupt input."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    for q, sub, ri in [(90, "444", 1), (90, "420", 3), (100, "444", 7)]:
+        plain = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        rst = decode_jpeg(
+            encode_jpeg(img, quality=q, subsampling=sub, restart_interval=ri)
+        )
+        assert np.array_equal(plain, rst), (q, sub, ri)
+    enc = bytearray(encode_jpeg(img, quality=90, restart_interval=2))
+    i = enc.find(b"\xff\xd0")
+    assert i > 0, "RST0 marker must be present"
+    enc[i + 1] = 0xD4  # out-of-sequence restart index
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_matches_baseline_bit_exact():
+    """Progressive (SOF2) and baseline encodings carry the SAME
+    quantized coefficients (successive approximation transmits every
+    bit exactly once), so both decode to bit-identical pixels — the
+    differential contract that pins all four progressive scan modes
+    (DC/AC first + refine), EOB runs, and correction-bit buffering."""
+    from etl_mapwarper_spark.functions.media_codec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(23)
+    # textured grey, odd shapes (partial edge blocks)
+    for shape in [(8, 8), (24, 17), (7, 5), (64, 48)]:
+        g = rng.randint(0, 256, shape).astype(np.uint8)
+        for q in (60, 90, 100):
+            a = decode_jpeg(encode_jpeg(g, quality=q))
+            b = decode_jpeg(encode_jpeg_progressive(g, quality=q))
+            assert np.array_equal(a, b), (shape, q)
+    # RGB, both subsamplings
+    for shape in [(25, 41, 3), (9, 13, 3)]:
+        c = rng.randint(0, 256, shape).astype(np.uint8)
+        for sub in ("444", "420"):
+            a = decode_jpeg(encode_jpeg(c, quality=100, subsampling=sub))
+            b = decode_jpeg(
+                encode_jpeg_progressive(c, quality=100, subsampling=sub)
+            )
+            assert np.array_equal(a, b), (shape, sub)
+    # smooth low-quality image: long zero bands → deep EOB runs
+    yy, xx = np.mgrid[0:64, 0:48]
+    smooth = ((yy + xx) // 2 % 256).astype(np.uint8)
+    for q in (20, 40):
+        a = decode_jpeg(encode_jpeg(smooth, quality=q))
+        b = decode_jpeg(encode_jpeg_progressive(smooth, quality=q))
+        assert np.array_equal(a, b), q
+    # flat q100 stays pixel-exact through the progressive path too
+    flat = np.full((16, 24), 201, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quality=100)), flat
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -286,6 +353,29 @@ def test_jpeg_flat_block_grid_exact(vals):
     for i, v in enumerate(vals):
         img[:, 8 * i : 8 * (i + 1)] = v
     assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=28),
+    w=st.integers(min_value=1, max_value=28),
+    q=st.sampled_from([35, 75, 100]),
+    ri=st.sampled_from([0, 1, 2, 5]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, q, ri, seed):
+    """Property form of the differential contract: for arbitrary
+    shapes/contents/qualities, progressive (SOF2) and baseline
+    (restart-interval-encoded or not) streams decode identically."""
+    from etl_mapwarper_spark.functions.media_codec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=q, restart_interval=ri))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+    assert np.array_equal(base, prog)
 
 
 # ---------------------------------------------------------------------------
