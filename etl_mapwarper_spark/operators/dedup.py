@@ -1965,6 +1965,13 @@ _SEM_THRESHOLD = 0.45
 
 
 def dd_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOTE (r6 skew rehearsal): the SRP bucket self-join is quadratic
+    in the hottest bucket — fine for embedding corpora whose duplicate
+    clusters are modest, but a byte-identical-media hub (one image
+    uploaded 10^4 times → one SRP bucket) needs the rank-band
+    treatment simhash_banded_pairs applies on the text side (identical
+    vectors stay connected through rank neighbors, cos=1). Kept exact
+    here because cluster-label fidelity is this entry's contract."""
     from .similarity import _bucket_expr
 
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
