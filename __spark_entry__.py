@@ -102,13 +102,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # n_docs count branch moved off the parallelized scan; r5 driver
 # evidence voided) + q89_approx_quantiles (code UNchanged — kept in
 # the window as the re-measured sketch-constant survivor) + the r6
-# skew-rehearsal fallout (dd_simhash_pairs_banded NEW;
+# skew-rehearsal fallout (dd_simhash_pairs_banded + dd_cc_banded NEW;
 # dd_pagerank_centrality + dd_triangle_count now consume the banded
-# generator — code+oracle changed, prior evidence voided) + 18
+# generator — code+oracle changed, prior evidence voided) + 17
 # canaries re-checking earlier driver greens so every family
 # (q/mw/dd/sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window
-# (q35/q91 canaries dropped to make room — the q family already has
-# 13 window rows via the never-checked q6x-q9x block).
+# (q35/q91/tx_kneser_ney canaries dropped to make room — q keeps 13
+# window rows via the never-checked q6x-q9x block, tx keeps 3).
 _PRIORITY = [
     # --- never-driver-checked (28): the ledger-closing set ---
     "dd_cdc_chunks",
@@ -144,6 +144,7 @@ _PRIORITY = [
     "q89_approx_quantiles",  # unchanged; sketch constant documented
     # --- r6 skew-rehearsal fallout: new + code/oracle-changed ---
     "dd_simhash_pairs_banded",  # NEW: rank-banded candidate generator
+    "dd_cc_banded",  # NEW: production CC twin over banded pairs
     "dd_triangle_count",  # consumes banded pairs; oracle changed
     # --- canaries (18): every family to >= 2 window rows ---
     "q01_pricing_summary",
@@ -153,7 +154,6 @@ _PRIORITY = [
     "dd_pagerank_centrality",  # consumes banded pairs; oracle changed
     "sim_ivfpq_topk",
     "sim_knn_graph",
-    "tx_kneser_ney_logprob",
     "ds_llm_pipeline",
     "mm_audio_autocorr",
     "mm_phash_neardups",

@@ -1165,6 +1165,67 @@ _register("dd_cc_bigstar", dd_cc_bigstar, ORACLE["dd_connected_components"])
 
 
 # ---------------------------------------------------------------------------
+# dd_cc_banded — the PRODUCTION connected-components twin: big-star
+# alternation (diameter-independent, O(log n) rounds) over the rank-
+# BANDED candidate pairs. The exact CC entries above keep the uncapped
+# generator because banding can split a component whose only link
+# exceeds the band; this twin is the one that actually finishes on a
+# hub corpus — the r6 skew rehearsal measured the uncapped generator
+# at 116M candidates for 50k docs (downstream consumers never finished
+# a stage), while identical-doc hubs stay CONNECTED under banding
+# (each member pairs with its rank neighbors at Hamming 0 —
+# property-pinned in tests/test_sampling_ext.py), so the clusters a
+# dedup pass actually collapses survive. Oracle mirrors the band:
+# recursive-CTE reachability over the banded edge list.
+# ---------------------------------------------------------------------------
+
+
+def dd_cc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = simhash_banded_pairs(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()  # sizes the loop's shuffle width, O(1) scalar
+    with _iterative_shuffle_width(spark, n_docs):
+        cur = _bigstar_fixpoint(
+            _cc_checkpoint(
+                pairs.select(
+                    F.col("d1").alias("u"), F.col("d2").alias("v")
+                ).filter(F.col("u") != F.col("v"))
+            )
+        )
+    comp = cur.groupBy("u").agg(F.min("v").alias("c"))
+    return docs.join(comp, docs.doc_id == comp.u, "left").select(
+        "doc_id", F.coalesce(F.col("c"), F.col("doc_id")).alias("component")
+    )
+
+
+_register(
+    "dd_cc_banded",
+    dd_cc_banded,
+    f"""
+    WITH RECURSIVE pairs AS (
+      {_BANDED_EDGE_SQL}
+    ),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(c.min_reach, d.doc_id)) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Blocked Levenshtein: entity-resolution-style fuzzy dedup. Comparing
 # every pair is O(n²); the standard fix is BLOCKING — a cheap
 # deterministic key (here: lowercased 12-char prefix) partitions the

@@ -42,6 +42,7 @@ ENTRIES = [
     "dd_ngram_jaccard_capped",
     "dd_pagerank_centrality",
     "dd_triangle_count",
+    "dd_cc_banded",
     "ds_llm_pipeline",
 ]
 SEED = 20260815
