@@ -109,6 +109,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q/mw/dd/sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window
 # (q35/q91/tx_kneser_ney canaries dropped to make room — q keeps 13
 # window rows via the never-checked q6x-q9x block, tx keeps 3).
+# Late-r6 bench rebuilds (code changed, prior evidence voided, must
+# re-window): sim_embedding_covariance (einsum partials via
+# mapInPandas replace the per-row 4096-element explode) displacing
+# the sim_knn_graph canary (sim keeps 5 rows), and ds_global_row_ids
+# (monotonic-id local ranks replace the rank window's second
+# corpus shuffle) displacing the q22 canary (q keeps 12 rows via the
+# never-checked q6x-q9x block + q89 + q01).
 _PRIORITY = [
     # --- never-driver-checked (28): the ledger-closing set ---
     "dd_cdc_chunks",
@@ -146,14 +153,15 @@ _PRIORITY = [
     "dd_simhash_pairs_banded",  # NEW: rank-banded candidate generator
     "dd_cc_banded",  # NEW: production CC twin over banded pairs
     "dd_triangle_count",  # consumes banded pairs; oracle changed
-    # --- canaries (18): every family to >= 2 window rows ---
+    # --- late-r6 bench rebuilds (code changed; evidence re-windowed) ---
+    "sim_embedding_covariance",
+    "ds_global_row_ids",
+    # --- canaries (16): every family to >= 2 window rows ---
     "q01_pricing_summary",
-    "q22_asof_last_order",
     "mw_map_objects",
     "dd_minhash_lsh",
     "dd_pagerank_centrality",  # consumes banded pairs; oracle changed
     "sim_ivfpq_topk",
-    "sim_knn_graph",
     "ds_llm_pipeline",
     "mm_audio_autocorr",
     "mm_phash_neardups",

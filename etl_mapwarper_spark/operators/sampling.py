@@ -1868,48 +1868,79 @@ _register(
 #   2. per-bucket counts → EXCLUSIVE prefix offsets, a window over the
 #      ≤ _ROWID_BUCKETS-row counts table (single-partition is fine —
 #      it's bucket-count-sized, never corpus-sized);
-#   3. per-bucket local row_number (each partition sorts only its own
-#      bucket) + broadcast offset join: global_id = offset +
-#      local_rank.
+#   3. per-bucket local rank + broadcast offset join:
+#      global_id = offset + local_rank.
+#
+# r6: the local rank comes from sortWithinPartitions +
+# monotonically_increasing_id instead of a row_number window. The
+# window form paid a SECOND corpus-sized shuffle — Catalyst can't see
+# that bkt ≡ the range exchange's partition id, so
+# `Window.partitionBy(bkt)` inserted hashpartitioning(bkt) over data
+# the range exchange had already co-located (two full shuffles of the
+# corpus at 100 TB, confirmed in the r5 physical plan). After
+# sortWithinPartitions(doc_id), monotonically_increasing_id() is
+# pid·2³³ + row-index-in-partition (Spark's documented layout), so
+# local_rank = id & (2³³−1) with zero extra exchanges; per-bucket
+# rows past 2³³ would need wider buckets, and any layout change is
+# caught loudly by the 0..n−1 permutation property test and the
+# oracle gate. The offsets branch re-executes the (doc_id-only,
+# column-pruned) scan + range exchange — counts don't depend on row
+# order, so it skips the sort.
 #
 # Where the range boundaries fall affects only the parallelism
 # boundary — the output (doc_id → id) is invariant to it because
 # buckets are ranges of the order key and doc_id is unique, which is
 # what makes the operator oracle-checkable against the single-window
 # SQL definition (and lets the property test vary the bucket count).
+# Both branches rely on the RangePartitioner's reservoir sample being
+# deterministic for identical input (seeded by partition index) so
+# they see identical boundaries — the same assumption the r5 window
+# form already made.
 # ---------------------------------------------------------------------------
 
 _ROWID_BUCKETS = 32
+_ROWID_LOCAL_BITS = 33  # monotonically_increasing_id: pid·2³³ + row idx
 
 
 def ds_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    bucketed = docs.repartitionByRange(
-        _ROWID_BUCKETS, F.asc("doc_id")
-    ).withColumn("bkt", F.spark_partition_id())
+    ranged = docs.repartitionByRange(_ROWID_BUCKETS, F.asc("doc_id"))
 
     w_off = Window.orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        bucketed.groupBy("bkt")
+        ranged.select(F.spark_partition_id().alias("bkt"))
+        .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "bkt",
             F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
         )
     )
-    w_loc = Window.partitionBy("bkt").orderBy("doc_id")
-    return (
-        bucketed.withColumn("local_rank", F.row_number().over(w_loc) - 1)
-        .join(F.broadcast(offsets), "bkt")
+    local = (
+        ranged.sortWithinPartitions("doc_id")
         .select(
             "doc_id",
             "source",
-            (F.col("offset") + F.col("local_rank")).alias("global_id"),
+            F.spark_partition_id().alias("bkt"),
+            F.monotonically_increasing_id().alias("mid"),
         )
+        .select(
+            "doc_id",
+            "source",
+            "bkt",
+            F.col("mid")
+            .bitwiseAND(F.lit((1 << _ROWID_LOCAL_BITS) - 1))
+            .alias("local_rank"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "source",
+        (F.col("offset") + F.col("local_rank")).alias("global_id"),
     )
 
 

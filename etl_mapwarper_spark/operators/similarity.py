@@ -1246,22 +1246,33 @@ _register(
 # ---------------------------------------------------------------------------
 # sim_embedding_covariance — one-pass distributed covariance matrix of
 # the embedding corpus (the input artifact for PCA / whitening /
-# Mahalanobis outlier scoring). Each row contributes its d² outer
-# product as a single flattened array (one posexplode, no self-join);
-# the groupBy then reduces to exactly d² cells with map-side partial
-# aggregation, so the SHUFFLE IS d²-BOUNDED REGARDLESS OF CORPUS SIZE
-# — at 100 TB the only corpus-sized work is the narrow scan. Means
-# ride a second tiny aggregate broadcast onto the cell table
-# (cov = E[xy] − E[x]E[y]).
+# Mahalanobis outlier scoring). cov = E[xy] − E[x]E[y].
+#
+# Physical strategy (r6 rewrite): the d² per-row outer products are
+# summed PER PARTITION in one Arrow-batched ``mapInPandas`` stage
+# (numpy einsum over each batch — the 4096-products-per-row inner
+# loop runs as BLAS-shaped vector code instead of a 4096-element
+# codegen array build + posexplode per row, which at sf0.1 spent
+# ~0.8 s of pure per-element iterator/hash-probe CPU for 2000 rows).
+# Each partition emits exactly d²+d+1 partial rows (cell sums, mean
+# sums, row count) — the SAME shuffle volume the previous explode
+# plan produced after map-side combine — and the JVM finishes with a
+# d²-bounded groupBy(p) sum, so at 100 TB the only corpus-sized work
+# is still the narrow scan and the shuffle stays partitions×(d²+d+1)
+# rows. The aggregated cells then fold to ONE map row
+# (map_from_entries ∘ collect_list over ≤4161 rows) so the final
+# projection — explode over the static 0..d²−1 sequence, covariance
+# arithmetic in JVM expressions — consumes the chain exactly once: no
+# branch re-executes the scan or the Python stage.
 #
 # Reproducibility: floating-point sums are order-dependent, and a
 # distributed reduction has no fixed order — so each product/element
 # is floor-quantized to 1e-8 FIXED-POINT and summed as exact int64
 # (|x|≈1 ⇒ ~1e8 per element; int64 overflows only past ~9e10 rows).
-# Identical integers on every engine/partitioning ⇒ bit-identical
-# covariance — the standard trick for run-to-run reproducible
-# distributed statistics, and what lets DuckDB verify the values
-# exactly instead of within a tolerance.
+# numpy computes floor((xi·xj)·1e8) with the identical IEEE double
+# operation order the previous JVM expression used, so the integers —
+# and therefore the covariance — are bit-identical to the DuckDB
+# oracle, which verifies values exactly instead of within a tolerance.
 # ---------------------------------------------------------------------------
 
 _COV_D = 64
@@ -1269,54 +1280,74 @@ _COV_FP = 10**8  # fixed-point scale
 
 
 def sim_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    x = to_double_array(F.col("embedding"))
-    outer = F.flatten(
-        F.transform(
-            x,
-            lambda xi: F.transform(
-                x,
-                lambda xj: F.floor(xi * xj * _COV_FP).cast("long"),
-            ),
-        )
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "embedding"
     )
-    cells = (
-        emb.select(F.posexplode(outer).alias("p", "v"))
-        .groupBy("p")
-        .agg(F.sum("v").alias("sxy"), F.count(F.lit(1)).alias("n"))
-        .select(
-            (F.col("p") / _COV_D).cast("int").alias("i"),
-            (F.col("p") % _COV_D).alias("j"),
-            (F.col("sxy") / _COV_FP / F.col("n")).alias("exy"),
-        )
-    )
-    means = (
-        emb.select(
-            F.posexplode(
-                F.transform(
-                    x, lambda xi: F.floor(xi * _COV_FP).cast("long")
+    d, fp = _COV_D, _COV_FP
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        s = np.zeros(d * d, dtype=np.int64)
+        m = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            col = pdf["embedding"].dropna()
+            if not len(col):
+                continue
+            # float32 → float64 widening is exact: identical values to
+            # the JVM's cast(embedding AS array<double>).
+            x = np.stack(col.to_numpy()).astype(np.float64)
+            # chunk rows so the (c, d, d) outer-product temp stays
+            # ~16 MiB regardless of Arrow batch size
+            for lo in range(0, len(x), 512):
+                c = x[lo : lo + 512]
+                s += (
+                    np.floor(np.einsum("ni,nj->nij", c, c) * fp)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                    .reshape(-1)
                 )
-            ).alias("i", "xi")
+                m += np.floor(c * fp).astype(np.int64).sum(axis=0)
+            n += len(x)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "p": np.arange(d * d + d + 1, dtype=np.int32),
+                    "v": np.concatenate(
+                        [s, m, np.array([n], dtype=np.int64)]
+                    ),
+                }
+            )
+
+    part = emb.mapInPandas(partials, schema="p int, v long")
+    one = (
+        part.groupBy("p")
+        .agg(F.sum("v").alias("s"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("p", "s"))
+            ).alias("m")
         )
-        .groupBy("i")
-        .agg((F.sum("xi") / _COV_FP / F.count(F.lit(1))).alias("mean"))
+        # empty corpus → empty map → no output rows (never throws)
+        .filter(F.size("m") > 0)
     )
-    mi = means.select(F.col("i"), F.col("mean").alias("mean_i"))
-    mj = means.select(F.col("i").alias("j"), F.col("mean").alias("mean_j"))
-    return (
-        cells.join(broadcast(mi), "i")
-        .join(broadcast(mj), "j")
-        .select(
-            "i",
-            "j",
-            # + 0.0 normalizes IEEE negative zero for the comparator
-            (
-                F.round(
-                    F.col("exy") - F.col("mean_i") * F.col("mean_j"), 4
-                )
-                + F.lit(0.0)
-            ).alias("cov"),
-        )
+    p = F.col("p")
+    mm = F.col("m")
+    n = F.element_at(mm, F.lit(d * d + d))
+    i = (p / d).cast("int")
+    j = p % d
+    exy = F.element_at(mm, p) / fp / n
+    mean_i = F.element_at(mm, F.lit(d * d) + i) / fp / n
+    mean_j = F.element_at(mm, F.lit(d * d) + j.cast("int")) / fp / n
+    return one.select(
+        F.explode(F.sequence(F.lit(0), F.lit(d * d - 1))).alias("p"), "m"
+    ).select(
+        i.alias("i"),
+        j.alias("j"),
+        # + 0.0 normalizes IEEE negative zero for the comparator
+        (F.round(exy - mean_i * mean_j, 4) + F.lit(0.0)).alias("cov"),
     )
 
 

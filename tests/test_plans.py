@@ -929,16 +929,30 @@ def test_ds_global_row_ids_no_global_window(spark):
     """Contiguous IDs must come from the bucket/offset decomposition:
     a window WITHOUT partitioning (the single-reducer global sort)
     must never appear; the offsets side is the only single-partition
-    exchange and it carries ≤ bucket-count rows."""
+    exchange and it carries ≤ bucket-count rows. Since the r6
+    rewrite the MAIN path must stay window-free (local ranks come
+    from sortWithinPartitions + monotonically_increasing_id — the
+    row_number window form paid a second corpus-sized
+    hashpartitioning(bkt) shuffle on data the range exchange had
+    already co-located), so the only Window left is the offsets
+    prefix sum over the ≤ bucket-count counts table."""
     plan = plan_of(spark, "ds_global_row_ids")
+    body = plan.split("===== Subqueries =====")[0]
     assert "Window" in plan
-    # every window must be partitioned (no 'Window [..], [..] ASC' with
-    # empty partition spec feeding the corpus): the corpus-side window
-    # partitions by bkt; the offsets window runs on the tiny counts
-    # table AFTER its aggregation, which explain renders with
-    # SinglePartition only downstream of a HashAggregate.
+    n_windows = len(re.findall(r"\(\d+\) Window\b", body))
+    assert n_windows == 1, f"corpus-side window crept back: {n_windows}"
+    # exactly the two range exchanges (main + counts branch) and the
+    # two counts-side exchanges over ≤ bucket-count rows (partial→
+    # final agg, then SinglePartition for the prefix window) — the r5
+    # form's FIFTH exchange (hashpartitioning(bkt) over the whole
+    # corpus feeding the rank window) must not reappear
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
+    assert n_exchanges <= 4, f"corpus re-shuffle crept back: {n_exchanges}"
+    n_range = len(re.findall(r"rangepartitioning\(doc_id", body))
+    assert n_range == 2, f"range exchanges: {n_range}"
     n_single = len(re.findall(r"SinglePartition", plan))
     assert n_single <= 1, f"corpus must not hit a single partition: {n_single}"
+    assert "monotonically_increasing_id" in body
 
 
 def test_dq_skew_report_two_exchanges(spark):

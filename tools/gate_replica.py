@@ -8,6 +8,14 @@ Usage:
   python tools/gate_replica.py all        # every registry entry
   python tools/gate_replica.py name1 ...  # specific entries
 
+``GATE_CHUNK=N`` restarts the vanilla session every N entries. The
+external driver never runs more than one 50-entry window per session,
+so a chunked sweep is the driver-faithful shape for the FULL registry;
+one 260-entry session accumulates broadcasts/checkpoint state in the
+default-size (1 GiB) vanilla JVM heap until a heavy entry OOMs (seen
+r6: dd_containment died at entry 72 of an sf0.1 all-sweep but passes
+solo and in any 50-entry window).
+
 Exit code 1 if anything mismatches or raises.
 """
 
@@ -16,13 +24,8 @@ import os
 import sys
 
 
-def main() -> int:
-    sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+def _vanilla_session():
     from pyspark.sql import SparkSession
-
-    import duckdb
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -31,6 +34,16 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import duckdb
+
+    spark = _vanilla_session()
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
@@ -50,8 +63,12 @@ def main() -> int:
     else:
         names = list(qs)[:50]
 
+    chunk = int(os.environ.get("GATE_CHUNK", "0"))
     fails = []
-    for name in names:
+    for idx, name in enumerate(names):
+        if chunk and idx and idx % chunk == 0:
+            spark.stop()
+            spark = _vanilla_session()
         try:
             sp = qs[name](spark, sf).toPandas()
             if name not in osql:
