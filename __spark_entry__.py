@@ -104,7 +104,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the window as the re-measured sketch-constant survivor) + the r6
 # skew-rehearsal fallout (dd_simhash_pairs_banded + dd_cc_banded NEW;
 # dd_pagerank_centrality + dd_triangle_count now consume the banded
-# generator — code+oracle changed, prior evidence voided) + 17
+# generator — code+oracle changed, prior evidence voided) + 15
 # canaries re-checking earlier driver greens so every family
 # (q/mw/dd/sim/tx/ds/mm/st/src/dq/pipe) has >= 2 rows in the window
 # (q35/q91/tx_kneser_ney canaries dropped to make room — q keeps 13
@@ -156,7 +156,7 @@ _PRIORITY = [
     # --- late-r6 bench rebuilds (code changed; evidence re-windowed) ---
     "sim_embedding_covariance",
     "ds_global_row_ids",
-    # --- canaries (16): every family to >= 2 window rows ---
+    # --- canaries (15): every family to >= 2 window rows ---
     "q01_pricing_summary",
     "mw_map_objects",
     "dd_minhash_lsh",

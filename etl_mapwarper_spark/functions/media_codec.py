@@ -490,6 +490,11 @@ def _jpeg_planes(
 ) -> tuple[list[np.ndarray], list[tuple[int, int]]]:
     """Color-convert + subsample: image → (component planes, sampling)."""
     if img.ndim == 2:
+        # Greyscale has a single component, so chroma subsampling does
+        # not apply — but an unknown value must still fail loudly
+        # rather than silently emitting a different layout than asked.
+        if subsampling not in ("444", "420"):
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
     elif img.ndim == 3 and img.shape[2] == 3:

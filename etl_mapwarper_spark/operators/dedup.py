@@ -694,7 +694,10 @@ _register(
 # 8*band degree bound are pinned in tests/test_sampling_ext.py.
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BAND = 32  # max rank distance per bucket → degree cap ~4*band
+# Max rank distance per bucket. Each doc appears in 4 chunk buckets
+# and pairs with ≤ band successors AND ≤ band predecessors in each,
+# so the degree cap is 8*band (test-pinned in test_sampling_ext.py).
+_SIMHASH_BAND = 32
 
 
 def simhash_banded_pairs(
@@ -1075,10 +1078,14 @@ _register(
 # ---------------------------------------------------------------------------
 
 
-def dd_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
+def _cc_labels_over(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Big-star/small-star component labels for any (d1, d2) pair
+    source — shared by the exact (``dd_cc_bigstar``) and banded
+    (``dd_cc_banded``) twins so fixpoint/labeling fixes land once."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n_docs = docs.count()
+    n_docs = docs.count()  # sizes the loop's shuffle width, O(1) scalar
     with _iterative_shuffle_width(spark, n_docs):
         cur = _bigstar_fixpoint(
             _cc_checkpoint(
@@ -1092,6 +1099,12 @@ def dd_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = cur.groupBy("u").agg(F.min("v").alias("c"))
     return docs.join(comp, docs.doc_id == comp.u, "left").select(
         "doc_id", F.coalesce(F.col("c"), F.col("doc_id")).alias("component")
+    )
+
+
+def dd_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cc_labels_over(
+        spark, sf_dir, dd_simhash_pairs(spark, sf_dir).select("d1", "d2")
     )
 
 
@@ -1181,20 +1194,8 @@ _register("dd_cc_bigstar", dd_cc_bigstar, ORACLE["dd_connected_components"])
 
 
 def dd_cc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = simhash_banded_pairs(spark, sf_dir).select("d1", "d2")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n_docs = docs.count()  # sizes the loop's shuffle width, O(1) scalar
-    with _iterative_shuffle_width(spark, n_docs):
-        cur = _bigstar_fixpoint(
-            _cc_checkpoint(
-                pairs.select(
-                    F.col("d1").alias("u"), F.col("d2").alias("v")
-                ).filter(F.col("u") != F.col("v"))
-            )
-        )
-    comp = cur.groupBy("u").agg(F.min("v").alias("c"))
-    return docs.join(comp, docs.doc_id == comp.u, "left").select(
-        "doc_id", F.coalesce(F.col("c"), F.col("doc_id")).alias("component")
+    return _cc_labels_over(
+        spark, sf_dir, simhash_banded_pairs(spark, sf_dir).select("d1", "d2")
     )
 
 

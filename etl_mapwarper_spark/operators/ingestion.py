@@ -840,13 +840,15 @@ _register(
 # the JVM side until an Arrow-batched decode stage needs them — the
 # same discipline as operators/multimodal.py.
 #
-# Fixture: a bounded (60-file) directory of REAL encoded media written
-# driver-side once per machine — 20 PNGs carrying the (m+i)%256
-# arithmetic pattern, 20 quality-100 block-flat 4:4:4 JPEGs, and 20
-# quality-100 MCU-flat grey-RGB 4:2:0 JPEGs (both image classes the
-# integer JPEG pipeline preserves exactly, see functions/media_codec.py
-# — grey RGB maps to Cb=Cr=128 exactly so 2×2 chroma averaging is
-# lossless) — deterministic content at a fixed path so the
+# Fixture: a bounded (5·_BINMEDIA_N = 100-file) directory of REAL
+# encoded media written driver-side once per machine — per index m:
+# a PNG carrying the (m+i)%256 arithmetic pattern, a quality-100
+# block-flat 4:4:4 baseline JPEG, a quality-100 MCU-flat grey-RGB
+# 4:2:0 JPEG (both image classes the integer JPEG pipeline preserves
+# exactly, see functions/media_codec.py — grey RGB maps to Cb=Cr=128
+# exactly so 2×2 chroma averaging is lossless), a progressive (SOF2)
+# JPEG, and a restart-interval (DRI/RSTn) JPEG
+# — deterministic content at a fixed path so the
 # statically-registered oracle SQL can read the SAME files with
 # DuckDB's read_blob. The oracle cross-checks the scan itself
 # (octet_length(content) vs the scan's `length` column — real
@@ -880,7 +882,7 @@ _BINMEDIA_DIR = os.path.join(
 
 
 def _binmedia_files(m: int) -> dict[str, bytes]:
-    """The three deterministic encoded files for index ``m``."""
+    """The five deterministic encoded files for index ``m``."""
     import numpy as np
 
     from ..functions.media_codec import (

@@ -1883,19 +1883,33 @@ _register(
 # local_rank = id & (2³³−1) with zero extra exchanges; per-bucket
 # rows past 2³³ would need wider buckets, and any layout change is
 # caught loudly by the 0..n−1 permutation property test and the
-# oracle gate. The offsets branch re-executes the (doc_id-only,
-# column-pruned) scan + range exchange — counts don't depend on row
-# order, so it skips the sort.
+# oracle gate.
+#
+# CONSISTENCY (late-r6 fix, found in review): the counts branch and
+# the rank branch must see the SAME bucket boundaries, but
+# RangePartitioner's reservoir sample is seeded with the rdd.id of
+# each physical exchange — two independently-instantiated exchanges
+# over the same data may sample DIFFERENT rows once partitions exceed
+# the reservoir size, and offsets from one bucketing added to ranks
+# from another silently break the 0..n−1 permutation (masked at test
+# SFs where the reservoir holds every row). Exchange reuse does not
+# unify the branches either — column pruning gives the counts side a
+# narrower scan, so the subtrees never canonicalize equal. The fix is
+# a lazy persist() on the ranged corpus: the CacheManager substitutes
+# ONE shared InMemoryRelation into both consumers by canonical-plan
+# match, so both read the same physical RDD — same rdd.id, same
+# sampling seed, identical boundaries even if a racing consumer
+# recomputes a partition from lineage instead of reading the cached
+# block. This is the DataFrame-land analog of RDD zipWithIndex's
+# materialization: disk-spillable (MEMORY_AND_DESERIALIZED default;
+# the assigner's output is corpus-sized state a production run
+# materializes anyway), and lazy — no construction job.
 #
 # Where the range boundaries fall affects only the parallelism
 # boundary — the output (doc_id → id) is invariant to it because
 # buckets are ranges of the order key and doc_id is unique, which is
 # what makes the operator oracle-checkable against the single-window
 # SQL definition (and lets the property test vary the bucket count).
-# Both branches rely on the RangePartitioner's reservoir sample being
-# deterministic for identical input (seeded by partition index) so
-# they see identical boundaries — the same assumption the r5 window
-# form already made.
 # ---------------------------------------------------------------------------
 
 _ROWID_BUCKETS = 32
@@ -1906,7 +1920,9 @@ def ds_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ranged = docs.repartitionByRange(_ROWID_BUCKETS, F.asc("doc_id"))
+    ranged = docs.repartitionByRange(
+        _ROWID_BUCKETS, F.asc("doc_id")
+    ).persist()
 
     w_off = Window.orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, -1

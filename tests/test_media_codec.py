@@ -481,15 +481,13 @@ def test_jpeg_undefined_tables_raise_valueerror():
         decode_jpeg(bytes(bad))
 
 
-from hypothesis import given as _given, settings as _settings  # noqa: E402
-from hypothesis import strategies as _st  # noqa: E402
 
 
-@_settings(max_examples=25, deadline=None)
-@_given(
-    h=_st.integers(min_value=1, max_value=40),
-    w=_st.integers(min_value=1, max_value=40),
-    seed=_st.integers(min_value=0, max_value=2**31 - 1),
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 def test_jpeg_420_q100_roundtrip_bounded(h, w, seed):
     """Property: grey-valued RGB roundtrips through 4:2:0 q=100 within
@@ -504,10 +502,10 @@ def test_jpeg_420_q100_roundtrip_bounded(h, w, seed):
     assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
 
 
-@_settings(max_examples=20, deadline=None)
-@_given(
-    vals=_st.lists(
-        _st.integers(min_value=0, max_value=255), min_size=1, max_size=8
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=8
     ),
 )
 def test_jpeg_420_flat_mcu_grid_exact(vals):

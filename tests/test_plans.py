@@ -941,15 +941,24 @@ def test_ds_global_row_ids_no_global_window(spark):
     assert "Window" in plan
     n_windows = len(re.findall(r"\(\d+\) Window\b", body))
     assert n_windows == 1, f"corpus-side window crept back: {n_windows}"
-    # exactly the two range exchanges (main + counts branch) and the
-    # two counts-side exchanges over ≤ bucket-count rows (partial→
-    # final agg, then SinglePartition for the prefix window) — the r5
-    # form's FIFTH exchange (hashpartitioning(bkt) over the whole
-    # corpus feeding the rank window) must not reappear
+    # ONE shared range exchange behind an InMemoryRelation (both the
+    # counts branch and the rank branch must read the SAME physical
+    # instance — RangePartitioner seeds its reservoir sample with the
+    # exchange's rdd.id, so two independent instantiations may derive
+    # DIFFERENT bucket boundaries at reservoir-exceeding scale, and
+    # offsets from one bucketing + ranks from another break the
+    # permutation) plus the two counts-side exchanges over
+    # ≤ bucket-count rows. The r5 form's corpus-sized
+    # hashpartitioning(bkt) window shuffle must not reappear.
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
-    assert n_exchanges <= 4, f"corpus re-shuffle crept back: {n_exchanges}"
-    n_range = len(re.findall(r"rangepartitioning\(doc_id", body))
-    assert n_range == 2, f"range exchanges: {n_range}"
+    assert n_exchanges <= 3, f"corpus re-shuffle crept back: {n_exchanges}"
+    assert "InMemoryRelation" in body, "shared cached range exchange gone"
+    n_range_nodes = len(
+        {m for m in re.findall(r"rangepartitioning\(doc_id[^\n]*plan_id=(\d+)", body)}
+    )
+    assert n_range_nodes <= 1, (
+        f"counts and ranks see different range exchanges: {n_range_nodes}"
+    )
     n_single = len(re.findall(r"SinglePartition", plan))
     assert n_single <= 1, f"corpus must not hit a single partition: {n_single}"
     assert "monotonically_increasing_id" in body
