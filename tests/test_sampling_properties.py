@@ -177,3 +177,46 @@ def test_split_manifest_partitions_the_corpus(spark, tmp_path):
             assert man2[split].content_checksum != man[split].content_checksum
         else:
             assert man2[split].content_checksum == man[split].content_checksum
+
+
+def test_global_row_ids_beyond_reservoir(spark, tmp_path):
+    """The bucket-count invariance test above runs below the range
+    exchange's reservoir size, where sampling degenerates to a full
+    scan and bucket boundaries are trivially identical across
+    re-executions. 20k rows in ONE scan partition exceeds the
+    reservoir (3 · sampleSizePerPartition(100) · 32 buckets / 1 input
+    partition = 9600), so boundaries genuinely come from reservoir
+    sampling — and two independently-instantiated range exchanges are
+    NOT guaranteed to sample alike (RangePartitioner seeds by rdd.id).
+    The shared-InMemoryRelation plan must still produce an exact
+    0..n−1 permutation monotone in doc_id.
+
+    This test has TEETH: the unpersisted r6 shape (two range
+    exchanges; ReusedExchange can't unify them because the counts
+    side prunes `source` and the subtrees never canonicalize equal)
+    was measured producing 194,121 wrong ids out of 200,000 on
+    exactly this corpus, while two standalone range exchanges over
+    the same data disagreed on the count of every one of the 32
+    buckets."""
+    import pyspark.sql.functions as F
+
+    from etl_mapwarper_spark.operators.sampling import ds_global_row_ids
+
+    n = 200000
+    sfdir = str(tmp_path / "sf")
+    (
+        spark.range(n)
+        .select(
+            # non-sequential unique doc_ids: id → id·7919 mod 1048573
+            # is injective (prime modulus > n)
+            (F.col("id") * 7919 % 1048573).alias("doc_id"),
+            F.lit("stress").alias("source"),
+        )
+        .coalesce(1)
+        .write.parquet(f"{sfdir}/documents.parquet")
+    )
+    rows = sorted(
+        (r.doc_id, r.global_id)
+        for r in ds_global_row_ids(spark, sfdir).collect()
+    )
+    assert [g for _, g in rows] == list(range(n))
