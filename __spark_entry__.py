@@ -116,6 +116,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (monotonic-id local ranks replace the rank window's second
 # corpus shuffle) displacing the q22 canary (q keeps 12 rows via the
 # never-checked q6x-q9x block + q89 + q01).
+# Final r6 bench fix: sim_bruteforce_topk drops its forced small-input
+# repartition (light per-row work; the shuffle bought nothing and the
+# plan regressed to seconds under session pressure) — plan changed,
+# so it and its transitive consumer sim_lsh_recall re-window,
+# displacing the sim_ivfpq_topk and dd_minhash_lsh canaries (sim
+# keeps 6 rows, dd keeps 7).
 _PRIORITY = [
     # --- never-driver-checked (28): the ledger-closing set ---
     "dd_cdc_chunks",
@@ -156,12 +162,12 @@ _PRIORITY = [
     # --- late-r6 bench rebuilds (code changed; evidence re-windowed) ---
     "sim_embedding_covariance",
     "ds_global_row_ids",
-    # --- canaries (15): every family to >= 2 window rows ---
+    "sim_bruteforce_topk",  # repartition dropped; plan changed
+    "sim_lsh_recall",  # consumes sim_bruteforce_topk's plan
+    # --- canaries (13): every family to >= 2 window rows ---
     "q01_pricing_summary",
     "mw_map_objects",
-    "dd_minhash_lsh",
     "dd_pagerank_centrality",  # consumes banded pairs; oracle changed
-    "sim_ivfpq_topk",
     "ds_llm_pipeline",
     "mm_audio_autocorr",
     "mm_phash_neardups",

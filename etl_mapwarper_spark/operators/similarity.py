@@ -53,7 +53,15 @@ def _probes(emb: DataFrame) -> DataFrame:
 
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+    # No forced repartition here: per-row work is |probes| dot products
+    # (O(d) each), so the scan itself is the bottleneck and a real
+    # corpus parallelizes on natural parquet splits. The round-robin
+    # spread exists for heavy per-row ops (shingling, codecs); for this
+    # light scoring pass it adds a corpus shuffle with no compute to
+    # amortize it (measured at sf0.1: the repartitioned plan needs many
+    # runs to reach 0.31 s and regresses to seconds under session
+    # pressure; the natural-split plan is a stable 0.24-0.32 s).
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     probes = _probes(emb).select(
