@@ -44,6 +44,30 @@ ENTRIES = [
     "dd_triangle_count",
     "dd_cc_banded",
     "ds_llm_pipeline",
+    # --- r6 extension: the remaining documents-only shuffle families.
+    # dd_minhash_lsh / dd_simhash are PAIR-LISTING ops: on the hub
+    # corpus the true answer itself is quadratic in hub size (a
+    # 1000-doc identical cluster HAS ~500k near-dup pairs × bands), so
+    # their wall-time is Ω(output) by contract — the number to read is
+    # whether they stay output-bound (pairs/sec roughly flat across
+    # scales), not whether wall-time stays sublinear. The production
+    # dedup path for a hubbed corpus is banded pairs → CC → survivors
+    # (dd_cc_banded above), which IS sublinear.
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "tx_tfidf_top_terms",
+    "tx_bigram_logprob",
+    "tx_heavy_hitters_cms",
+    "tx_bpe_train_merges",
+    "ds_global_row_ids",
+    # --- r6 extension: embeddings-side hub (one image/page embedded
+    # identically n/50 times → one SRP bucket, the exposure noted in
+    # dd_semantic_clusters' docstring). sim_srp_lsh_topk is
+    # probe-bounded; sim_knn_graph and dd_semantic_clusters join
+    # within buckets, so the hub measures their hot-bucket behavior.
+    "sim_srp_lsh_topk",
+    "sim_knn_graph",
+    "dd_semantic_clusters",
 ]
 SEED = 20260815
 
@@ -103,14 +127,55 @@ def generate(n: int, out_dir: str) -> str:
     return out_dir
 
 
+def generate_embeddings(n_docs: int, out_dir: str) -> str:
+    """Skewed embeddings mirroring sf0.1's docs:embeddings ratio
+    (5000:2000) and shape (dim-64 float32, int32 label). Hub: n/50
+    byte-identical unit vectors — one SRP bucket holding the whole
+    hub, the worst case for bucket self-joins; rest are random unit
+    vectors (near-orthogonal at dim 64, so buckets stay balanced)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = (2 * n_docs) // 5
+    rng = np.random.RandomState(SEED + 1)
+    dim = 64
+    hub_n = n // 50
+    hub = rng.randn(dim)
+    hub /= np.linalg.norm(hub)
+    rest = rng.randn(n - hub_n, dim)
+    rest /= np.linalg.norm(rest, axis=1, keepdims=True)
+    vecs = np.vstack([np.tile(hub, (hub_n, 1)), rest]).astype(np.float32)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                rng.randint(0, 10, size=n).tolist(), pa.int32()
+            ),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tab, os.path.join(out_dir, "embeddings.parquet"))
+    return out_dir
+
+
 def main() -> None:
     for name, n in SCALES.items():
         d = os.path.join(ROOT, name)
         if not os.path.exists(os.path.join(d, "documents.parquet")):
             generate(n, d)
             print(json.dumps({"generated": d, "n_docs": n}))
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            generate_embeddings(n, d)
+            print(json.dumps({"generated_embeddings": d}))
     if sys.argv[1:] == ["gen"]:
         return
+    entries = ENTRIES
+    if sys.argv[1:]:
+        # rerun a subset: python tools/skew_rehearsal.py entry1 entry2
+        entries = [e for e in ENTRIES if e in sys.argv[1:]]
 
     from etl_mapwarper_spark.session import get_spark
 
@@ -124,7 +189,7 @@ def main() -> None:
     ).format("noop").save()
 
     results: dict[str, dict[str, float]] = {}
-    for entry in ENTRIES:
+    for entry in entries:
         results[entry] = {}
         for scale in SCALES:
             sf_dir = os.path.join(ROOT, scale)
@@ -139,15 +204,28 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 runs.append(time.perf_counter() - t0)
             results[entry][scale] = round(min(runs), 3)
+            # output cardinality (counted OUTSIDE the timed runs):
+            # lets the summary distinguish output-bound growth
+            # (pair-listing ops on the hub) from plan defects.
+            n_out = df.count()
+            results[entry][f"{scale}_rows"] = n_out
             print(
                 json.dumps(
-                    {"entry": entry, "scale": scale, "sec": min(runs)}
+                    {
+                        "entry": entry,
+                        "scale": scale,
+                        "sec": min(runs),
+                        "rows": n_out,
+                    }
                 )
             )
     summary = {
         e: {
             **r,
             "scaling_x": round(r["10x"] / max(r["base"], 1e-9), 2),
+            "rows_x": round(
+                r["10x_rows"] / max(r["base_rows"], 1), 2
+            ),
         }
         for e, r in results.items()
     }
