@@ -92,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # mw_tile_coords, q91).
 #
 # Round-6 window: the FINAL rotation — after this, every one of the
-# 259 registry entries has a driver-green row in some round and the
+# 260 registry entries has a driver-green row in some round and the
 # evidence ledger closes. Composition: all 28 never-driver-checked
 # entries (23 pre-r5 + the 5 late-r5 additions; the late-r5 media
 # entries also had code/oracle changes THIS round: the JPEG codec
@@ -114,7 +114,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # mapInPandas replace the per-row 4096-element explode) displacing
 # the sim_knn_graph canary (sim keeps 5 rows), and ds_global_row_ids
 # (monotonic-id local ranks replace the rank window's second
-# corpus shuffle) displacing the q22 canary (q keeps 12 rows via the
+# corpus shuffle) displacing the q22 canary (q keeps 13 rows via the
 # never-checked q6x-q9x block + q89 + q01).
 # Final r6 bench fix: sim_bruteforce_topk drops its forced small-input
 # repartition (light per-row work; the shuffle bought nothing and the

@@ -2426,12 +2426,21 @@ def dd_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each computes the fps before the other's cache write lands
     # (measured r6: persist left the entry at ~0.49 s vs 0.45
     # without). In production the landed fps are a materialized
-    # fingerprint TABLE written by the landing pipeline; the ~0.15 s
-    # md5+regexp pass each consumer pays here stands in for reading
-    # that table.
+    # fingerprint TABLE written by the landing pipeline —
+    # ``dd_bloom_incremental_fp`` below IS that production shape; the
+    # ~0.15 s md5+regexp pass each consumer pays here stands in for
+    # reading that table.
     landed = docs.filter(F.col("doc_id") < _INCR_SPLIT).select("fp")
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    return _bloom_route(landed, batch)
 
+
+def _bloom_route(landed: DataFrame, batch: DataFrame) -> DataFrame:
+    """Bloom build → probe → exact confirm, shared by the from-raw
+    entry (landed fps recomputed from text) and the production `_fp`
+    entry (landed fps read from a materialized fingerprint table).
+    ``landed`` is a 1-column frame of fingerprints; ``batch`` carries
+    (doc_id, source, fp)."""
     # The shipped filter is ONE row holding the sparse bitset as a
     # map<word_idx, word> (≤M/64 entries, 16 KiB), crossJoin-broadcast
     # to the probe — the repo's bounded 1-row-aggregate pattern. One
@@ -2504,6 +2513,103 @@ def dd_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     "dd_bloom_incremental",
     dd_bloom_incremental,
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ),
+    landed AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id < {_INCR_SPLIT}
+    ),
+    batch AS (SELECT * FROM fps WHERE doc_id >= {_INCR_SPLIT})
+    SELECT source,
+           count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM landed))
+             AS n_admitted,
+           count(*) FILTER (WHERE fp IN (SELECT fp FROM landed))
+             AS n_rejected,
+           count(*) AS n_batch
+    FROM batch
+    GROUP BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dd_bloom_incremental_fp — the PRODUCTION shape of the Bloom route
+# (r6 verdict item 4): the landing pipeline materializes a fingerprint
+# table as it admits documents, so the landed side of the next batch's
+# dedup reads a 1-column fp parquet instead of recomputing
+# md5+regexp over raw text. That removes 2 of the from-raw entry's 3
+# fingerprint passes (the Bloom build and the confirm join each read
+# the 16-byte fp column; only the INCOMING batch — which arrives raw
+# by definition — still pays one md5 pass). At 100 TB this is the
+# difference between scanning a corpus-sized text column twice and
+# scanning a fingerprint column 1/50th its width.
+#
+# The fixture stands in for the landing pipeline's output: a
+# deterministic pure-Python (duckdb → parquet) materialization keyed
+# on the source file's identity (path, size, mtime), write-to-temp +
+# atomic rename so concurrent constructions race benignly — the same
+# pattern as the binmedia fixture (ingestion.py). No Spark jobs at
+# construction; steady-state construction is one os.stat.
+# ---------------------------------------------------------------------------
+
+
+def _landed_fp_table(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{_INCR_SPLIT}".encode()
+    ).hexdigest()[:16]
+    out = f"/tmp/spark_graft_landed_fp/{key}/landed_fp.parquet"
+    if os.path.exists(out):
+        return out
+    import duckdb
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = f"{out}.tmp{os.getpid()}"
+    # DISTINCT here mirrors what a landing pipeline keeps: one row per
+    # admitted fingerprint. ORDER BY makes the file byte-deterministic.
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT DISTINCT
+                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+          FROM read_parquet('{src}')
+          WHERE doc_id < {_INCR_SPLIT}
+          ORDER BY fp
+        ) TO '{tmp}' (FORMAT PARQUET)
+        """
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def dd_bloom_incremental_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp_path = _landed_fp_table(sf_dir)
+    landed = spark.read.schema("fp string").parquet(fp_path)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _INCR_SPLIT)
+        .select(
+            "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+        )
+    )
+    return _bloom_route(landed, batch)
+
+
+_register(
+    "dd_bloom_incremental_fp",
+    dd_bloom_incremental_fp,
+    # Same logical contract as dd_bloom_incremental — the oracle
+    # recomputes the landed fps from text because DuckDB sees only the
+    # catalog tables; value-equality proves the materialized table IS
+    # the landed fingerprint set.
     f"""
     WITH fps AS (
       SELECT doc_id, source,

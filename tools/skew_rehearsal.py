@@ -36,8 +36,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_N = 5_000
-SCALES = {"base": BASE_N, "10x": 10 * BASE_N}
+SCALES = {"base": BASE_N, "10x": 10 * BASE_N, "30x": 30 * BASE_N}
 ROOT = "/tmp/spark_graft_rehearsal"
+# Only the graph family runs the 30x point (r6 verdict item 3: two
+# points can't distinguish log-linear from quadratic-with-small-
+# constant; the hub clique at 30x is 3000 identical docs). The
+# pair-listing and text families stay two-point: their 10x behavior
+# is already classified (output-bound vs sublinear) and 30x would
+# spend most of its wall-time materializing the Ω(output) pair lists.
+THREE_POINT = {
+    "dd_pagerank_centrality",
+    "dd_triangle_count",
+    "dd_cc_banded",
+    "dd_semantic_clusters",
+    "sim_knn_graph",
+}
 ENTRIES = [
     "dd_ngram_jaccard_capped",
     "dd_pagerank_centrality",
@@ -175,6 +188,9 @@ def main() -> None:
     entries = ENTRIES
     if sys.argv[1:]:
         # rerun a subset: python tools/skew_rehearsal.py entry1 entry2
+        unknown = set(sys.argv[1:]) - set(ENTRIES)
+        if unknown:
+            sys.exit(f"unknown entries: {sorted(unknown)}")
         entries = [e for e in ENTRIES if e in sys.argv[1:]]
 
     from etl_mapwarper_spark.session import get_spark
@@ -191,7 +207,12 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for entry in entries:
         results[entry] = {}
-        for scale in SCALES:
+        scales = [
+            s
+            for s in SCALES
+            if s != "30x" or entry in THREE_POINT
+        ]
+        for scale in scales:
             sf_dir = os.path.join(ROOT, scale)
             runs = []
             for _ in range(2):
@@ -209,6 +230,10 @@ def main() -> None:
             # (pair-listing ops on the hub) from plan defects.
             n_out = df.count()
             results[entry][f"{scale}_rows"] = n_out
+            # Entries that persist() internally (ds_global_row_ids)
+            # would otherwise accumulate cached data across the
+            # repeated constructions — drop it before the next run.
+            spark.catalog.clearCache()
             print(
                 json.dumps(
                     {
@@ -219,16 +244,25 @@ def main() -> None:
                     }
                 )
             )
-    summary = {
-        e: {
+    summary = {}
+    for e, r in results.items():
+        row = {
             **r,
             "scaling_x": round(r["10x"] / max(r["base"], 1e-9), 2),
             "rows_x": round(
                 r["10x_rows"] / max(r["base_rows"], 1), 2
             ),
         }
-        for e, r in results.items()
-    }
+        if "30x" in r:
+            # third scale point (r6 verdict item 3): 30x/10x for 3x
+            # more rows — sub-quadratic growth shows as < ~9x here.
+            row["scaling_30x_over_10x"] = round(
+                r["30x"] / max(r["10x"], 1e-9), 2
+            )
+            row["rows_30x_over_10x"] = round(
+                r["30x_rows"] / max(r["10x_rows"], 1), 2
+            )
+        summary[e] = row
     print(json.dumps({"rows_scale": 10, "summary": summary}))
 
 
