@@ -2055,6 +2055,14 @@ def dd_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _SEM_THRESHOLD)
         .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
     )
+    return _semantic_cc(spark, sf_dir, pairs)
+
+
+def _semantic_cc(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Min-label connected components over (v1, v2) embedding pairs,
+    shared by the exact and banded semantic-cluster entries."""
     labels = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("vec_id").alias("cluster")
     )
@@ -2127,6 +2135,70 @@ def _semantic_clusters_sql() -> str:
 
 _register(
     "dd_semantic_clusters", dd_semantic_clusters, _semantic_clusters_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# dd_semantic_clusters_banded — the PRODUCTION semantic-clustering twin
+# (the embedding-side dd_cc_banded): SemDeDup clustering over the
+# rank-banded SRP candidate generator instead of the exact bucket
+# self-join. Motivation and mechanics in similarity.py at
+# ``_srp_banded_cand`` — the exact generator is Σ bucket² (quadratic in
+# corpus size at fixed bucket count; r7 rehearsal evidence), the banded
+# one is Σ bucket·band with per-join-key fan-out ≤ band by
+# construction. Duplicate hubs (the SemDeDup target) tie on the
+# ordering projection, occupy contiguous ranks, and stay fully
+# connected through cos=1 band neighbors, so THEIR cluster labels are
+# unchanged; diffuse clusters whose only link exceeds the band can
+# split — the recall trade every banded generator makes, pinned by the
+# band >= bucket-size equality test.
+# ---------------------------------------------------------------------------
+
+
+def dd_semantic_clusters_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .similarity import SRP_BAND, _srp_banded_cand
+
+    pairs = (
+        _srp_banded_cand(spark, sf_dir, SRP_BAND, 4)
+        .filter(F.col("cos") >= _SEM_THRESHOLD)
+        .select("v1", "v2")
+    )
+    return _semantic_cc(spark, sf_dir, pairs)
+
+
+def _semantic_clusters_banded_sql() -> str:
+    from .similarity import SRP_BAND, _srp_banded_cand_sql
+
+    return f"""
+    WITH RECURSIVE {_srp_banded_cand_sql(SRP_BAND, 4)},
+    pairs AS (
+      SELECT v1, v2 FROM cand WHERE cos >= {_SEM_THRESHOLD}
+    ),
+    edges AS (
+      SELECT v1 AS src, v2 AS dst FROM pairs
+      UNION
+      SELECT v2 AS src, v1 AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, min(dst) AS min_reach FROM reach GROUP BY src
+    )
+    SELECT e.vec_id,
+           least(e.vec_id, coalesce(c.min_reach, e.vec_id)) AS cluster
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    """
+
+
+_register(
+    "dd_semantic_clusters_banded",
+    dd_semantic_clusters_banded,
+    _semantic_clusters_banded_sql(),
 )
 
 

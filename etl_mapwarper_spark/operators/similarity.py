@@ -1143,6 +1143,141 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Rank-banded SRP candidates — the PRODUCTION candidate generator for
+# the embedding-side graph consumers (sim_knn_graph_banded here,
+# dd_semantic_clusters_banded in dedup.py): the same treatment
+# dd_simhash_pairs_banded applies on the text side, motivated by the
+# same rehearsal methodology. The exact bucket self-join is Σ bucket²,
+# which with a FIXED bucket count (2^|SRP_DIMS|) is n²/2^bits —
+# quadratic in corpus size even before skew, and the r7
+# identical-vector-hub rehearsal measured sim_knn_graph at
+# 0.54 s → 97.5 s for 10× rows. Fix: within each SRP bucket, order
+# members along a 1-D projection (coordinate 2, not an SRP sign dim,
+# tie-broken by vec_id — the sorted-projection sliding window: near
+# vectors get near ranks) and generate candidates only within rank
+# distance ≤ band. The join is keyed on (bucket, rank) so no reducer
+# sees more than `band` rows per key; candidate volume is
+# Σ bucket·band = O(n·band). Identical vectors tie on the projection,
+# so a duplicate hub occupies contiguous ranks and every member keeps
+# ≥ min(band, clique−1) cos=1 neighbors — hub structure survives
+# banding exactly. band ≥ max bucket size ⇒ identical to the exact
+# generator (test-pinned).
+# ---------------------------------------------------------------------------
+
+SRP_BAND = 16
+
+
+def _srp_banded_cand(
+    spark: SparkSession, sf_dir: str, band: int, ndigits: int
+) -> DataFrame:
+    """Within-bucket candidate pairs (v1, v2, cos) with
+    rank(v1) < rank(v2) <= rank(v1)+band; cos rounded to ndigits."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    bw = Window.partitionBy("bucket")
+    ranked = emb.select(
+        "vec_id",
+        "v",
+        "bucket",
+        F.row_number()
+        .over(bw.orderBy(F.element_at(F.col("v"), 2), "vec_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(bw).alias("bn"),
+    )
+    # sequence(a, b) DESCENDS when a > b — gate on r < bn so the last
+    # bucket member yields NULL (explode drops it), as in the simhash
+    # banded generator.
+    left = ranked.select(
+        F.col("vec_id").alias("v1"),
+        F.col("v").alias("va"),
+        "bucket",
+        F.explode(
+            F.when(
+                F.col("r") < F.col("bn"),
+                F.sequence(
+                    F.col("r") + 1,
+                    F.least(F.col("r") + F.lit(band), F.col("bn")),
+                ),
+            )
+        ).alias("r2"),
+    )
+    right = ranked.select(
+        F.col("vec_id").alias("v2"),
+        F.col("v").alias("vb"),
+        "bucket",
+        F.col("r").alias("r2"),
+    )
+    return left.join(right, ["bucket", "r2"]).select(
+        "v1",
+        "v2",
+        F.round(
+            cosine_similarity(F.col("va"), F.col("vb")), ndigits
+        ).alias("cos"),
+    )
+
+
+def _srp_banded_cand_sql(band: int, ndigits: int) -> str:
+    """The DuckDB mirror of ``_srp_banded_cand`` as a CTE chain ending
+    in ``cand(v1, v2, cos)`` (no leading WITH — composable)."""
+    return f"""
+    bucketed AS (
+      SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY embedding[2], vec_id) AS r
+      FROM bucketed
+    ),
+    cand AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]),
+                   {ndigits}) AS cos
+      FROM ranked a JOIN ranked b
+        ON a.bucket = b.bucket AND b.r > a.r AND b.r <= a.r + {band}
+    )"""
+
+
+def sim_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _srp_banded_cand(spark, sf_dir, SRP_BAND, 6)
+    directed = cand.select(
+        F.col("v1").alias("src"), F.col("v2").alias("dst"), "cos"
+    ).union(
+        cand.select(F.col("v2").alias("src"), F.col("v1").alias("dst"), "cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("src", "rank", "dst", "cos")
+    )
+
+
+_register(
+    "sim_knn_graph_banded",
+    sim_knn_graph_banded,
+    f"""
+    WITH {_srp_banded_cand_sql(SRP_BAND, 6)},
+    directed AS (
+      SELECT v1 AS src, v2 AS dst, cos FROM cand
+      UNION ALL
+      SELECT v2 AS src, v1 AS dst, cos FROM cand
+    )
+    SELECT src, rank, dst, cos FROM (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst ASC) AS rank
+      FROM directed
+    ) WHERE rank <= {_KNN_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # sim_norm_report — embedding-corpus QA (the sanity pass before any
 # index build): per-label L2-norm statistics and outlier counts
 # against a global mean+3σ threshold. Degenerate embeddings (zero

@@ -292,6 +292,10 @@ def stateful_user_totals_tws(
     test_transform_with_state_gate + st_user_totals_tws in
     streaming/queries.py) remains the executable evidence on any
     protobuf-present host.
+
+    Re-checked 2026-08-15 (round 7): ``import google.protobuf`` and
+    ``import grpc`` still ModuleNotFoundError; ``pip download
+    protobuf`` fetches nothing (no network). Gate unchanged.
     """
     if RunningTotalsProcessor is None:
         raise NotImplementedError("transformWithState requires Spark >= 4")

@@ -228,3 +228,98 @@ def test_ppjoin_bounds_survive_megabyte_documents(spark, tmp_path):
     sa, sb = n_tok - 2, n_tok - 4_000 - 2
     want = round(sb / sa, 4)  # B's shingles are a prefix-subset of A's
     assert got[0].jacc == want
+
+
+def _write_embeddings(spark, tmp_path, name, vecs):
+    import numpy as np
+
+    rows = [
+        (i, [float(x) for x in v], int(i % 3)) for i, v in enumerate(vecs)
+    ]
+    sf_dir = str(tmp_path / name)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    return sf_dir
+
+
+def test_srp_banded_cand_subset_hub_and_fanout(spark, tmp_path):
+    """The rank-banded SRP candidate generator (r7 rehearsal fallout:
+    the exact bucket self-join is quadratic in corpus size at fixed
+    bucket count). Pinned semantics, mirroring the simhash banding:
+
+    - band >= max bucket size => banded candidates are EXACTLY the
+      exact within-bucket ordered pair set (same cos values);
+    - a narrow band yields a subset with unchanged cos values, and a
+      per-v1 fan-out bounded by the band;
+    - an identical-vector hub stays one cluster under
+      dd_semantic_clusters_banded (contiguous ranks, cos=1 chain).
+    """
+    import numpy as np
+
+    from etl_mapwarper_spark.operators.dedup import (
+        dd_semantic_clusters_banded,
+    )
+    from etl_mapwarper_spark.operators.similarity import (
+        _bucket_expr,
+        _srp_banded_cand,
+        cosine_similarity,
+        to_double_array,
+    )
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    rng = np.random.RandomState(7)
+    hub_n, rest_n, dim = 10, 30, 64
+    hub = rng.randn(dim)
+    hub /= np.linalg.norm(hub)
+    rest = rng.randn(rest_n, dim)
+    rest /= np.linalg.norm(rest, axis=1, keepdims=True)
+    vecs = [hub] * hub_n + list(rest)
+    sf_dir = _write_embeddings(spark, tmp_path, "srp_banded", vecs)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = {
+        (r.v1, r.v2): r.cos
+        for r in a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(
+                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+            ).alias("cos"),
+        )
+        .collect()
+    }
+    wide = {
+        (min(r.v1, r.v2), max(r.v1, r.v2)): r.cos
+        for r in _srp_banded_cand(spark, sf_dir, 1000, 6).collect()
+    }
+    assert wide == exact  # band >= bucket size -> identical
+
+    band = 3
+    rows = _srp_banded_cand(spark, sf_dir, band, 6).collect()
+    narrow = {(min(r.v1, r.v2), max(r.v1, r.v2)): r.cos for r in rows}
+    assert set(narrow) <= set(exact)
+    assert all(exact[p] == c for p, c in narrow.items())
+    # structural fan-out bound: each v1 emits <= band candidates
+    # (one bucket per vector, forward ranks only)
+    from collections import Counter
+
+    per_v1 = Counter(r.v1 for r in rows)
+    assert max(per_v1.values()) <= band
+
+    # hub connectivity: every hub member lands in cluster 0 (min id)
+    labels = {
+        r.vec_id: r.cluster
+        for r in dd_semantic_clusters_banded(spark, sf_dir).collect()
+    }
+    assert all(labels[i] == 0 for i in range(hub_n))

@@ -48,8 +48,8 @@ THREE_POINT = {
     "dd_pagerank_centrality",
     "dd_triangle_count",
     "dd_cc_banded",
-    "dd_semantic_clusters",
-    "sim_knn_graph",
+    "dd_semantic_clusters_banded",
+    "sim_knn_graph_banded",
 }
 ENTRIES = [
     "dd_ngram_jaccard_capped",
@@ -78,9 +78,16 @@ ENTRIES = [
     # dd_semantic_clusters' docstring). sim_srp_lsh_topk is
     # probe-bounded; sim_knn_graph and dd_semantic_clusters join
     # within buckets, so the hub measures their hot-bucket behavior.
+    # r7 measured sim_knn_graph QUADRATIC (0.54 → 97.5 s for 10×
+    # rows: Σ bucket² = n²/2^bits at fixed bucket count) — the exact
+    # twins stay 2-point for the record; the banded twins below are
+    # the production path and carry the 3-point certification.
     "sim_srp_lsh_topk",
     "sim_knn_graph",
     "dd_semantic_clusters",
+    # --- r7 fallout: rank-banded SRP candidate generation ---
+    "sim_knn_graph_banded",
+    "dd_semantic_clusters_banded",
 ]
 SEED = 20260815
 
