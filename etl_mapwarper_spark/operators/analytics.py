@@ -1517,123 +1517,22 @@ def q89_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(*out_cols)
 
 
-# --- r7 A/B candidate: grouped t-digest sketch (verdict item 5) -----------
-# The GK/KLL ``approx_percentile`` branch above is an ObjectHashAggregate
-# whose per-row JVM update is an accuracy-independent ~0.27 s constant at
-# sf0.1. This twin replaces ONLY the sketch branch with a mergeable
-# t-digest (Dunning & Ertl, "Computing extremely accurate quantiles using
-# t-digests"): per-partition Arrow batches are compressed to <= ~delta
-# centroids with the k1 scale function (vectorized numpy — sort, cumsum,
-# arcsin bucketing, reduceat), the bounded centroid sets shuffle to a
-# per-flag merge (re-compression + midpoint interpolation). Rank error
-# ~ 4*q*(1-q)/delta — at delta=1000 well inside the p+/-0.005 contract
-# band. The exact grounding branch is unchanged; the two 3-row branches
-# meet in a broadcast join. Measured against the GK form at sf0.1; the
-# winner holds the q89 registration, the A/B is recorded in BASELINE.md.
-
-_Q89_DELTA = 1000.0
-
-
-def _tdigest_compress(v, w, delta):
-    """One merging-t-digest compression pass over value/weight arrays
-    sorted by value: bucket by floor(k1(q)) and fold each bucket to its
-    weighted-mean centroid. Fully vectorized; returns (means, weights)."""
-    import numpy as np
-
-    W = w.sum()
-    q = (np.cumsum(w) - 0.5 * w) / W
-    k = delta * (np.arcsin(2.0 * q - 1.0) / np.pi + 0.5)
-    ids = np.floor(k).astype(np.int64)
-    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-    ws = np.add.reduceat(w, starts)
-    means = np.add.reduceat(v * w, starts) / ws
-    return means, ws
-
-
-def _tdigest_quantile(means, ws, ps):
-    """Standard centroid-midpoint interpolation, clamped at the ends."""
-    import numpy as np
-
-    W = ws.sum()
-    mids = np.cumsum(ws) - 0.5 * ws
-    return np.interp(np.asarray(ps) * W, mids, means)
-
-
-def _q89_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("cents"),
-    )
-
-    def partials(batches):
-        import numpy as np
-
-        acc: dict[str, list] = {}
-        for pdf in batches:
-            for flag, grp in pdf.groupby("l_returnflag"):
-                acc.setdefault(flag, []).append(
-                    grp["cents"].to_numpy(np.float64)
-                )
-        rows = []
-        for flag, chunks in acc.items():
-            v = np.sort(np.concatenate(chunks))
-            means, ws = _tdigest_compress(
-                v, np.ones_like(v), _Q89_DELTA
-            )
-            rows.append((flag, means.tolist(), ws.tolist()))
-        yield pd.DataFrame(
-            rows, columns=["l_returnflag", "means", "weights"]
-        )
-
-    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        v = np.concatenate([np.asarray(m) for m in pdf["means"]])
-        w = np.concatenate([np.asarray(x) for x in pdf["weights"]])
-        order = np.argsort(v, kind="stable")
-        means, ws = _tdigest_compress(v[order], w[order], _Q89_DELTA)
-        ap = _tdigest_quantile(means, ws, [0.25, 0.50, 0.75])
-        return pd.DataFrame(
-            [[key[0], ap[0], ap[1], ap[2]]],
-            columns=["l_returnflag", "ap25", "ap50", "ap75"],
-        )
-
-    sketch = (
-        li.mapInPandas(
-            partials,
-            "l_returnflag string, means array<double>, weights array<double>",
-        )
-        .groupBy("l_returnflag")
-        .applyInPandas(
-            merge, "l_returnflag string, ap25 double, ap50 double, ap75 double"
-        )
-    )
-
-    exact = li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_list("cents")).alias("_vals"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-
-    from ..functions.scalar import sorted_array_quantile
-
-    def interp(q):
-        return sorted_array_quantile(F.col("_vals"), F.col("_n"), q)
-
-    out_cols = [F.col("l_returnflag")]
-    for p, name in zip((0.25, 0.50, 0.75), ("p25", "p50", "p75")):
-        out_cols.append(interp(p).alias(f"exact_{name}_cents"))
-        out_cols.append(
-            (
-                (F.col(f"ap{name[1:]}") >= interp(max(p - _Q89_EPS, 0.0)))
-                & (F.col(f"ap{name[1:]}") <= interp(min(p + _Q89_EPS, 1.0)))
-            ).alias(f"ok_{name}")
-        )
-    return exact.join(F.broadcast(sketch), "l_returnflag").select(*out_cols)
-
+# --- r7 t-digest A/B (verdict item 5): MEASURED AND REJECTED ---------------
+# A mergeable t-digest twin (per-partition Arrow/numpy centroid
+# compression via mapInPandas with the k1 scale function, bounded
+# centroid merge per flag, midpoint interpolation — the honest
+# partial-aggregation shape, value-exact vs the oracle at all 3 SFs;
+# code at commit 8a137e3) was benched against this GK form at sf0.1,
+# min-of-8, same session, back-to-back under identical host load:
+# GK 0.80 s vs t-digest 1.26 s (1.55x). Structural reason: GK's
+# sketch rides the ONE scan+aggregate the exact branch already pays
+# (ObjectHashAggregate per-row update), while any separate sketch
+# branch pays a second lineitem scan plus the Arrow batch transfer of
+# the full cents column to Python workers — more than the entire GK
+# constant. A whole-group pandas UDAF would dodge the second scan but
+# abandons partial aggregation (the property the entry exists to
+# demonstrate). Decision: approx_percentile's update cost IS the
+# engine's sketch constant; A/B recorded in BASELINE.md round-7.
 
 # Oracle: DuckDB verifies the SAME rank-error contract with ITS OWN
 # mergeable sketch (approx_quantile, a t-digest) — the faithful
