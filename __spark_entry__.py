@@ -122,62 +122,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # so it and its transitive consumer sim_lsh_recall re-window,
 # displacing the sim_ivfpq_topk and dd_minhash_lsh canaries (sim
 # keeps 6 rows, dd keeps 7).
+#
+# Round-7 window (the ledger is closed, so the standing rule reduces
+# to: code-changed + new + canaries, every family >= 2): (a) 2 entries
+# whose code changed this round — dd_bloom_incremental (shared
+# _bloom_route extraction) and dd_semantic_clusters (_semantic_cc
+# extraction); (b) 3 NEW never-checked entries — dd_bloom_
+# incremental_fp (production Bloom route over a materialized
+# fingerprint table), sim_knn_graph_banded + dd_semantic_clusters_
+# banded (the r7 rehearsal fallout: rank-banded SRP candidate
+# generation after the exact bucket self-join measured corpus-
+# quadratic, 179x/35x for 10x rows); (c) 45 canaries picked
+# STALEST-EVIDENCE-FIRST from the CORRECTNESS_r01-r06 ledger — the
+# full r1 q-block (q03-q16, the oldest evidence anywhere), the r2
+# dd/ds/mw/tx/sim/src/pipe blocks, r3 st/mm, r4 dq. Family rows:
+# q=12, dd=9, ds=5, tx=5, mw=4, sim=4, src=3, mm=2, st=2, dq=2,
+# pipe=2 — every family >= 2. (q89's A/B edit this round was
+# comment-only — function body and oracle byte-identical — so its r6
+# evidence stands and it yields its slot to a stale canary.)
 _PRIORITY = [
-    # --- never-driver-checked (28): the ledger-closing set ---
-    "dd_cdc_chunks",
-    "dd_incremental_dedup",
+    # --- (a) code changed r7 ---
+    "dd_bloom_incremental",
     "dd_semantic_clusters",
-    "ds_epoch_shuffle",
-    "ds_pack_sequences",
-    "ds_token_budget_planner",
-    "mm_av_sync_check",
-    "mm_jpeg_roundtrip",  # codec code changed r6 (sampling factors)
-    "mw_gcp_transform_tps",
-    "q64_small_qty_revenue",
-    "q77_notin_null_semantics",
-    "q78_map_type_aggs",
-    "q79_try_functions",
-    "q80_calendar_arith",
-    "q83_explode_outer_semantics",
-    "q85_chi2_independence",
-    "q86_skyline",
-    "q87_mad_robust_stats",
-    "q88_argmax_aggregate",
-    "q92_modern_sql",
-    "sim_norm_report",
-    "sim_pq_recall",
-    "sim_radius_search",
-    "src_binaryfile_media",  # fixture+oracle changed r6 (4:2:0 family)
-    "src_compact_roundtrip",
-    "src_webdataset_roundtrip",
-    "tx_js_divergence",
-    "tx_ndcg_eval",
-    # --- bench-item rows (tfidf code changed r6; q89 re-measured) ---
-    "tx_tfidf_top_terms",  # n_docs branch off the parallelized scan
-    "q89_approx_quantiles",  # unchanged; sketch constant documented
-    # --- r6 skew-rehearsal fallout: new + code/oracle-changed ---
-    "dd_simhash_pairs_banded",  # NEW: rank-banded candidate generator
-    "dd_cc_banded",  # NEW: production CC twin over banded pairs
-    "dd_triangle_count",  # consumes banded pairs; oracle changed
-    # --- late-r6 bench rebuilds (code changed; evidence re-windowed) ---
-    "sim_embedding_covariance",
-    "ds_global_row_ids",
-    "sim_bruteforce_topk",  # repartition dropped; plan changed
-    "sim_lsh_recall",  # consumes sim_bruteforce_topk's plan
-    # --- canaries (13): every family to >= 2 window rows ---
-    "q01_pricing_summary",
-    "mw_map_objects",
-    "dd_pagerank_centrality",  # consumes banded pairs; oracle changed
-    "ds_llm_pipeline",
-    "mm_audio_autocorr",
-    "mm_phash_neardups",
-    "st_dq_gate",
-    "st_incremental_dedup",
-    "src_dpp_join",
-    "dq_observed_metrics",
-    "dq_skew_report",
-    "pipe_map_objects",
-    "pipe_relations",
+    # --- (b) new r7, never driver-checked ---
+    "dd_bloom_incremental_fp",
+    "sim_knn_graph_banded",
+    "dd_semantic_clusters_banded",
+    # --- (c) canaries, stalest evidence first ---
+    # q: the full r1 block (checked r1, never since)
+    "q03_top_revenue_orders",
+    "q06_customer_order_stats",
+    "q07_customers_without_orders",
+    "q08_customers_with_urgent_orders",
+    "q09_top3_orders_per_customer",
+    "q10_running_customer_spend",
+    "q11_order_gaps",
+    "q12_rollup_lineitem",
+    "q13_cube_orders",
+    "q14_distinct_parts_per_flag",
+    "q15_nations_intersect",
+    "q16_nations_except",
+    # dd: r2 block
+    "dd_cc_bigstar",
+    "dd_connected_components",
+    "dd_embedding_neardup",
+    "dd_exact_hash",
+    "dd_fingerprint",
+    # ds: r2 block
+    "ds_corpus_curation",
+    "ds_hash_sample",
+    "ds_mixture_weights",
+    "ds_stratified_sample",
+    "ds_train_test_split",
+    # mw: r2 block
+    "mw_bbox_contains_join",
+    "mw_gcp_errors",
+    "mw_gcp_transform",
+    "mw_geodesic_area",
+    # tx: r2 block
+    "tx_bm25_topk",
+    "tx_bpe_tokens",
+    "tx_c4_filter",
+    "tx_chunk_windows",
+    "tx_langid_confusion",
+    # sim: r2 block
+    "sim_ivf_topk",
+    "sim_kmeans_2iter",
+    "sim_label_centroids",
+    # src: r2/r3
+    "src_rest_datasource",
+    "src_rest_scan",
+    "src_csv_malformed",
+    # st: r3
+    "st_dedup_watermark",
+    "st_foreach_batch_merge",
+    # mm: r3
+    "mm_arrow_hist",
+    "mm_audio_rms",
+    # pipe: r2/r3
+    "pipe_rest_end_to_end",
+    "pipe_layer_objects",
+    # dq: r4
+    "dq_expectations",
+    "dq_key_integrity",
 ]
 
 
