@@ -1237,6 +1237,15 @@ _register(
 # The comparator runs on an 80-char head — edit distance is O(len²)
 # per pair, so bounding the operand length bounds comparator cost.
 #
+# Hub exposure (r7 rehearsal lens): a byte-identical-doc hub shares
+# one block, so the block self-join lists all C(hub, 2) pairs — but
+# unlike the SRP/simhash bucket joins, here the TRUE ANSWER is that
+# pair set (every pair matches at lev=0), so wall-time is Ω(output)
+# by contract, the dd_minhash_lsh classification. The production ER
+# order makes the hub case moot: exact dedup (dd_exact_hash /
+# dd_dedup_apply) runs BEFORE fuzzy matching, so identical-content
+# hubs collapse to one survivor and never reach the block join.
+#
 # Perf note (round-4 audit of the r03 bench swing 0.124 s → 1.377 s):
 # min-of-5 A/B with the bench session + noop sink at sf0.1 measured
 # parallelize=True at 0.23-0.34 s vs parallelize=False at 0.45-0.62 s
@@ -2068,11 +2077,26 @@ def _semantic_cc(
     )
     n_vecs = labels.count()  # sizes the loop's shuffle width, O(1) scalar
     with _iterative_shuffle_width(spark, n_vecs):
+        # Both edge directions via a narrow explode — a union of
+        # (pairs, pairs-flipped) duplicates the pair-generation
+        # subtree in the physical plan and computes every candidate
+        # twice (r7 plan audit).
         edges = _cc_checkpoint(
-            pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
-            .union(
-                pairs.select(F.col("v2").alias("src"), F.col("v1").alias("dst"))
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v1").alias("src"),
+                            F.col("v2").alias("dst"),
+                        ),
+                        F.struct(
+                            F.col("v2").alias("src"),
+                            F.col("v1").alias("dst"),
+                        ),
+                    )
+                ).alias("e")
             )
+            .select("e.src", "e.dst")
             .distinct()
         )
         prev_sum = None

@@ -1244,11 +1244,26 @@ def _srp_banded_cand_sql(band: int, ndigits: int) -> str:
 
 def sim_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _srp_banded_cand(spark, sf_dir, SRP_BAND, 6)
+    # Both directions via a narrow explode — a union of (cand,
+    # cand-flipped) would DUPLICATE the banded-join subtree in the
+    # physical plan and compute every candidate twice (caught in the
+    # r7 plan audit).
     directed = cand.select(
-        F.col("v1").alias("src"), F.col("v2").alias("dst"), "cos"
-    ).union(
-        cand.select(F.col("v2").alias("src"), F.col("v1").alias("dst"), "cos")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("v1").alias("src"),
+                    F.col("v2").alias("dst"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("v2").alias("src"),
+                    F.col("v1").alias("dst"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos")
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
     return (
         directed.withColumn("rank", F.row_number().over(w))

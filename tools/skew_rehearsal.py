@@ -88,6 +88,10 @@ ENTRIES = [
     # --- r7 fallout: rank-banded SRP candidate generation ---
     "sim_knn_graph_banded",
     "dd_semantic_clusters_banded",
+    # --- r7 addition: the block self-join is pair-listing on the hub
+    # (all C(hub,2) pairs ARE the answer at lev=0 — output-bound like
+    # dd_minhash_lsh; production ER exact-dedups before fuzzy match).
+    "dd_levenshtein_blocked",
 ]
 SEED = 20260815
 
