@@ -117,13 +117,18 @@ TIER2_QUERIES = [
     "dd_lsh_tuning_report",  # multi-band recall sweep
     "dd_incremental_dedup",  # 6 exchanges, anti+semi admission
     "ds_decontaminate",  # n-gram overlap vs eval set
-    "sim_ivfpq_topk",  # ADC search (index build = untimed construction)
+    "sim_ivfpq_topk",  # ADC search (index build untimed at construction)
     "dd_containment",  # asymmetric overlap join
-    "dd_connected_components",  # exact CC fixpoint (iterative)
     "dd_embedding_neardup",  # cosine near-dup over SRP buckets
     "ds_dsir_importance",  # hashed-ngram importance weights
     "dd_bloom_incremental_fp",  # production Bloom route (r7)
 ]
+# dd_connected_components was measured for tier2 and EXCLUDED: the
+# entry itself is fine (Spark's iterative min-label, 44.7 s at sf0.1)
+# but its DuckDB recursive-CTE oracle takes 175 s — one entry would
+# triple the whole bench's wall-clock (engine BEATS the oracle 3.9x
+# there; recorded in BASELINE.md round-7). Scaling coverage for the
+# CC family lives in the skew rehearsal (dd_cc_banded, 3-point).
 
 
 def _load_state() -> dict:
