@@ -132,11 +132,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # fingerprint table), sim_knn_graph_banded + dd_semantic_clusters_
 # banded (the r7 rehearsal fallout: rank-banded SRP candidate
 # generation after the exact bucket self-join measured corpus-
-# quadratic, 179x/35x for 10x rows); (c) 45 canaries picked
+# quadratic, 179x/35x for 10x rows), plus the late-r7 pair
+# sim_srp_multiprobe_topk (Hamming-1 multi-probe, the recall gap the
+# srp docstring promised to close) + sim_knn_banded_recall (the
+# banding trade, measured — displacing the q15/q16 canaries, q keeps
+# 10 rows); (c) canaries picked
 # STALEST-EVIDENCE-FIRST from the CORRECTNESS_r01-r06 ledger — the
 # full r1 q-block (q03-q16, the oldest evidence anywhere), the r2
 # dd/ds/mw/tx/sim/src/pipe blocks, r3 st/mm, r4 dq. Family rows:
-# q=12, dd=9, ds=5, tx=5, mw=4, sim=4, src=3, mm=2, st=2, dq=2,
+# q=10, dd=9, sim=6, ds=5, tx=5, mw=4, src=3, mm=2, st=2, dq=2,
 # pipe=2 — every family >= 2. (q89's A/B edit this round was
 # comment-only — function body and oracle byte-identical — so its r6
 # evidence stands and it yields its slot to a stale canary.)
@@ -148,6 +152,8 @@ _PRIORITY = [
     "dd_bloom_incremental_fp",
     "sim_knn_graph_banded",
     "dd_semantic_clusters_banded",
+    "sim_srp_multiprobe_topk",
+    "sim_knn_banded_recall",
     # --- (c) canaries, stalest evidence first ---
     # q: the full r1 block (checked r1, never since)
     "q03_top_revenue_orders",
@@ -160,8 +166,6 @@ _PRIORITY = [
     "q12_rollup_lineitem",
     "q13_cube_orders",
     "q14_distinct_parts_per_flag",
-    "q15_nations_intersect",
-    "q16_nations_except",
     # dd: r2 block
     "dd_cc_bigstar",
     "dd_connected_components",

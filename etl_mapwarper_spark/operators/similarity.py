@@ -1293,6 +1293,201 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# sim_srp_multiprobe_topk — Hamming-1 multi-probe SRP-LSH (Lv et al.,
+# "Multi-probe LSH", VLDB 2007): every probe searches its home bucket
+# PLUS each 1-bit-flip bucket. The single-bucket entry's docstring has
+# promised this since r1 ("multi-probe closes that gap at scale");
+# this closes it. The probe set stays bounded — |probes|·(bits+1)
+# rows, broadcast — so the plan is the same one codegen stage as
+# sim_srp_lsh_topk with a 5× candidate fan-in instead of a 5× index
+# replication (the classic multi-probe trade: more probes per query,
+# not more hash tables). Recall strictly dominates the single-probe
+# entry; candidates stay disjoint across the 5 variant buckets (each
+# corpus vector lives in exactly one bucket), so no dedup is needed.
+# ---------------------------------------------------------------------------
+
+
+def _flip_bit(b, i: int, nbits: int):
+    """Column: bucket string ``b`` with 1-based sign-bit ``i`` flipped."""
+    return F.concat(
+        F.substring(b, 1, i - 1),
+        F.when(F.substring(b, i, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        ),
+        F.substring(b, i + 1, nbits - i),
+    )
+
+
+def sim_srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nbits = len(SRP_DIMS)
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("v"),
+        _bucket_expr("embedding").alias("bucket"),
+    )
+    probes = _probes(emb).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    _flip_bit(F.col("bucket"), i, nbits)
+                    for i in range(1, nbits + 1)
+                ],
+            )
+        ).alias("qbucket"),
+    )
+    scored = emb.join(
+        broadcast(probes),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("probe_id")),
+    ).withColumn(
+        "cos", F.round(cosine_similarity(F.col("pv"), F.col("v")), 6)
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "cos", "rank")
+    )
+
+
+def _multiprobe_sql() -> str:
+    nbits = len(SRP_DIMS)
+    flips = ",\n      ".join(
+        f"""concat(substr(pbucket, 1, {i - 1}),
+             CASE substr(pbucket, {i}, 1) WHEN '1' THEN '0' ELSE '1' END,
+             substr(pbucket, {i + 1}))"""
+        for i in range(1, nbits + 1)
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv, bucket AS pbucket
+      FROM bucketed WHERE vec_id IN (0, 1, 2)
+    ), variants AS (
+      SELECT probe_id, pv,
+             unnest([pbucket,
+      {flips}]) AS qbucket
+      FROM probes
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id,
+             round(list_cosine_similarity(p.pv::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS cos
+      FROM bucketed e JOIN variants p
+        ON e.bucket = p.qbucket AND e.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, cos, rank FROM (
+      SELECT probe_id, vec_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+_register(
+    "sim_srp_multiprobe_topk", sim_srp_multiprobe_topk, _multiprobe_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_banded_recall — quantifies what the banded k-NN graph trades
+# away: edge recall of sim_knn_graph_banded against the exact
+# bucketed graph (the sim_lsh_recall pattern applied to the r7
+# banding fix — every approximation in this repo ships with its
+# measured-recall twin). One full-outer join of the two edge sets and
+# one global aggregate; flags ride the join so each graph's subtree
+# is evaluated exactly once.
+#
+# Reading the number: recall@k measures ALL nearest neighbors, and on
+# a near-orthogonal random corpus "nearest" is noise-ranked, where the
+# 1-D projection ordering correlates weakly — measured 0.82 at sf0.01
+# (buckets ≈ band) falling to 0.30 at sf0.1 (buckets ≫ band). The
+# quantity banding is DEPLOYED for — near-duplicate/hub edges, whose
+# endpoints tie (or nearly tie) on the projection and so sit at
+# adjacent ranks — survives at recall 1.0 by construction
+# (property-pinned hub connectivity). For true neighborhood-graph
+# workloads the band must scale with expected bucket size (band ≥
+# bucket reproduces the exact graph); this entry is the measurement
+# that drives that tuning, exactly as dd_lsh_tuning_report drives
+# the MinHash band count.
+# ---------------------------------------------------------------------------
+
+
+def sim_knn_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_knn_graph(spark, sf_dir).select(
+        "src", "dst", F.lit(1).alias("in_e")
+    )
+    banded = sim_knn_graph_banded(spark, sf_dir).select(
+        "src", "dst", F.lit(1).alias("in_b")
+    )
+    j = exact.join(banded, ["src", "dst"], "full_outer")
+    return j.agg(
+        F.sum("in_e").alias("n_exact"),
+        F.sum("in_b").alias("n_banded"),
+        F.count(F.when((F.col("in_e") == 1) & (F.col("in_b") == 1), 1)).alias(
+            "n_common"
+        ),
+    ).select(
+        "n_exact",
+        "n_banded",
+        "n_common",
+        F.round(F.col("n_common") / F.col("n_exact"), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def _knn_banded_recall_sql() -> str:
+    return f"""
+    WITH ebucketed AS (
+      SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ), ecand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM ebucketed a JOIN ebucketed b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ), exact_graph AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst ASC) AS rank
+        FROM ecand
+      ) WHERE rank <= {_KNN_K}
+    ), {_srp_banded_cand_sql(SRP_BAND, 6).lstrip()},
+    directed AS (
+      SELECT v1 AS src, v2 AS dst, cos FROM cand
+      UNION ALL
+      SELECT v2 AS src, v1 AS dst, cos FROM cand
+    ), banded_graph AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst ASC) AS rank
+        FROM directed
+      ) WHERE rank <= {_KNN_K}
+    )
+    SELECT
+      (SELECT count(*) FROM exact_graph) AS n_exact,
+      (SELECT count(*) FROM banded_graph) AS n_banded,
+      (SELECT count(*) FROM exact_graph JOIN banded_graph USING (src, dst))
+        AS n_common,
+      round((SELECT count(*) FROM exact_graph JOIN banded_graph
+             USING (src, dst))
+            / (SELECT count(*) FROM exact_graph)::DOUBLE, 4) AS recall_at_k
+    """
+
+
+_register(
+    "sim_knn_banded_recall", sim_knn_banded_recall, _knn_banded_recall_sql()
+)
+
+
+# ---------------------------------------------------------------------------
 # sim_norm_report — embedding-corpus QA (the sanity pass before any
 # index build): per-label L2-norm statistics and outlier counts
 # against a global mean+3σ threshold. Degenerate embeddings (zero
