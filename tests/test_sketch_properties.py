@@ -323,3 +323,39 @@ def test_srp_banded_cand_subset_hub_and_fanout(spark, tmp_path):
         for r in dd_semantic_clusters_banded(spark, sf_dir).collect()
     }
     assert all(labels[i] == 0 for i in range(hub_n))
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe SRP searches a SUPERSET of the single-probe
+    candidate set (home bucket + each 1-bit flip), so per probe and
+    rank its top-k cosine must dominate pointwise; and _flip_bit is an
+    involution that changes exactly one position."""
+    from etl_mapwarper_spark.operators.similarity import (
+        _flip_bit,
+        sim_srp_lsh_topk,
+        sim_srp_multiprobe_topk,
+    )
+
+    b = F.lit("0110")
+    for i in range(1, 5):
+        once = spark.range(1).select(_flip_bit(b, i, 4).alias("f")).first().f
+        twice = (
+            spark.range(1)
+            .select(_flip_bit(_flip_bit(b, i, 4), i, 4).alias("f"))
+            .first()
+            .f
+        )
+        assert twice == "0110"
+        assert sum(a != c for a, c in zip(once, "0110")) == 1
+
+    single = {
+        (r.probe_id, r.rank): r.cos
+        for r in sim_srp_lsh_topk(spark, SF_DIR).collect()
+    }
+    multi = {
+        (r.probe_id, r.rank): r.cos
+        for r in sim_srp_multiprobe_topk(spark, SF_DIR).collect()
+    }
+    assert set(single) <= set(multi)  # multi never returns fewer rows
+    for key, cos in single.items():
+        assert multi[key] >= cos, key
