@@ -127,7 +127,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # to: code-changed + new + canaries, every family >= 2): (a) 2 entries
 # whose code changed this round — dd_bloom_incremental (shared
 # _bloom_route extraction) and dd_semantic_clusters (_semantic_cc
-# extraction); (b) 3 NEW never-checked entries — dd_bloom_
+# extraction + the explode-direction edge builder, which also touched
+# both banded twins already in the window); (b) 5 NEW never-checked
+# entries — dd_bloom_
 # incremental_fp (production Bloom route over a materialized
 # fingerprint table), sim_knn_graph_banded + dd_semantic_clusters_
 # banded (the r7 rehearsal fallout: rank-banded SRP candidate
@@ -138,7 +140,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # banding trade, measured — displacing the q15/q16 canaries, q keeps
 # 10 rows); (c) canaries picked
 # STALEST-EVIDENCE-FIRST from the CORRECTNESS_r01-r06 ledger — the
-# full r1 q-block (q03-q16, the oldest evidence anywhere), the r2
+# r1 q-block q03-q14 (the oldest evidence anywhere; q15/q16 displaced
+# by the late pair above), the r2
 # dd/ds/mw/tx/sim/src/pipe blocks, r3 st/mm, r4 dq. Family rows:
 # q=10, dd=9, sim=6, ds=5, tx=5, mw=4, src=3, mm=2, st=2, dq=2,
 # pipe=2 — every family >= 2. (q89's A/B edit this round was

@@ -359,3 +359,58 @@ def test_multiprobe_dominates_single_probe(spark):
     assert set(single) <= set(multi)  # multi never returns fewer rows
     for key, cos in single.items():
         assert multi[key] >= cos, key
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,band", [(11, 2), (23, 5)])
+def test_srp_banded_matches_python_model(spark, tmp_path, seed, band):
+    """Exact band semantics, recomputed independently: within each SRP
+    bucket sort by (embedding[2], vec_id); the banded candidate set
+    must be EXACTLY the pairs at rank distance <= band, with cos values
+    matching the full within-bucket pair set (the simhash banding
+    test's python-model pin, applied to the embedding side)."""
+    import numpy as np
+
+    from etl_mapwarper_spark.operators.similarity import (
+        SRP_DIMS,
+        _srp_banded_cand,
+    )
+
+    rng = np.random.RandomState(seed)
+    n, dim = 36, 64
+    vecs = rng.randn(n, dim)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # duplicate a block so ties exercise the vec_id tie-break
+    vecs[5:9] = vecs[4]
+    sf_dir = _write_embeddings(
+        spark, tmp_path, f"srp_model_{seed}_{band}", list(vecs)
+    )
+
+    got = {
+        (r.v1, r.v2): r.cos
+        for r in _srp_banded_cand(spark, sf_dir, band, 6).collect()
+    }
+
+    # python model: float32 round-trip like the parquet column
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    bucket = [
+        "".join("1" if v32[i][d - 1] >= 0 else "0" for d in SRP_DIMS)
+        for i in range(n)
+    ]
+    buckets: dict[str, list[int]] = {}
+    for i in range(n):
+        buckets.setdefault(bucket[i], []).append(i)
+    expect = {}
+    for members in buckets.values():
+        members.sort(key=lambda i: (v32[i][1], i))
+        for a_pos, i in enumerate(members):
+            for j in members[a_pos + 1 : a_pos + 1 + band]:
+                cos = float(np.dot(v32[i], v32[j]) / (
+                    np.linalg.norm(v32[i]) * np.linalg.norm(v32[j])
+                ))
+                expect[(i, j)] = round(cos, 6)
+    assert set(got) == set(expect)
+    for p, c in got.items():
+        assert abs(c - expect[p]) <= 1e-6, (p, c, expect[p])
