@@ -128,7 +128,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose code changed this round — dd_bloom_incremental (shared
 # _bloom_route extraction) and dd_semantic_clusters (_semantic_cc
 # extraction + the explode-direction edge builder, which also touched
-# both banded twins already in the window); (b) 5 NEW never-checked
+# both banded twins already in the window); (b) 6 NEW never-checked
 # entries — dd_bloom_
 # incremental_fp (production Bloom route over a materialized
 # fingerprint table), sim_knn_graph_banded + dd_semantic_clusters_
@@ -137,13 +137,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # quadratic, 179x/35x for 10x rows), plus the late-r7 pair
 # sim_srp_multiprobe_topk (Hamming-1 multi-probe, the recall gap the
 # srp docstring promised to close) + sim_knn_banded_recall (the
-# banding trade, measured — displacing the q15/q16 canaries, q keeps
-# 10 rows); (c) canaries picked
+# banding trade, measured) + sim_multiprobe_recall (recall@k of
+# multi-probe vs brute force, beside sim_lsh_recall's single-probe
+# number) — displacing the q03/q15/q16 canaries, q keeps 9 rows;
+# (c) canaries picked
 # STALEST-EVIDENCE-FIRST from the CORRECTNESS_r01-r06 ledger — the
-# r1 q-block q03-q14 (the oldest evidence anywhere; q15/q16 displaced
-# by the late pair above), the r2
+# r1 q-block q06-q14 (the oldest evidence anywhere; q03/q15/q16
+# displaced by the late trio above), the r2
 # dd/ds/mw/tx/sim/src/pipe blocks, r3 st/mm, r4 dq. Family rows:
-# q=10, dd=9, sim=6, ds=5, tx=5, mw=4, src=3, mm=2, st=2, dq=2,
+# q=9, dd=9, sim=7, ds=5, tx=5, mw=4, src=3, mm=2, st=2, dq=2,
 # pipe=2 — every family >= 2. (q89's A/B edit this round was
 # comment-only — function body and oracle byte-identical — so its r6
 # evidence stands and it yields its slot to a stale canary.)
@@ -157,9 +159,9 @@ _PRIORITY = [
     "dd_semantic_clusters_banded",
     "sim_srp_multiprobe_topk",
     "sim_knn_banded_recall",
+    "sim_multiprobe_recall",
     # --- (c) canaries, stalest evidence first ---
-    # q: the full r1 block (checked r1, never since)
-    "q03_top_revenue_orders",
+    # q: the r1 block (checked r1, never since)
     "q06_customer_order_stats",
     "q07_customers_without_orders",
     "q08_customers_with_urgent_orders",

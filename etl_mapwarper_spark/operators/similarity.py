@@ -1393,6 +1393,63 @@ _register(
 )
 
 
+# sim_multiprobe_recall — recall@k of Hamming-1 multi-probe vs the
+# exact brute-force ground truth, beside sim_lsh_recall's single-probe
+# number: the pair of entries IS the multi-probe trade quantified
+# (5x candidates -> strictly-dominating recall, no extra hash tables).
+# Same plan shape as sim_lsh_recall: tiny approx side broadcast into a
+# left join against the exact top-k, per-probe rollup.
+
+
+def sim_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_bruteforce_topk(spark, sf_dir).select("probe_id", "vec_id")
+    approx = sim_srp_multiprobe_topk(spark, sf_dir).select(
+        F.col("probe_id").alias("p2"), F.col("vec_id").alias("v2")
+    )
+    hit = F.col("v2").isNotNull()
+    return (
+        exact.join(
+            broadcast(approx),
+            (F.col("probe_id") == F.col("p2"))
+            & (F.col("vec_id") == F.col("v2")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(hit.cast("int")).alias("n_hit"),
+            F.round(
+                F.sum(hit.cast("int")) / F.count(F.lit(1)), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+_register(
+    "sim_multiprobe_recall",
+    sim_multiprobe_recall,
+    """
+    WITH exact AS (
+      SELECT probe_id, vec_id FROM ({exact_sql})
+    ),
+    approx AS (
+      SELECT probe_id AS p2, vec_id AS v2 FROM ({approx_sql})
+    )
+    SELECT probe_id,
+           count(*) AS n_exact,
+           sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall_at_k
+    FROM exact
+    LEFT JOIN approx ON probe_id = p2 AND vec_id = v2
+    GROUP BY probe_id
+    """.format(
+        exact_sql=ORACLE["sim_bruteforce_topk"],
+        approx_sql=ORACLE["sim_srp_multiprobe_topk"],
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # sim_knn_banded_recall — quantifies what the banded k-NN graph trades
 # away: edge recall of sim_knn_graph_banded against the exact
