@@ -2169,13 +2169,16 @@ _register(
 # self-join. Motivation and mechanics in similarity.py at
 # ``_srp_banded_cand`` — the exact generator is Σ bucket² (quadratic in
 # corpus size at fixed bucket count; r7 rehearsal evidence), the banded
-# one is Σ bucket·band with per-join-key fan-out ≤ band by
-# construction. Duplicate hubs (the SemDeDup target) tie on the
-# ordering projection, occupy contiguous ranks, and stay fully
-# connected through cos=1 band neighbors, so THEIR cluster labels are
-# unchanged; diffuse clusters whose only link exceeds the band can
-# split — the recall trade every banded generator makes, pinned by the
-# band >= bucket-size equality test.
+# one is Σ bucket·band·P with per-join-key fan-out ≤ band by
+# construction (r8: the generator unions P=|SRP_PROJS| projection
+# orderings, so edges missed by one ordering get P chances — recall
+# compounds at linear volume; see the similarity.py block).
+# Duplicate hubs (the SemDeDup target) tie on EVERY ordering
+# projection, occupy contiguous ranks, and stay fully connected
+# through cos=1 band neighbors, so THEIR cluster labels are
+# unchanged; diffuse clusters whose only link exceeds the band in
+# all P orderings can split — the recall trade every banded
+# generator makes, pinned by the band >= bucket-size equality test.
 # ---------------------------------------------------------------------------
 
 
@@ -2652,6 +2655,15 @@ _register(
 # ---------------------------------------------------------------------------
 
 
+# The landed-fingerprint formula, defined ONCE and folded into the
+# fixture cache key (r7 ADVICE): if the normalization or hash ever
+# changes, the key changes with it and a stale cached parquet can
+# never be silently reused against the new oracle.
+_LANDED_FP_SQL = (
+    "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+)
+
+
 def _landed_fp_table(sf_dir: str) -> str:
     import hashlib
     import os
@@ -2660,7 +2672,7 @@ def _landed_fp_table(sf_dir: str) -> str:
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{_INCR_SPLIT}".encode()
+        f"{_INCR_SPLIT}:{_LANDED_FP_SQL}".encode()
     ).hexdigest()[:16]
     out = f"/tmp/spark_graft_landed_fp/{key}/landed_fp.parquet"
     if os.path.exists(out):
@@ -2675,7 +2687,7 @@ def _landed_fp_table(sf_dir: str) -> str:
         f"""
         COPY (
           SELECT DISTINCT
-                 md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+                 {_LANDED_FP_SQL} AS fp
           FROM read_parquet('{src}')
           WHERE doc_id < {_INCR_SPLIT}
           ORDER BY fp

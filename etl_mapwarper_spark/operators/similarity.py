@@ -1152,38 +1152,72 @@ _register(
 # quadratic in corpus size even before skew, and the r7
 # identical-vector-hub rehearsal measured sim_knn_graph at
 # 0.54 s → 97.5 s for 10× rows. Fix: within each SRP bucket, order
-# members along a 1-D projection (coordinate 2, not an SRP sign dim,
+# members along a 1-D projection (a coordinate, not an SRP sign dim,
 # tie-broken by vec_id — the sorted-projection sliding window: near
 # vectors get near ranks) and generate candidates only within rank
-# distance ≤ band. The join is keyed on (bucket, rank) so no reducer
-# sees more than `band` rows per key; candidate volume is
-# Σ bucket·band = O(n·band). Identical vectors tie on the projection,
-# so a duplicate hub occupies contiguous ranks and every member keeps
+# distance ≤ band. The join is keyed on (bucket, proj, rank) so no
+# reducer sees more than `band` rows per key.
+#
+# r8 (multi-projection union — the r7 verdict's top item): a SINGLE
+# 1-D ordering loses recall as buckets grow with n at fixed band —
+# sim_knn_banded_recall measured 0.82 at sf0.01 (bucket ≈ 2·band)
+# falling to 0.30 at sf0.1 (bucket ≈ 8·band). The scale-correct fix
+# is NOT growing the band with E[bucket] (band ∝ n/2^bits makes
+# candidate volume Σ bucket·band ∝ n² — quadratic again, exactly
+# what banding exists to avoid); it is a UNION of several 1-D
+# projections at fixed band — the multi-probe idea (Lv et al.,
+# VLDB'07) applied to banding. A true neighbor missed by one
+# ordering gets |SRP_PROJS| independent chances to land within the
+# band of another, so recall compounds ≈ 1−(1−r₁)^P while candidate
+# volume stays O(n·band·P) — linear in n. Measured at band=16
+# (BASELINE.md r8): recall@3 0.30 → 0.76 at sf0.1 with P=4
+# (P=8 reads 0.94 — sim_band_tuning_report carries the full curve).
+# Pairs are normalized to (least, greatest) and deduped across
+# projections — one exchange keyed on the pair, no hot key.
+# Identical vectors tie on EVERY projection, so a duplicate hub
+# occupies contiguous ranks in each and every member keeps
 # ≥ min(band, clique−1) cos=1 neighbors — hub structure survives
 # banding exactly. band ≥ max bucket size ⇒ identical to the exact
-# generator (test-pinned).
+# generator for any projection set (test-pinned).
 # ---------------------------------------------------------------------------
 
 SRP_BAND = 16
+# Ordering coordinates for the banded union — disjoint from the
+# SRP_DIMS sign coordinates (1, 9, 17, 25) so the ordering within a
+# bucket is not degenerate on a sign boundary.
+SRP_PROJS = [2, 18, 34, 50]
 
 
 def _srp_banded_cand(
-    spark: SparkSession, sf_dir: str, band: int, ndigits: int
+    spark: SparkSession,
+    sf_dir: str,
+    band: int,
+    ndigits: int,
+    projs: list | None = None,
 ) -> DataFrame:
-    """Within-bucket candidate pairs (v1, v2, cos) with
-    rank(v1) < rank(v2) <= rank(v1)+band; cos rounded to ndigits."""
+    """Within-bucket candidate pairs (v1, v2, cos), v1 < v2, that sit
+    within rank distance ``band`` under AT LEAST ONE of the ``projs``
+    orderings (default ``SRP_PROJS``); cos rounded to ndigits."""
+    projs = SRP_PROJS if projs is None else projs
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id",
         to_double_array(F.col("embedding")).alias("v"),
         _bucket_expr("embedding").alias("bucket"),
     )
-    bw = Window.partitionBy("bucket")
-    ranked = emb.select(
+    proj = emb.select(
         "vec_id",
         "v",
         "bucket",
+        F.explode(F.array(*[F.lit(p) for p in projs])).alias("pj"),
+    )
+    bw = Window.partitionBy("bucket", "pj")
+    ranked = proj.select(
+        "vec_id",
+        "v",
+        "bucket",
+        "pj",
         F.row_number()
-        .over(bw.orderBy(F.element_at(F.col("v"), 2), "vec_id"))
+        .over(bw.orderBy(F.element_at(F.col("v"), F.col("pj")), "vec_id"))
         .alias("r"),
         F.count(F.lit(1)).over(bw).alias("bn"),
     )
@@ -1191,9 +1225,10 @@ def _srp_banded_cand(
     # bucket member yields NULL (explode drops it), as in the simhash
     # banded generator.
     left = ranked.select(
-        F.col("vec_id").alias("v1"),
+        F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         "bucket",
+        "pj",
         F.explode(
             F.when(
                 F.col("r") < F.col("bn"),
@@ -1205,40 +1240,60 @@ def _srp_banded_cand(
         ).alias("r2"),
     )
     right = ranked.select(
-        F.col("vec_id").alias("v2"),
+        F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
         "bucket",
+        "pj",
         F.col("r").alias("r2"),
     )
-    return left.join(right, ["bucket", "r2"]).select(
-        "v1",
-        "v2",
-        F.round(
-            cosine_similarity(F.col("va"), F.col("vb")), ndigits
-        ).alias("cos"),
+    # cos is orientation-independent bit-exact (elementwise products
+    # summed in index order; norm product commutes), so the same pair
+    # reached through different projections yields the same rounded
+    # cos and DISTINCT collapses it.
+    return (
+        left.join(right, ["bucket", "pj", "r2"])
+        .select(
+            F.least("id_a", "id_b").alias("v1"),
+            F.greatest("id_a", "id_b").alias("v2"),
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), ndigits
+            ).alias("cos"),
+        )
+        .distinct()
     )
 
 
-def _srp_banded_cand_sql(band: int, ndigits: int) -> str:
+def _srp_banded_cand_sql(
+    band: int, ndigits: int, projs: list | None = None
+) -> str:
     """The DuckDB mirror of ``_srp_banded_cand`` as a CTE chain ending
     in ``cand(v1, v2, cos)`` (no leading WITH — composable)."""
+    projs = SRP_PROJS if projs is None else projs
+    pj_list = ", ".join(str(p) for p in projs)
     return f"""
     bucketed AS (
       SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
     ),
-    ranked AS (
-      SELECT vec_id, embedding, bucket,
-             row_number() OVER (PARTITION BY bucket
-                                ORDER BY embedding[2], vec_id) AS r
+    proj AS (
+      SELECT vec_id, embedding, bucket, unnest([{pj_list}]) AS pj
       FROM bucketed
     ),
+    ranked AS (
+      SELECT vec_id, embedding, bucket, pj,
+             row_number() OVER (PARTITION BY bucket, pj
+                                ORDER BY embedding[pj], vec_id) AS r
+      FROM proj
+    ),
     cand AS (
-      SELECT a.vec_id AS v1, b.vec_id AS v2,
+      SELECT DISTINCT
+             least(a.vec_id, b.vec_id) AS v1,
+             greatest(a.vec_id, b.vec_id) AS v2,
              round(list_cosine_similarity(a.embedding::DOUBLE[],
                                           b.embedding::DOUBLE[]),
                    {ndigits}) AS cos
       FROM ranked a JOIN ranked b
-        ON a.bucket = b.bucket AND b.r > a.r AND b.r <= a.r + {band}
+        ON a.bucket = b.bucket AND a.pj = b.pj
+       AND b.r > a.r AND b.r <= a.r + {band}
     )"""
 
 
@@ -1301,8 +1356,11 @@ _register(
 # rows, broadcast — so the plan is the same one codegen stage as
 # sim_srp_lsh_topk with a 5× candidate fan-in instead of a 5× index
 # replication (the classic multi-probe trade: more probes per query,
-# not more hash tables). Recall strictly dominates the single-probe
-# entry; candidates stay disjoint across the 5 variant buckets (each
+# not more hash tables). Recall is never worse than (and typically
+# above) the single-probe entry — multi-probe candidates are a
+# superset, so dominance is weak: equal when every flip bucket is
+# empty, which the property test pins as >=, not >.
+# Candidates stay disjoint across the 5 variant buckets (each
 # corpus vector lives in exactly one bucket), so no dedup is needed.
 # ---------------------------------------------------------------------------
 
@@ -1460,17 +1518,20 @@ _register(
 # is evaluated exactly once.
 #
 # Reading the number: recall@k measures ALL nearest neighbors, and on
-# a near-orthogonal random corpus "nearest" is noise-ranked, where the
-# 1-D projection ordering correlates weakly — measured 0.82 at sf0.01
-# (buckets ≈ band) falling to 0.30 at sf0.1 (buckets ≫ band). The
-# quantity banding is DEPLOYED for — near-duplicate/hub edges, whose
-# endpoints tie (or nearly tie) on the projection and so sit at
-# adjacent ranks — survives at recall 1.0 by construction
-# (property-pinned hub connectivity). For true neighborhood-graph
-# workloads the band must scale with expected bucket size (band ≥
-# bucket reproduces the exact graph); this entry is the measurement
-# that drives that tuning, exactly as dd_lsh_tuning_report drives
-# the MinHash band count.
+# a near-orthogonal random corpus "nearest" is noise-ranked, where a
+# single 1-D projection ordering correlates weakly — the r7
+# single-projection generator measured 0.82 at sf0.01 (buckets ≈
+# band) falling to 0.30 at sf0.1 (buckets ≫ band). The r8
+# multi-projection union (P=|SRP_PROJS|=4 orderings, same band)
+# compounds per-ordering recall ≈ 1−(1−r₁)^P at linear candidate
+# volume: measured 0.999 at sf0.01 and 0.76 at sf0.1 (BASELINE.md
+# r8; P=8 reads 0.94 — the band/P curve lives in
+# sim_band_tuning_report, which is to SRP banding what
+# dd_lsh_tuning_report is to the MinHash band count). The quantity
+# banding is DEPLOYED for — near-duplicate/hub edges, whose
+# endpoints tie on EVERY projection and so sit at adjacent ranks —
+# survives at recall 1.0 by construction (property-pinned hub
+# connectivity).
 # ---------------------------------------------------------------------------
 
 

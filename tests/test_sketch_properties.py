@@ -246,14 +246,19 @@ def _write_embeddings(spark, tmp_path, name, vecs):
 def test_srp_banded_cand_subset_hub_and_fanout(spark, tmp_path):
     """The rank-banded SRP candidate generator (r7 rehearsal fallout:
     the exact bucket self-join is quadratic in corpus size at fixed
-    bucket count). Pinned semantics, mirroring the simhash banding:
+    bucket count; r8: union of SRP_PROJS projection orderings).
+    Pinned semantics, mirroring the simhash banding:
 
     - band >= max bucket size => banded candidates are EXACTLY the
-      exact within-bucket ordered pair set (same cos values);
-    - a narrow band yields a subset with unchanged cos values, and a
-      per-v1 fan-out bounded by the band;
+      exact within-bucket pair set (same cos values), for any
+      projection set;
+    - a narrow band yields a subset with unchanged cos values, a
+      per-vector participation bounded by 2*band*P (the O(n*band*P)
+      volume bound), and the multi-projection union is a SUPERSET of
+      every single-projection band (the recall mechanism);
     - an identical-vector hub stays one cluster under
-      dd_semantic_clusters_banded (contiguous ranks, cos=1 chain).
+      dd_semantic_clusters_banded (ties on every ordering =>
+      contiguous ranks, cos=1 chain).
     """
     import numpy as np
 
@@ -310,12 +315,30 @@ def test_srp_banded_cand_subset_hub_and_fanout(spark, tmp_path):
     narrow = {(min(r.v1, r.v2), max(r.v1, r.v2)): r.cos for r in rows}
     assert set(narrow) <= set(exact)
     assert all(exact[p] == c for p, c in narrow.items())
-    # structural fan-out bound: each v1 emits <= band candidates
-    # (one bucket per vector, forward ranks only)
+    # structural volume bound: each vector participates in <=
+    # 2*band*P candidate pairs (band forward + band backward partners
+    # per projection ordering, deduped across projections)
     from collections import Counter
 
-    per_v1 = Counter(r.v1 for r in rows)
-    assert max(per_v1.values()) <= band
+    from etl_mapwarper_spark.operators.similarity import SRP_PROJS
+
+    per_vec = Counter()
+    for r in rows:
+        per_vec[r.v1] += 1
+        per_vec[r.v2] += 1
+    assert max(per_vec.values()) <= 2 * band * len(SRP_PROJS)
+
+    # the union is a superset of every single-projection band at the
+    # same width — adding orderings can only ADD recall
+    for p in SRP_PROJS:
+        single = {
+            (r.v1, r.v2): r.cos
+            for r in _srp_banded_cand(
+                spark, sf_dir, band, 6, projs=[p]
+            ).collect()
+        }
+        assert set(single) <= set(narrow)
+        assert all(narrow[k] == c for k, c in single.items())
 
     # hub connectivity: every hub member lands in cluster 0 (min id)
     labels = {
@@ -367,14 +390,16 @@ import pytest
 @pytest.mark.parametrize("seed,band", [(11, 2), (23, 5)])
 def test_srp_banded_matches_python_model(spark, tmp_path, seed, band):
     """Exact band semantics, recomputed independently: within each SRP
-    bucket sort by (embedding[2], vec_id); the banded candidate set
-    must be EXACTLY the pairs at rank distance <= band, with cos values
-    matching the full within-bucket pair set (the simhash banding
-    test's python-model pin, applied to the embedding side)."""
+    bucket sort by (embedding[p], vec_id) for EACH projection p in
+    SRP_PROJS; the banded candidate set must be EXACTLY the union over
+    projections of normalized pairs at rank distance <= band, with cos
+    values matching the full within-bucket pair set (the simhash
+    banding test's python-model pin, applied to the embedding side)."""
     import numpy as np
 
     from etl_mapwarper_spark.operators.similarity import (
         SRP_DIMS,
+        SRP_PROJS,
         _srp_banded_cand,
     )
 
@@ -404,13 +429,14 @@ def test_srp_banded_matches_python_model(spark, tmp_path, seed, band):
         buckets.setdefault(bucket[i], []).append(i)
     expect = {}
     for members in buckets.values():
-        members.sort(key=lambda i: (v32[i][1], i))
-        for a_pos, i in enumerate(members):
-            for j in members[a_pos + 1 : a_pos + 1 + band]:
-                cos = float(np.dot(v32[i], v32[j]) / (
-                    np.linalg.norm(v32[i]) * np.linalg.norm(v32[j])
-                ))
-                expect[(i, j)] = round(cos, 6)
+        for p in SRP_PROJS:
+            ordered = sorted(members, key=lambda i: (v32[i][p - 1], i))
+            for a_pos, i in enumerate(ordered):
+                for j in ordered[a_pos + 1 : a_pos + 1 + band]:
+                    cos = float(np.dot(v32[i], v32[j]) / (
+                        np.linalg.norm(v32[i]) * np.linalg.norm(v32[j])
+                    ))
+                    expect[(min(i, j), max(i, j))] = round(cos, 6)
     assert set(got) == set(expect)
     for p, c in got.items():
         assert abs(c - expect[p]) <= 1e-6, (p, c, expect[p])
