@@ -1188,17 +1188,20 @@ SRP_BAND = 16
 SRP_PROJS = [2, 18, 34, 50]
 
 
-def _srp_banded_cand(
+def _srp_banded_occ(
     spark: SparkSession,
     sf_dir: str,
     band: int,
     ndigits: int,
-    projs: list | None = None,
+    projs: list,
 ) -> DataFrame:
-    """Within-bucket candidate pairs (v1, v2, cos), v1 < v2, that sit
-    within rank distance ``band`` under AT LEAST ONE of the ``projs``
-    orderings (default ``SRP_PROJS``); cos rounded to ndigits."""
-    projs = SRP_PROJS if projs is None else projs
+    """Un-deduped banded candidate OCCURRENCES: one row per
+    (pair, projection) with the pair within rank distance ``band``
+    under that projection's ordering — (v1, v2, cos, pj_idx, dr),
+    v1 < v2, pj_idx the 1-based position in ``projs``, dr the rank
+    distance. ``sim_band_tuning_report`` slices this ONE join by
+    (dr <= band', pj_idx <= P') to measure every narrower config
+    without re-running the generator."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id",
         to_double_array(F.col("embedding")).alias("v"),
@@ -1208,14 +1211,25 @@ def _srp_banded_cand(
         "vec_id",
         "v",
         "bucket",
-        F.explode(F.array(*[F.lit(p) for p in projs])).alias("pj"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("pj_idx"), F.lit(p).alias("pj")
+                    )
+                    for i, p in enumerate(projs)
+                ]
+            )
+        ).alias("pjs"),
+    ).select(
+        "vec_id", "v", "bucket", "pjs.pj_idx", "pjs.pj"
     )
-    bw = Window.partitionBy("bucket", "pj")
+    bw = Window.partitionBy("bucket", "pj_idx")
     ranked = proj.select(
         "vec_id",
         "v",
         "bucket",
-        "pj",
+        "pj_idx",
         F.row_number()
         .over(bw.orderBy(F.element_at(F.col("v"), F.col("pj")), "vec_id"))
         .alias("r"),
@@ -1228,7 +1242,8 @@ def _srp_banded_cand(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
         "bucket",
-        "pj",
+        "pj_idx",
+        F.col("r").alias("ra"),
         F.explode(
             F.when(
                 F.col("r") < F.col("bn"),
@@ -1243,22 +1258,39 @@ def _srp_banded_cand(
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
         "bucket",
-        "pj",
+        "pj_idx",
         F.col("r").alias("r2"),
     )
-    # cos is orientation-independent bit-exact (elementwise products
-    # summed in index order; norm product commutes), so the same pair
-    # reached through different projections yields the same rounded
-    # cos and DISTINCT collapses it.
+    return left.join(right, ["bucket", "pj_idx", "r2"]).select(
+        F.least("id_a", "id_b").alias("v1"),
+        F.greatest("id_a", "id_b").alias("v2"),
+        F.round(
+            cosine_similarity(F.col("va"), F.col("vb")), ndigits
+        ).alias("cos"),
+        "pj_idx",
+        (F.col("r2") - F.col("ra")).alias("dr"),
+    )
+
+
+def _srp_banded_cand(
+    spark: SparkSession,
+    sf_dir: str,
+    band: int,
+    ndigits: int,
+    projs: list | None = None,
+) -> DataFrame:
+    """Within-bucket candidate pairs (v1, v2, cos), v1 < v2, that sit
+    within rank distance ``band`` under AT LEAST ONE of the ``projs``
+    orderings (default ``SRP_PROJS``); cos rounded to ndigits.
+
+    cos is orientation-independent bit-exact (elementwise products
+    summed in index order; norm product commutes), so the same pair
+    reached through different projections yields the same rounded
+    cos and DISTINCT collapses it."""
+    projs = SRP_PROJS if projs is None else projs
     return (
-        left.join(right, ["bucket", "pj", "r2"])
-        .select(
-            F.least("id_a", "id_b").alias("v1"),
-            F.greatest("id_a", "id_b").alias("v2"),
-            F.round(
-                cosine_similarity(F.col("va"), F.col("vb")), ndigits
-            ).alias("cos"),
-        )
+        _srp_banded_occ(spark, sf_dir, band, ndigits, projs)
+        .select("v1", "v2", "cos")
         .distinct()
     )
 
@@ -1602,6 +1634,187 @@ def _knn_banded_recall_sql() -> str:
 
 _register(
     "sim_knn_banded_recall", sim_knn_banded_recall, _knn_banded_recall_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_band_tuning_report — the band/projection tuning curve for the
+# banded SRP generator (r7 verdict item 7): relates (band, n_projs) ↦
+# (candidate volume, k-NN edge recall) the way dd_lsh_tuning_report
+# relates MinHash bands ↦ precision/recall. This is the registered,
+# oracle-backed evidence that drives the SRP_BAND / SRP_PROJS choice:
+# read DOWN a column to see what more projections buy at fixed band
+# (recall compounds ≈ 1−(1−r₁)^P, volume adds ~linearly), ACROSS a
+# row to see what a wider band buys at fixed P (volume ∝ band,
+# recall saturates once the band spans the bucket).
+#
+# Plan shape: ONE banded join at the widest config (band = max,
+# P = all projections) emits occurrences tagged (pj_idx, dr); each
+# narrower config is a FILTER over that join's output
+# (pj_idx ≤ P, dr ≤ band) — a broadcast theta-join against the
+# 9-row config table, then per-config pair dedup, top-k window and
+# one hit-join against the exact graph. Measuring 9 configs costs
+# one generator pass, not nine.
+# ---------------------------------------------------------------------------
+
+_TUNE_BANDS = [4, 16, 64]
+_TUNE_NPROJS = [1, 2, 4]
+
+
+def sim_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = _srp_banded_occ(
+        spark, sf_dir, max(_TUNE_BANDS), 6, SRP_PROJS
+    )
+    cfg = spark.createDataFrame(
+        [(b, p) for b in _TUNE_BANDS for p in _TUNE_NPROJS],
+        "band int, n_projs int",
+    )
+    pairs = (
+        occ.join(
+            broadcast(cfg),
+            (F.col("pj_idx") <= F.col("n_projs"))
+            & (F.col("dr") <= F.col("band")),
+        )
+        .select("band", "n_projs", "v1", "v2", "cos")
+        .distinct()
+    )
+    n_cand = pairs.groupBy("band", "n_projs").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    directed = pairs.select(
+        "band",
+        "n_projs",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("v1").alias("src"),
+                    F.col("v2").alias("dst"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("v2").alias("src"),
+                    F.col("v1").alias("dst"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e"),
+    ).select("band", "n_projs", "e.src", "e.dst", "e.cos")
+    w = Window.partitionBy("band", "n_projs", "src").orderBy(
+        F.desc("cos"), F.asc("dst")
+    )
+    graph = (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("band", "n_projs", "src", "dst")
+    )
+    exact = sim_knn_graph(spark, sf_dir).select("src", "dst")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = graph.join(exact, ["src", "dst"]).groupBy("band", "n_projs").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_cand.join(hits, ["band", "n_projs"], "left")
+        .crossJoin(broadcast(n_exact))
+        .select(
+            "band",
+            "n_projs",
+            "n_cand",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _band_tuning_sql() -> str:
+    cfg_rows = ", ".join(
+        f"({b}, {p})" for b in _TUNE_BANDS for p in _TUNE_NPROJS
+    )
+    pj_rows = ", ".join(
+        f"({i + 1}, {p})" for i, p in enumerate(SRP_PROJS)
+    )
+    bmax = max(_TUNE_BANDS)
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_SRP_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    pjs(pj_idx, pj) AS (VALUES {pj_rows}),
+    proj AS (
+      SELECT vec_id, embedding, bucket, pj_idx, pj
+      FROM bucketed CROSS JOIN pjs
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, bucket, pj_idx,
+             row_number() OVER (PARTITION BY bucket, pj_idx
+                                ORDER BY embedding[pj], vec_id) AS r
+      FROM proj
+    ),
+    occ AS (
+      SELECT least(a.vec_id, b.vec_id) AS v1,
+             greatest(a.vec_id, b.vec_id) AS v2,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos,
+             a.pj_idx, b.r - a.r AS dr
+      FROM ranked a JOIN ranked b
+        ON a.bucket = b.bucket AND a.pj_idx = b.pj_idx
+       AND b.r > a.r AND b.r <= a.r + {bmax}
+    ),
+    cfg(band, n_projs) AS (VALUES {cfg_rows}),
+    pairs AS (
+      SELECT DISTINCT band, n_projs, v1, v2, cos
+      FROM occ JOIN cfg ON occ.pj_idx <= cfg.n_projs AND occ.dr <= cfg.band
+    ),
+    ncand AS (
+      SELECT band, n_projs, count(*) AS n_cand FROM pairs GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT band, n_projs, v1 AS src, v2 AS dst, cos FROM pairs
+      UNION ALL
+      SELECT band, n_projs, v2, v1, cos FROM pairs
+    ),
+    graph AS (
+      SELECT band, n_projs, src, dst FROM (
+        SELECT band, n_projs, src, dst,
+               row_number() OVER (PARTITION BY band, n_projs, src
+                                  ORDER BY cos DESC, dst ASC) AS rank
+        FROM directed
+      ) WHERE rank <= {_KNN_K}
+    ),
+    ecand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    exact_graph AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst ASC) AS rank
+        FROM ecand
+      ) WHERE rank <= {_KNN_K}
+    ),
+    nexact AS (SELECT count(*) AS n_exact FROM exact_graph),
+    hits AS (
+      SELECT band, n_projs, count(*) AS n_hit
+      FROM graph JOIN exact_graph USING (src, dst)
+      GROUP BY 1, 2
+    )
+    SELECT ncand.band, ncand.n_projs, ncand.n_cand, nexact.n_exact,
+           coalesce(hits.n_hit, 0) AS n_hit,
+           round(coalesce(hits.n_hit, 0) / nexact.n_exact::DOUBLE, 4)
+             AS recall_at_k
+    FROM ncand
+    CROSS JOIN nexact
+    LEFT JOIN hits USING (band, n_projs)
+    """
+
+
+_register(
+    "sim_band_tuning_report", sim_band_tuning_report, _band_tuning_sql()
 )
 
 
