@@ -2741,6 +2741,78 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# dd_incremental_dedup_fp — the PRODUCTION shape of the anti-join
+# incremental route (r7 verdict item 4, the same treatment
+# dd_bloom_incremental_fp gives the Bloom route): the landed side
+# reads the materialized 16-byte fingerprint table the landing
+# pipeline maintains instead of recomputing md5+regexp over the raw
+# landed text every batch. Only the INCOMING batch — raw by
+# definition — pays a fingerprint pass. At 100 TB the landed side is
+# a bucketed fp table (co-located join) whose scan width is ~1/50th
+# of the corpus text column; recomputing landed fps each increment
+# would re-scan the whole corpus per batch, which is exactly the
+# shape the r7 tier2 bench flagged (6.7x the oracle, dominated by
+# the from-raw landed pass).
+# ---------------------------------------------------------------------------
+
+
+def dd_incremental_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp_path = _landed_fp_table(sf_dir)
+    landed = spark.read.schema("fp string").parquet(fp_path)
+    batch = (
+        load_table(spark, sf_dir, "documents", parallelize=True)
+        .filter(F.col("doc_id") >= _INCR_SPLIT)
+        .select("source", doc_fingerprint(F.col("text")).alias("fp"))
+    )
+    admitted = batch.join(landed, "fp", "left_anti")
+    rejected = batch.join(landed, "fp", "left_semi")
+    return (
+        admitted.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+        .join(
+            rejected.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_rejected")
+            ),
+            "source",
+            "full_outer",
+        )
+        .select(
+            "source",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        )
+    )
+
+
+_register(
+    "dd_incremental_dedup_fp",
+    dd_incremental_dedup_fp,
+    # Same logical contract as dd_incremental_dedup — the oracle
+    # recomputes landed fps from text (DuckDB sees only the catalog
+    # tables); value-equality proves the materialized table IS the
+    # landed fingerprint set.
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             {_LANDED_FP_SQL} AS fp
+      FROM documents
+    ),
+    landed AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id < {_INCR_SPLIT}
+    ),
+    batch AS (SELECT * FROM fps WHERE doc_id >= {_INCR_SPLIT})
+    SELECT source,
+           count(*) FILTER (WHERE fp NOT IN (SELECT fp FROM landed))
+             AS n_admitted,
+           count(*) FILTER (WHERE fp IN (SELECT fp FROM landed))
+             AS n_rejected
+    FROM batch
+    GROUP BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # dd_soft_dedup_weights — soft deduplication: instead of DROPPING
 # duplicates (dd_dedup_apply's survivor selection), every copy stays
 # in the corpus with sampling weight 1/n_copies of its fingerprint

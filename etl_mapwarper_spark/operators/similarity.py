@@ -2453,12 +2453,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    "sim_ivfpq_topk",
-    sim_ivfpq_topk,
-    f"""
-    WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+def _ivfpq_train_ctes(src: str) -> str:
+    """The IVF-PQ TRAINING chain as a CTE block (no leading WITH):
+    coarse centroids (cents), cell assignment (asn), residuals (rd),
+    Forgy init + one Lloyd pass (final_cent), final residual codes
+    (codes2). Shared verbatim by the sim_ivfpq_topk oracle and the
+    ``_ivfpq_index_tables`` fixture builder so the materialized index
+    CANNOT drift from what the oracle retrains — the same
+    single-source-of-truth discipline as dedup's _LANDED_FP_SQL."""
+    return f"""e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM {src}
     ),
     cd AS (
       SELECT label AS cell, ds.dim, round(avg(v[ds.dim + 1]), 6) AS c
@@ -2518,7 +2522,10 @@ _register(
                                   ORDER BY d2 ASC, k ASC) AS rn
         FROM assign2
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+_IVFPQ_PROBE_SQL = f"""
     pcells AS (
       SELECT probe_id, cell FROM (
         SELECT e.vec_id AS probe_id, c.cell,
@@ -2556,7 +2563,13 @@ _register(
                                 ORDER BY adist ASC, vec_id ASC) AS rank
       FROM adist
     ) WHERE rank <= {TOP_K}
-    """,
+    """
+
+_register(
+    "sim_ivfpq_topk",
+    sim_ivfpq_topk,
+    f"""
+    WITH {_ivfpq_train_ctes("embeddings")},{_IVFPQ_PROBE_SQL}""",
 )
 
 
@@ -2615,4 +2628,171 @@ _register(
         exact_sql=ORACLE["sim_l2_bruteforce_topk"],
         approx_sql=ORACLE["sim_ivfpq_topk"],
     ),
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_search_fp — the PRODUCTION shape of IVF-PQ (r7 verdict
+# item 3, the dd_bloom_incremental_fp pattern applied to ANN): a real
+# deployment trains the index ONCE at ingest and every query pays
+# only the search plan, but sim_ivfpq_topk retrains per run — the r7
+# tier2 bench read 3.43 s vs the 0.71 s oracle, dominated by in-bench
+# training. Here the trained artifacts (coarse centroids, PQ
+# codebooks, the PQ-coded corpus = the inverted lists) are
+# materialized as a deterministic fixture keyed on the source file's
+# identity + the training formula, and the registered entry is the
+# steady-state SEARCH-ONLY plan:
+#
+#   probes ⨝ broadcast(centroids)  → nprobe cells per probe (window)
+#   probe residuals ⨝ broadcast(codebooks) → ADC tables, LONG FORM
+#     (probe, cell, m, k, t) — nprobe·M·K rows, broadcast
+#   coded corpus ⨝ broadcast(ADC) on (cell, m, k) → partial distances
+#     (the inner join IS the inverted-list lookup: only probed cells
+#     survive the scan) → groupBy (probe, vec) sum → top-k window.
+#
+# Fully declarative — unlike the training entry there is NO collect
+# anywhere: the ADC tables stay DataFrames. At 100 TB the coded
+# table is written partitioned by cell, so the (cell, m, k) join
+# prunes to the probed partitions at the scan; scan width is M bytes
+# of codes per vector, not the raw vectors. Value-identical to
+# sim_ivfpq_topk by construction (artifacts rounded at the same 6 dp
+# boundaries); the oracle retrains from scratch via the SAME
+# _ivfpq_train_ctes text the fixture builder runs, so value-equality
+# proves the materialized index IS the trained index.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_index_tables(sf_dir: str) -> dict:
+    """Materialize (once per dataset identity) the trained IVF-PQ
+    index as three parquet tables; returns their paths. Pure-Python
+    duckdb build, write-to-temp + atomic rename (the _landed_fp_table
+    pattern) — no Spark jobs at construction; steady-state
+    construction is one os.stat."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    # the training text IS the version salt: any change to the
+    # formula invalidates every cached index
+    formula = _ivfpq_train_ctes("src")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{formula}".encode()
+    ).hexdigest()[:16]
+    base = f"/tmp/spark_graft_ivfpq_index/{key}"
+    paths = {
+        n: f"{base}/{n}.parquet" for n in ("cells", "codebook", "coded")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    import duckdb
+
+    os.makedirs(base, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW src AS SELECT * FROM read_parquet('{src}')"
+    )
+    ctes = _ivfpq_train_ctes("src")
+    # ORDER BY makes each file byte-deterministic; BIGINT casts give
+    # Spark stable long-typed join keys.
+    finals = {
+        "cells": "SELECT cell::BIGINT AS cell, cv FROM cents ORDER BY cell",
+        "codebook": (
+            "SELECT m::BIGINT AS m, k::BIGINT AS k,"
+            " list(c ORDER BY dim) AS cv"
+            " FROM final_cent GROUP BY m, k ORDER BY m, k"
+        ),
+        "coded": (
+            "SELECT c2.vec_id, a.cell::BIGINT AS cell,"
+            " c2.m::BIGINT AS m, c2.k::BIGINT AS k"
+            " FROM codes2 c2 JOIN asn a USING (vec_id)"
+            " ORDER BY c2.vec_id, c2.m"
+        ),
+    }
+    for name, sel in finals.items():
+        tmp = f"{paths[name]}.tmp{os.getpid()}"
+        con.execute(
+            f"COPY (WITH {ctes} {sel}) TO '{tmp}' (FORMAT PARQUET)"
+        )
+        os.replace(tmp, paths[name])
+    return paths
+
+
+def sim_ivfpq_search_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ivfpq_index_tables(sf_dir)
+    cells = spark.read.schema("cell long, cv array<double>").parquet(
+        idx["cells"]
+    )
+    cb = spark.read.schema("m long, k long, cv array<double>").parquet(
+        idx["codebook"]
+    )
+    coded = spark.read.schema(
+        "vec_id long, cell long, m long, k long"
+    ).parquet(idx["coded"])
+    probes = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(PROBE_IDS))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            to_double_array(F.col("embedding")).alias("pv"),
+        )
+    )
+    wq = Window.partitionBy("probe_id").orderBy(
+        F.desc("qcos"), F.asc("cell")
+    )
+    pcells = (
+        probes.join(broadcast(cells))
+        .withColumn(
+            "qcos", F.round(cosine_similarity(F.col("pv"), F.col("cv")), 6)
+        )
+        .withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= _IVFPQ_NPROBE)
+        .select(
+            "probe_id",
+            "cell",
+            F.zip_with("pv", "cv", lambda a, b: a - b).alias("rp"),
+        )
+    )
+    # ADC tables, long form: the probe residual's m-th subvector vs
+    # codebook entry (m, k) — same 6 dp boundary as ptab in the oracle
+    adc = pcells.join(broadcast(cb)).select(
+        "probe_id",
+        "cell",
+        "m",
+        "k",
+        F.round(
+            _pq_d2(
+                F.slice(F.col("rp"), (F.col("m") * _PQ_D + 1).cast("int"),
+                        _PQ_D),
+                F.col("cv"),
+            ),
+            6,
+        ).alias("t"),
+    )
+    scored = (
+        coded.join(broadcast(adc), ["cell", "m", "k"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("t"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "vec_id", "adist", "rank")
+    )
+
+
+_register(
+    "sim_ivfpq_search_fp",
+    sim_ivfpq_search_fp,
+    # Same logical contract as sim_ivfpq_topk — the oracle retrains
+    # the index from the catalog table (DuckDB never sees the
+    # fixture); value-equality proves the materialized artifacts ARE
+    # the trained index.
+    f"""
+    WITH {_ivfpq_train_ctes("embeddings")},{_IVFPQ_PROBE_SQL}""",
 )
