@@ -672,6 +672,25 @@ _register(
 # the correct aHash answer for gradients; wrap-around images near
 # media_id 192+ form the second cluster). The oracle reproduces the
 # full pipeline from the closed-form byte pattern.
+#
+# r8 (hub-rehearsal fallout, the identical-image LAION case): the
+# per-image count NEVER needed the pair list. An identical-image hub
+# of size h (one image uploaded h times → one ahash) makes the
+# banded self-join emit C(h,2) pairs for an answer that is just
+# h−1 per member — the text-simhash quadratic, reproduced on the
+# image side. Fix: collapse identical hashes FIRST (groupBy ahash →
+# counts), run the banded Hamming join on DISTINCT hashes with
+# counts as weights, and recover per-media counts as
+# (cnt(h)−1) + Σ_{h'≠h, ham(h,h')≤_PH_MAX_HAMMING} cnt(h').
+# The fuzzy join's input is bounded by the hash space (2^16)
+# regardless of corpus size — at 100 TB the pair join is over a
+# table that CANNOT grow past 65k rows. Value-identical to the
+# pair-listing plan because band blocking is lossless here by
+# pigeonhole (hamming ≤ 2 < _PH_BANDS ⇒ some band is intact), so
+# the oracle below — which still lists pairs — is the equivalence
+# proof, gate-checked at 3 scales. Rehearsal (BASELINE.md r8): the
+# grouped plan is flat across 1×/10× while the pair count grows
+# ~100×.
 # ---------------------------------------------------------------------------
 
 _PH_BANDS = 4
@@ -679,10 +698,15 @@ _PH_BITS = 16  # 4×4 pooled grid
 _PH_MAX_HAMMING = 2
 
 
-def mm_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_phash_neardups(
+    spark: SparkSession, sf_dir: str, limit: int = 200
+) -> DataFrame:
+    # `limit` exists for the skew rehearsal (hash the WHOLE hostile
+    # corpus, not the 200-image gate fixture); the registered entry
+    # always runs at the default.
     from pyspark.sql.window import Window
 
-    pooled = resize_avgpool(synthetic_media(spark, sf_dir))
+    pooled = resize_avgpool(synthetic_media(spark, sf_dir, limit=limit))
     wm = Window.partitionBy("media_id")
     bits = pooled.withColumn("m", F.avg("pooled").over(wm)).withColumn(
         "bit", (F.col("pooled") > F.col("m")).cast("int")
@@ -696,9 +720,10 @@ def mm_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("ahash")
     )
-    bands = ahash.select(
-        "media_id",
+    groups = ahash.groupBy("ahash").agg(F.count(F.lit(1)).alias("cnt"))
+    hbands = groups.select(
         "ahash",
+        "cnt",
         F.explode(
             F.array(
                 *[
@@ -713,20 +738,20 @@ def mm_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("media_id", "ahash", F.col("c.band"), F.col("c.bv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    ).select("ahash", "cnt", F.col("c.band"), F.col("c.bv"))
+    a, b = hbands.alias("a"), hbands.alias("b")
+    hpairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.ahash") < F.col("b.ahash")),
         )
         .select(
-            F.col("a.media_id").alias("d1"),
-            F.col("b.media_id").alias("d2"),
             F.col("a.ahash").alias("h1"),
             F.col("b.ahash").alias("h2"),
+            F.col("a.cnt").alias("c1"),
+            F.col("b.cnt").alias("c2"),
         )
         .distinct()
     )
@@ -734,19 +759,39 @@ def mm_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(sequence(1, {_PH_BITS}), 0, (acc, i) -> "
         "acc + IF(substring(h1, i, 1) = substring(h2, i, 1), 0, 1))"
     )
-    pairs = cand.withColumn("hamming", ham).filter(
+    near = hpairs.withColumn("hamming", ham).filter(
         F.col("hamming") <= _PH_MAX_HAMMING
     )
-    counts = (
-        pairs.select(F.col("d1").alias("media_id"))
-        .union(pairs.select(F.col("d2").alias("media_id")))
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # per-hash cross-hash neighbor weight, both directions through
+    # one narrow explode (the union-duplicates-the-subtree lesson
+    # from the r7 plan audit)
+    wt = (
+        near.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("h1").alias("ahash"), F.col("c2").alias("w")
+                    ),
+                    F.struct(
+                        F.col("h2").alias("ahash"), F.col("c1").alias("w")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.ahash", "e.w")
+        .groupBy("ahash")
+        .agg(F.sum("w").alias("wt"))
     )
-    return ahash.join(counts, "media_id", "left").select(
-        "media_id",
-        "ahash",
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neardups"),
+    return (
+        ahash.join(F.broadcast(groups), "ahash")
+        .join(F.broadcast(wt), "ahash", "left")
+        .select(
+            "media_id",
+            "ahash",
+            (
+                F.col("cnt") - 1 + F.coalesce(F.col("wt"), F.lit(0))
+            ).cast("long").alias("n_neardups"),
+        )
     )
 
 

@@ -92,6 +92,26 @@ ENTRIES = [
     # (all C(hub,2) pairs ARE the answer at lev=0 — output-bound like
     # dd_minhash_lsh; production ER exact-dedups before fuzzy match).
     "dd_levenshtein_blocked",
+    # --- r8 extension: the never-measured families (r7 verdict item
+    # 2). mm_phash_full_corpus is an EXTRA callable (the registered
+    # entry caps at 200 images): perceptual-hash the WHOLE corpus —
+    # the synthetic gradient pattern collapses ~96% of images into
+    # ONE ahash, an identical-image hub far more hostile than the
+    # n/50 doc hub (the LAION same-image-uploaded-n-times case). The
+    # r8 grouped plan runs its fuzzy join on DISTINCT hashes, so the
+    # measurement is whether per-media work stays linear while the
+    # would-be pair volume (Σ 4·C(cluster,2), logged per scale)
+    # explodes quadratically.
+    "mm_phash_full_corpus",
+    # the hub fingerprint group arrives inside ONE micro-batch (fp-
+    # hashed staging co-delivers copies); within-batch survivor agg +
+    # anti-join against the landed store must stay linear
+    "st_incremental_dedup",
+    # probe under a hub coarse cell: all n/50 identical vectors argmax
+    # into the SAME cell (probes 0-2 ARE hub members), so the probed-
+    # cell ADC/cosine scan concentrates exactly like a hot bucket
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
 ]
 SEED = 20260815
 
@@ -204,11 +224,16 @@ def main() -> None:
             sys.exit(f"unknown entries: {sorted(unknown)}")
         entries = [e for e in ENTRIES if e in sys.argv[1:]]
 
+    from etl_mapwarper_spark.operators.multimodal import mm_phash_neardups
     from etl_mapwarper_spark.session import get_spark
 
     import __spark_entry__ as E
 
-    qs = E.queries()
+    qs = dict(E.queries())
+    # non-registry rehearsal callables (see the ENTRIES comments)
+    qs["mm_phash_full_corpus"] = lambda s, d: mm_phash_neardups(
+        s, d, limit=1 << 60
+    )
     spark = get_spark("rehearsal", sf_dir=os.path.join(ROOT, "10x"))
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id) AS s").write.mode(
