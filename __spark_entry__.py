@@ -137,7 +137,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # identical hashes collapse BEFORE the banded Hamming join, so the
 # fuzzy join runs on distinct hashes — bounded by the 2^16 hash
 # space — with counts as weights; value-identical by pigeonhole,
-# same oracle). sim_ivfpq_topk's oracle was re-assembled from the
+# same oracle), and src_binaryfile_media (the r8 shared
+# fixture-cache helper moved the binmedia dir — listed in the src
+# block below). sim_ivfpq_topk's oracle was re-assembled from the
 # shared _ivfpq_train_ctes helper but is BYTE-IDENTICAL and its
 # function body is untouched, so its evidence stands and it takes no
 # slot. (b) 3 NEW entries — sim_band_tuning_report (the (band, P) ->
@@ -201,12 +203,14 @@ _PRIORITY = [
     # pipe: r3 + the family-minimum top-up (r6)
     "pipe_logs",
     "pipe_map_objects",
-    # src: r3 block
+    # src: r3 block (src_binaryfile_media swaps in for the
+    # src_rest_errors canary: the r8 shared fixture-cache refactor
+    # moved the binmedia dir, voiding its evidence)
     "src_csv_roundtrip",
     "src_ndjson_roundtrip",
     "src_orc_roundtrip",
     "src_parquet_evolution",
-    "src_rest_errors",
+    "src_binaryfile_media",
     # st: r3 block
     "st_session_windows",
     "st_sliding_counts",

@@ -2665,21 +2665,24 @@ _LANDED_FP_SQL = (
 
 
 def _landed_fp_table(sf_dir: str) -> str:
-    import hashlib
     import os
+
+    from ..functions.fixture_cache import content_key, fixture_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{_INCR_SPLIT}:{_LANDED_FP_SQL}".encode()
-    ).hexdigest()[:16]
-    out = f"/tmp/spark_graft_landed_fp/{key}/landed_fp.parquet"
+    key = content_key(
+        os.path.abspath(src),
+        st.st_size,
+        st.st_mtime_ns,
+        _INCR_SPLIT,
+        _LANDED_FP_SQL,
+    )
+    out = os.path.join(fixture_dir("landed_fp", key), "landed_fp.parquet")
     if os.path.exists(out):
         return out
     import duckdb
 
-    os.makedirs(os.path.dirname(out), exist_ok=True)
     tmp = f"{out}.tmp{os.getpid()}"
     # DISTINCT here mirrors what a landing pipeline keeps: one row per
     # admitted fingerprint. ORDER BY makes the file byte-deterministic.

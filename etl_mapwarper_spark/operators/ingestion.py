@@ -874,11 +874,13 @@ _BINMEDIA_PARAMS = (
     ":jpegprog=SOF2 q100 16x16 4-flat-blocks (m+53b)%256"
     ":jpegrst=q100 ri=1 16x16 4-flat-blocks (m+29b)%256"
 )
-_BINMEDIA_DIR = os.path.join(
-    tempfile.gettempdir(),
-    "spark_graft_binmedia_"
-    + hashlib.sha256(_BINMEDIA_PARAMS.encode()).hexdigest()[:16],
-)
+# Path + key discipline shared with the landed-fp and ivfpq-index
+# fixtures (functions/fixture_cache.py, r8): /tmp/spark_graft_
+# binmedia/<content_key(params)>.
+from ..functions.fixture_cache import content_key as _fx_key
+from ..functions.fixture_cache import fixture_dir as _fx_dir
+
+_BINMEDIA_KEY = _fx_key(_BINMEDIA_PARAMS)
 
 
 def _binmedia_files(m: int) -> dict[str, bytes]:
@@ -927,27 +929,23 @@ def _binmedia_fixture_dir() -> str:
     verified byte-for-byte as sentinels: a foreign or corrupt
     pre-created directory is regenerated rather than trusted. Pure
     Python file I/O — no Spark jobs at construction."""
-    os.makedirs(_BINMEDIA_DIR, exist_ok=True)
+    from ..functions.fixture_cache import atomic_write_bytes
 
-    def write(name: str, payload: bytes) -> None:
-        tmp = os.path.join(_BINMEDIA_DIR, f".{name}.tmp{os.getpid()}")
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, os.path.join(_BINMEDIA_DIR, name))
+    d = _fx_dir("binmedia", _BINMEDIA_KEY)
 
     sentinel_ok = True
     for name, payload in _binmedia_files(0).items():
         try:
-            with open(os.path.join(_BINMEDIA_DIR, name), "rb") as f:
+            with open(os.path.join(d, name), "rb") as f:
                 sentinel_ok = sentinel_ok and f.read() == payload
         except OSError:
             sentinel_ok = False
     for m in range(_BINMEDIA_N):
         for name, payload in _binmedia_files(m).items():
-            path = os.path.join(_BINMEDIA_DIR, name)
+            path = os.path.join(d, name)
             if not sentinel_ok or not os.path.exists(path):
-                write(name, payload)
-    return _BINMEDIA_DIR
+                atomic_write_bytes(path, payload)
+    return d
 
 
 def src_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,7 +1004,9 @@ def src_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_binmedia_glob = _BINMEDIA_DIR.replace("'", "''") + "/img_*"
+_binmedia_glob = (
+    _fx_dir("binmedia", _BINMEDIA_KEY).replace("'", "''") + "/img_*"
+)
 _register(
     "src_binaryfile_media",
     src_binaryfile_media,

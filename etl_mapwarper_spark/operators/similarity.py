@@ -2668,19 +2668,19 @@ def _ivfpq_index_tables(sf_dir: str) -> dict:
     duckdb build, write-to-temp + atomic rename (the _landed_fp_table
     pattern) — no Spark jobs at construction; steady-state
     construction is one os.stat."""
-    import hashlib
     import os
+
+    from ..functions.fixture_cache import content_key, fixture_dir
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     # the training text IS the version salt: any change to the
     # formula invalidates every cached index
     formula = _ivfpq_train_ctes("src")
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{formula}".encode()
-    ).hexdigest()[:16]
-    base = f"/tmp/spark_graft_ivfpq_index/{key}"
+    key = content_key(
+        os.path.abspath(src), st.st_size, st.st_mtime_ns, formula
+    )
+    base = fixture_dir("ivfpq_index", key)
     paths = {
         n: f"{base}/{n}.parquet" for n in ("cells", "codebook", "coded")
     }
@@ -2688,7 +2688,6 @@ def _ivfpq_index_tables(sf_dir: str) -> dict:
         return paths
     import duckdb
 
-    os.makedirs(base, exist_ok=True)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW src AS SELECT * FROM read_parquet('{src}')"
