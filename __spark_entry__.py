@@ -142,12 +142,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # block below). sim_ivfpq_topk's oracle was re-assembled from the
 # shared _ivfpq_train_ctes helper but is BYTE-IDENTICAL and its
 # function body is untouched, so its evidence stands and it takes no
-# slot. (b) 3 NEW entries — sim_band_tuning_report (the (band, P) ->
+# slot. (b) 4 NEW entries — sim_band_tuning_report (the (band, P) ->
 # (volume, recall) curve, one generator pass for 9 configs; r7 item
 # 7), sim_ivfpq_search_fp (search-only IVF-PQ over a materialized
 # trained index, 0.84x the oracle vs 5.3x for the in-bench-training
 # twin; r7 item 3), dd_incremental_dedup_fp (landed side reads the
-# materialized fingerprint table; r7 item 4). (c) 42 canaries picked
+# materialized fingerprint table; r7 item 4), and
+# mm_phash_cluster_profile (hash-cluster occupancy — the
+# dd_shingle_df_profile of the image side, quantifying the pair
+# volume the grouped plan never materializes). (c) 41 canaries picked
 # STALEST-EVIDENCE-FIRST from the r1-r7 ledger: the r1 q block
 # (q03/q15-q19/q23/q24), the r2 dd/tx/sim/mw blocks, the r3
 # mm/pd/pipe/src/st blocks, topped up with ds (r4) + dq (r5) +
@@ -194,9 +197,10 @@ _PRIORITY = [
     "mw_map_layers_join",
     "mw_map_logs",
     "mw_relations",
-    # mm: r3
+    # mm: the NEW r8 cluster-profile entry takes the mm_png_roundtrip
+    # canary slot (never-checked outranks canary), + r3
+    "mm_phash_cluster_profile",
     "mm_frame_sample",
-    "mm_png_roundtrip",
     # pd: r3 (both rows of the pandas-ops family)
     "pd_weighted_avg",
     "pd_zscore",

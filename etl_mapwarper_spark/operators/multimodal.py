@@ -698,12 +698,12 @@ _PH_BITS = 16  # 4×4 pooled grid
 _PH_MAX_HAMMING = 2
 
 
-def mm_phash_neardups(
-    spark: SparkSession, sf_dir: str, limit: int = 200
+def _media_ahash(
+    spark: SparkSession, sf_dir: str, limit: int
 ) -> DataFrame:
-    # `limit` exists for the skew rehearsal (hash the WHOLE hostile
-    # corpus, not the 200-image gate fixture); the registered entry
-    # always runs at the default.
+    """(media_id, ahash): mapInPandas pool → per-image mean threshold
+    → 16-bit aHash string. The shared front of mm_phash_neardups and
+    mm_phash_cluster_profile."""
     from pyspark.sql.window import Window
 
     pooled = resize_avgpool(synthetic_media(spark, sf_dir, limit=limit))
@@ -711,7 +711,7 @@ def mm_phash_neardups(
     bits = pooled.withColumn("m", F.avg("pooled").over(wm)).withColumn(
         "bit", (F.col("pooled") > F.col("m")).cast("int")
     )
-    ahash = bits.groupBy("media_id").agg(
+    return bits.groupBy("media_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("y", "x", "bit"))),
@@ -720,6 +720,15 @@ def mm_phash_neardups(
             "",
         ).alias("ahash")
     )
+
+
+def mm_phash_neardups(
+    spark: SparkSession, sf_dir: str, limit: int = 200
+) -> DataFrame:
+    # `limit` exists for the skew rehearsal (hash the WHOLE hostile
+    # corpus, not the 200-image gate fixture); the registered entry
+    # always runs at the default.
+    ahash = _media_ahash(spark, sf_dir, limit)
     groups = ahash.groupBy("ahash").agg(F.count(F.lit(1)).alias("cnt"))
     hbands = groups.select(
         "ahash",
@@ -795,11 +804,10 @@ def mm_phash_neardups(
     )
 
 
-_register(
-    "mm_phash_neardups",
-    mm_phash_neardups,
-    f"""
-    WITH cells AS (
+# The closed-form aHash CTE chain (cells → pooled → per-image mean →
+# bits), shared by the mm_phash_neardups and mm_phash_cluster_profile
+# oracles — the _ivfpq_train_ctes single-source-of-truth discipline.
+_PH_AHASH_CTES = f"""cells AS (
       SELECT doc_id, y.y::INT AS y, x.x::INT AS x
       FROM documents
       CROSS JOIN (SELECT unnest(range(0, {H // 2})) AS y) y
@@ -822,7 +830,13 @@ _register(
              string_agg(CASE WHEN p > m THEN '1' ELSE '0' END, ''
                         ORDER BY y, x) AS ahash
       FROM meaned GROUP BY 1
-    ), bands AS (
+    )"""
+
+_register(
+    "mm_phash_neardups",
+    mm_phash_neardups,
+    f"""
+    WITH {_PH_AHASH_CTES}, bands AS (
       SELECT doc_id, ahash, b.b AS band,
              substr(ahash, b.b * {_PH_BITS // _PH_BANDS} + 1,
                     {_PH_BITS // _PH_BANDS}) AS bv
@@ -845,6 +859,53 @@ _register(
     SELECT b.doc_id AS media_id, b.ahash,
            coalesce(c.n, 0)::BIGINT AS n_neardups
     FROM bits b LEFT JOIN cnt c ON b.doc_id = c.id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_cluster_profile — hash-cluster occupancy profile of the
+# perceptual-hash index (r8): dd_shingle_df_profile for the image
+# side. For each cluster size, how many ahash clusters sit at that
+# size and how many identical-hash PAIRS they represent
+# (n·C(size,2) — the quadratic term the grouped mm_phash_neardups
+# plan never materializes). Reading this table is how an image-dedup
+# deployment sizes its band/hash budget: one 37k-image cluster at
+# 10× rehearsal scale means 711M would-be pairs — the number that
+# says "collapse identical hashes first" before the fuzzy join.
+# ---------------------------------------------------------------------------
+
+
+def mm_phash_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = _media_ahash(spark, sf_dir, 200).groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return groups.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (
+            F.count(F.lit(1))
+            * F.first("cluster_size")
+            * (F.first("cluster_size") - 1)
+            / 2
+        )
+        .cast("long")
+        .alias("pair_volume"),
+    )
+
+
+_register(
+    "mm_phash_cluster_profile",
+    mm_phash_cluster_profile,
+    f"""
+    WITH {_PH_AHASH_CTES},
+    g AS (
+      SELECT ahash, count(*) AS cluster_size FROM bits GROUP BY 1
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           (count(*) * cluster_size * (cluster_size - 1) / 2)::BIGINT
+             AS pair_volume
+    FROM g GROUP BY cluster_size
     """,
 )
 
