@@ -107,3 +107,53 @@ def test_mapinpandas_receives_arrow_batches(spark):
     media = mm.synthetic_media(spark, SF_DIR).coalesce(2)
     total = media.mapInPandas(probe, schema="n int")
     assert total.agg({"n": "sum"}).collect()[0][0] == media.count()
+
+
+def test_phash_grouped_matches_pairlisting_model(spark):
+    """The r8 grouped mm_phash_neardups plan (identical hashes
+    collapsed before the banded Hamming join) must be VALUE-IDENTICAL
+    to the pair-listing semantics it replaced. The python model here
+    recomputes n_neardups by brute force over all image pairs — and
+    first asserts the fixture actually exercises every branch: cross-
+    hash neighbors at hamming 1 and 2 (the weight-join path) and
+    hamming-3 hash pairs that band blocking MAY generate but the
+    filter must exclude."""
+    from collections import Counter
+    from itertools import combinations
+
+    W = H = 8
+
+    def ahash(m: int) -> str:
+        img = np.array(
+            [(m + i) % 256 for i in range(W * H)], dtype=np.float64
+        ).reshape(H, W)
+        pooled = img.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+        mean = pooled.mean()
+        return "".join("1" if p > mean else "0" for p in pooled.flatten())
+
+    n = 200
+    hashes = {m: ahash(m) for m in range(n)}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    distinct = sorted(set(hashes.values()))
+    cross = Counter(
+        ham(a, b) for a, b in combinations(distinct, 2) if ham(a, b) <= 3
+    )
+    # fixture coverage: the grouped plan's cross-hash weight path AND
+    # the exclusion boundary are both live in the gate fixture
+    assert cross[1] >= 1 and cross[2] >= 1, cross
+    assert cross[3] >= 1, cross
+
+    expect = {
+        m: sum(
+            1
+            for m2 in range(n)
+            if m2 != m and ham(hashes[m], hashes[m2]) <= mm._PH_MAX_HAMMING
+        )
+        for m in range(n)
+    }
+
+    got = {
+        r.media_id: r.n_neardups
+        for r in mm.mm_phash_neardups(spark, SF_DIR).collect()
+    }
+    assert got == expect
