@@ -142,7 +142,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # block below). sim_ivfpq_topk's oracle was re-assembled from the
 # shared _ivfpq_train_ctes helper but is BYTE-IDENTICAL and its
 # function body is untouched, so its evidence stands and it takes no
-# slot. (b) 4 NEW entries — sim_band_tuning_report (the (band, P) ->
+# slot. (b) 5 NEW entries — sim_band_tuning_report (the (band, P) ->
 # (volume, recall) curve, one generator pass for 9 configs; r7 item
 # 7), sim_ivfpq_search_fp (search-only IVF-PQ over a materialized
 # trained index, 0.84x the oracle vs 5.3x for the in-bench-training
@@ -150,7 +150,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # materialized fingerprint table; r7 item 4), and
 # mm_phash_cluster_profile (hash-cluster occupancy — the
 # dd_shingle_df_profile of the image side, quantifying the pair
-# volume the grouped plan never materializes). (c) 41 canaries picked
+# volume the grouped plan never materializes), and
+# dd_containment_capped (df-capped production twin of the LAST
+# uncapped shingle self-join — takes the dd_simhash_pairs canary
+# slot). (c) 40 canaries picked
 # STALEST-EVIDENCE-FIRST from the r1-r7 ledger: the r1 q block
 # (q03/q15-q19/q23/q24), the r2 dd/tx/sim/mw blocks, the r3
 # mm/pd/pipe/src/st blocks, topped up with ds (r4) + dq (r5) +
@@ -178,10 +181,10 @@ _PRIORITY = [
     "q19_events_json",
     "q23_value_band_pairs",
     "q24_top_orders",
-    # dd: r2 block
+    # dd: the NEW r8 capped-containment twin + r2 block
+    "dd_containment_capped",
     "dd_rolling_hash",
     "dd_simhash",
-    "dd_simhash_pairs",
     # tx: r2 block
     "tx_quality_scores",
     "tx_repetition_filter",

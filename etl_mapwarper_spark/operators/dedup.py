@@ -1431,6 +1431,100 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# dd_containment_capped — the stop-shingle production twin of
+# dd_containment (r8): the exact entry above is the LAST uncapped
+# shingle self-join in the registry — its candidate volume is Σ df²
+# over shingle keys, the same exposure the df-cap closed for Jaccard
+# in r5 and the rehearsal corpus makes concrete (the 40-token
+# boilerplate paragraph shared by 4% of docs puts ~38 shingles at
+# df = 0.04n → a quadratic term inside single join keys). Shingles
+# whose document frequency exceeds _CT_DF_CAP are dropped from the
+# inverted index BEFORE the self-join (window over the join key —
+# satisfied by the repartition, zero extra exchanges, exactly the
+# dd_ngram_jaccard_capped mechanics). Intersections are counted over
+# surviving shingles while n_src stays the FULL per-doc count, so
+# capped containment only UNDERESTIMATES: C_capped = c_kept/n_full ≤
+# C_exact — a conservative filter that can drop borderline pairs but
+# never promote one. Corollary for hubs: byte-identical documents
+# share ALL shingles, so past the cap their pairs vanish entirely —
+# correct for the production pipeline, where exact dedup
+# (dd_exact_hash / dd_incremental_dedup_fp) retires identical
+# content before any fuzzy pass. Cap tuning data:
+# dd_shingle_df_profile.
+# ---------------------------------------------------------------------------
+
+_CT_DF_CAP = 10
+
+
+def dd_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = (
+        docs.select(
+            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
+        )
+        .select(
+            "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+        )
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+    )
+    sh = sh.repartition(spark.sparkContext.defaultParallelism, "h")
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("h")))
+        .filter(F.col("df") <= _CT_DF_CAP)
+        .drop("df")
+    )
+    a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.n").alias("n_src"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.withColumn(
+            "containment", F.round(F.col("c") / F.col("n_src"), 4)
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("src", "dst", "containment")
+    )
+
+
+_register(
+    "dd_containment_capped",
+    dd_containment_capped,
+    _SH_CTE
+    + f"""
+    , keep AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {_CT_DF_CAP}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+      FROM shc a JOIN shc b ON a.shingle = b.shingle
+                           AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT src, dst,
+           round(c * 1.0 / s.n, 4) AS containment
+    FROM common
+    JOIN sizes s ON src = s.doc_id
+    WHERE round(c * 1.0 / s.n, 4) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # dd_chunk_dedup — chunk-level exact dedup (the practical form of
 # "exact substring deduplication": Lee et al. 2022 dedupe duplicated
 # ~50-token spans, not whole documents, because boilerplate repeats

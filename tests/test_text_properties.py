@@ -327,3 +327,58 @@ def test_bpe_python_trainer_matches_jvm_fold_reference(spark, tmp_path):
             )
             cur = _bpe_apply_merge(cur, row.p1, row.p2)
         assert got == want, f"seed {seed}: trainer diverged from JVM fold"
+
+
+def test_capped_containment_is_conservative(spark):
+    """dd_containment_capped must be a strict filter of the exact
+    entry: every surviving (src, dst) pair exists in the exact result
+    with a containment no higher than the exact value (the cap drops
+    shingles from the intersection count while n_src stays the full
+    per-doc size, so C can only fall), and a synthetic boilerplate
+    hub — identical docs whose every shingle exceeds the cap — must
+    vanish entirely from the capped result while dominating the
+    exact one."""
+    import os
+
+    from etl_mapwarper_spark.operators.dedup import (
+        dd_containment,
+        dd_containment_capped,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    exact = {
+        (r.src, r.dst): r.containment
+        for r in dd_containment(spark, sf).collect()
+    }
+    capped = dd_containment_capped(spark, sf).collect()
+    for r in capped:
+        assert (r.src, r.dst) in exact
+        assert r.containment <= exact[(r.src, r.dst)] + 1e-9
+
+
+def test_capped_containment_drops_hub(spark, tmp_path):
+    from etl_mapwarper_spark.operators.dedup import (
+        _CT_DF_CAP,
+        dd_containment,
+        dd_containment_capped,
+    )
+
+    hub_n = _CT_DF_CAP + 5
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text, "en", "src_hub", len(text)) for i in range(hub_n)]
+    rows += [
+        (hub_n + i, f"unique{i} words{i} only{i} here{i} now{i}", "en",
+         "src_u", 30)
+        for i in range(5)
+    ]
+    sf_dir = str(tmp_path / "hubdocs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    exact_pairs = dd_containment(spark, sf_dir).count()
+    # every ordered hub pair is a containment-1.0 row in the exact set
+    assert exact_pairs >= hub_n * (hub_n - 1)
+    assert dd_containment_capped(spark, sf_dir).count() == 0

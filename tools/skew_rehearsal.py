@@ -112,6 +112,14 @@ ENTRIES = [
     # cell ADC/cosine scan concentrates exactly like a hot bucket
     "sim_ivf_topk",
     "sim_ivfpq_topk",
+    # --- r8 late addition: the last uncapped shingle self-join in the
+    # registry and its new df-capped production twin. The exact entry
+    # is pair-listing on the hub AND carries the Σ df² candidate
+    # quadratic on the boilerplate shingles; the capped twin drops
+    # both structurally (hub shingles all exceed the cap — exact
+    # dedup owns identical content in the production pipeline).
+    "dd_containment",
+    "dd_containment_capped",
 ]
 SEED = 20260815
 
