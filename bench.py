@@ -124,6 +124,7 @@ TIER2_QUERIES = [
     "dd_bloom_incremental_fp",  # production Bloom route (r7)
     "sim_ivfpq_search_fp",  # search-only IVF-PQ vs trained fixture (r8)
     "dd_incremental_dedup_fp",  # landed side reads materialized fps (r8)
+    "dd_containment_capped",  # df-capped containment vs exact twin (r8)
 ]
 # dd_connected_components was measured for tier2 and EXCLUDED: the
 # entry itself is fine (Spark's iterative min-label, 44.7 s at sf0.1)
