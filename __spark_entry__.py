@@ -153,13 +153,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # volume the grouped plan never materializes), and
 # dd_containment_capped (df-capped production twin of the LAST
 # uncapped shingle self-join — takes the dd_simhash_pairs canary
-# slot). (c) 40 canaries picked
-# STALEST-EVIDENCE-FIRST from the r1-r7 ledger: the r1 q block
-# (q03/q15-q19/q23/q24), the r2 dd/tx/sim/mw blocks, the r3
-# mm/pd/pipe/src/st blocks, topped up with ds (r4) + dq (r5) +
-# pipe_map_objects (r6) for the every-family->=2 rule. Family rows:
-# q=8, dd=6, tx=6, sim=5, mw=5, src=5, st=4, mm=3, pd=2, pipe=2,
-# ds=2, dq=2 — every family >= 2.
+# slot). (c) canaries picked
+# STALEST-EVIDENCE-FIRST from the r1-r7 ledger: the r1 q block,
+# the r2 dd/tx/sim/mw blocks, the r3 mm/pd/pipe/src/st blocks,
+# topped up with ds (r4) + dq (r5) + pipe_map_objects (r6) for the
+# every-family->=2 rule.
+#
+# Late-r8 continuation: the banded generators' group-sized rank
+# windows were replaced by ranked_in_groups (functions/dist_rank.py
+# — range exchange + split-local sort + broadcast prefix offsets, so
+# no task ever sorts a whole SRP/simhash bucket; value-identity
+# pinned by the python-model tests and tests/test_dist_rank.py).
+# That code-changes FOUR more dd entries — dd_simhash_pairs_banded,
+# dd_cc_banded, dd_pagerank_centrality, dd_triangle_count (the
+# simhash-banded consumers; the four SRP-banded consumers already
+# hold slots) — which take the q23/q24/tx_tokens_udtf/mw_kinks
+# canary slots (q keeps 6 rows, tx 5, mw 4 — every family still
+# >= 2). Family rows now: q=6, dd=10, tx=5, sim=5, mw=4, src=5,
+# st=4, mm=3, pd=2, pipe=2, ds=2, dq=2.
 _PRIORITY = [
     # --- (a) code changed r8 ---
     "sim_knn_graph_banded",
@@ -179,9 +190,12 @@ _PRIORITY = [
     "q17_part_strings",
     "q18_orders_by_month",
     "q19_events_json",
-    "q23_value_band_pairs",
-    "q24_top_orders",
-    # dd: the NEW r8 capped-containment twin + r2 block
+    # dd: the late-r8 ranked_in_groups consumers (code-changed), the
+    # NEW r8 capped-containment twin, + r2 block
+    "dd_simhash_pairs_banded",
+    "dd_cc_banded",
+    "dd_pagerank_centrality",
+    "dd_triangle_count",
     "dd_containment_capped",
     "dd_rolling_hash",
     "dd_simhash",
@@ -190,12 +204,10 @@ _PRIORITY = [
     "tx_repetition_filter",
     "tx_sentence_stats",
     "tx_token_stats",
-    "tx_tokens_udtf",
     "tx_top_bigrams",
     # sim: r2
     "sim_srp_lsh_topk",
     # mw: r2 block
-    "mw_kinks",
     "mw_layer_objects",
     "mw_map_layers_join",
     "mw_map_logs",

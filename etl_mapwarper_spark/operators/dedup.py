@@ -682,9 +682,12 @@ _register(
 # the pair list — and therefore graph degree — is bounded by design.
 # The join key carries the rank, so no reducer ever sees more than
 # `band` rows per key: the skew is eliminated in the PLAN, not just
-# reduced. Residual skew: the rank window itself sorts each bucket on
-# one reducer — O(bucket) rows, not O(bucket²), which is the linear
-# cost of knowing bucket membership at all.
+# reduced. r8: the residual skew this note used to carry — the rank
+# window itself sorting each bucket on one reducer, O(bucket) rows —
+# is gone too: ranks come from ranked_in_groups
+# (functions/dist_rank.py — range exchange + split-local sort +
+# broadcast prefix offsets), so task size is bounded by the range
+# split even for a corpus-sized hub bucket.
 #
 # This is deliberately a SEPARATE generator: dd_simhash_pairs remains
 # the exact ground truth (and the CC entries keep it — min-label CC
@@ -704,7 +707,7 @@ def simhash_banded_pairs(
     spark: SparkSession, sf_dir: str, band: int = _SIMHASH_BAND
 ) -> DataFrame:
     """Hamming<=3 simhash pairs with per-bucket rank banding."""
-    from pyspark.sql.window import Window
+    from ..functions.dist_rank import ranked_in_groups
 
     sig = dd_simhash(spark, sf_dir)
     chunks = sig.select(
@@ -712,14 +715,8 @@ def simhash_banded_pairs(
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
     ).withColumn("chunk_val", F.expr("substring(simhash, chunk * 16 + 1, 16)"))
-    bucket = Window.partitionBy("chunk", "chunk_val")
-    ranked = chunks.select(
-        "doc_id",
-        "simhash",
-        "chunk",
-        "chunk_val",
-        F.row_number().over(bucket.orderBy("doc_id")).alias("r"),
-        F.count(F.lit(1)).over(bucket).alias("bn"),
+    ranked = ranked_in_groups(
+        chunks, ["chunk", "chunk_val"], ["doc_id"]
     )
     # sequence(a, b) DESCENDS when a > b — gate on r < bn so the last
     # bucket member yields NULL (explode drops it) instead of a

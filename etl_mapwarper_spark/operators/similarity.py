@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from ..functions.dist_rank import ranked_in_groups
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..sources.tables import load_table
 
@@ -1224,16 +1225,23 @@ def _srp_banded_occ(
     ).select(
         "vec_id", "v", "bucket", "pjs.pj_idx", "pjs.pj"
     )
-    bw = Window.partitionBy("bucket", "pj_idx")
-    ranked = proj.select(
-        "vec_id",
-        "v",
-        "bucket",
-        "pj_idx",
-        F.row_number()
-        .over(bw.orderBy(F.element_at(F.col("v"), F.col("pj")), "vec_id"))
-        .alias("r"),
-        F.count(F.lit(1)).over(bw).alias("bn"),
+    # Rank within (bucket, pj_idx) WITHOUT a group-sized window
+    # partition (r8): at a fixed 2^|SRP_DIMS| bucket count a
+    # `row_number() OVER (PARTITION BY bucket, pj_idx)` funnels
+    # n/2^bits rows through ONE WindowExec task — the last
+    # single-reducer-per-bucket sort on the banded production path.
+    # ranked_in_groups (functions/dist_rank.py) computes the identical
+    # (r, bn) via one range exchange + split-local sort + broadcast
+    # prefix offsets, so task size is bounded by the range split, not
+    # the bucket (value-identity pinned by the python-model and
+    # band>=bucket tests; boundary invariance pinned in
+    # tests/test_dist_rank.py).
+    ranked = ranked_in_groups(
+        proj.withColumn(
+            "pv", F.element_at(F.col("v"), F.col("pj"))
+        ).select("vec_id", "v", "bucket", "pj_idx", "pv"),
+        ["bucket", "pj_idx"],
+        ["pv", "vec_id"],
     )
     # sequence(a, b) DESCENDS when a > b — gate on r < bn so the last
     # bucket member yields NULL (explode drops it), as in the simhash
