@@ -168,9 +168,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # dd_cc_banded, dd_pagerank_centrality, dd_triangle_count (the
 # simhash-banded consumers; the four SRP-banded consumers already
 # hold slots) — which take the q23/q24/tx_tokens_udtf/mw_kinks
-# canary slots (q keeps 6 rows, tx 5, mw 4 — every family still
-# >= 2). Family rows now: q=6, dd=10, tx=5, sim=5, mw=4, src=5,
-# st=4, mm=3, pd=2, pipe=2, ds=2, dq=2.
+# canary slots. A second late-r8 change bounds the per-source window
+# tasks in ds_shard_manifest (two-phase byte prefix over order-aligned
+# doc_id cells) and ds_source_cap (kept-branch rank<=cap filter so
+# WindowGroupLimit prunes map-side + complement aggregates) — both
+# code-changed, taking the q18/tx_top_bigrams canary slots. Family
+# rows now: q=5, dd=10, tx=4, sim=5, mw=4, src=5, st=4, mm=3, pd=2,
+# pipe=2, ds=4, dq=2 — every family >= 2.
 _PRIORITY = [
     # --- (a) code changed r8 ---
     "sim_knn_graph_banded",
@@ -188,7 +192,6 @@ _PRIORITY = [
     "q15_nations_intersect",
     "q16_nations_except",
     "q17_part_strings",
-    "q18_orders_by_month",
     "q19_events_json",
     # dd: the late-r8 ranked_in_groups consumers (code-changed), the
     # NEW r8 capped-containment twin, + r2 block
@@ -204,7 +207,6 @@ _PRIORITY = [
     "tx_repetition_filter",
     "tx_sentence_stats",
     "tx_token_stats",
-    "tx_top_bigrams",
     # sim: r2
     "sim_srp_lsh_topk",
     # mw: r2 block
@@ -238,6 +240,8 @@ _PRIORITY = [
     # ds: r4
     "ds_anneal_schedule",
     "ds_dataset_card",
+    "ds_shard_manifest",
+    "ds_source_cap",
     # dq: r5
     "dq_column_profile",
     "dq_freshness_report",

@@ -1980,31 +1980,69 @@ _register(
 # sizes are uniform and deterministic, instead of inheriting whatever
 # task boundaries the shuffle produced (the small-files problem).
 #
-# shard_idx = floor(exclusive_running_bytes / target): one hash
-# exchange on source + a per-source sort. Per-source running sums are
-# inherently sequential; when a single source outgrows one reducer,
-# the decomposition is exactly ds_global_row_ids' two-phase pattern
-# (range-bucket the source by doc_id, local byte sums, tiny prefix
-# table over buckets) — same algebra, summing n_chars instead of
-# counting rows.
+# shard_idx = floor(exclusive_running_bytes / target). Unlike the
+# pack family (whose shard count is a FREE parameter a production run
+# scales with the corpus), `source` is a data attribute — a 20-source
+# corpus has n/20 docs per source forever, so a per-source running-sum
+# window is a structural straggler at 100 TB. late-r8: the
+# decomposition the old note only described is now implemented — the
+# two-phase prefix of ds_global_row_ids, summing bytes instead of
+# counting rows, with deterministic ORDER-ALIGNED CELLS instead of a
+# range exchange (doc_id is the order key, so floor(doc_id / W) is a
+# coarse bucketing no sampling pass needs to discover):
+#   1. ONE hash exchange on (source, cell); the within-cell exclusive
+#      byte prefix is a window whose partition holds <= W docs;
+#   2. per-(source, cell) byte totals ride the same clustering
+#      (map-side-combinable aggregate, no new exchange), and the
+#      exclusive prefix over a source's cells is a window over the
+#      CELL TABLE — n/W-row inputs, the W-fold-reduced hierarchy
+#      level, same size class as ds_global_row_ids' counts table;
+#   3. join the cell prefix back on (source, cell) — co-partitioned
+#      with step 1's exchange, so no corpus re-shuffle.
+# Value-identical to the single-window form (the oracle SQL below IS
+# that form, so the gate pins the identity at every scale).
 # ---------------------------------------------------------------------------
 
 _SHARD_TARGET_BYTES = 4096
+_MANIFEST_CELL_DOCS = 1024  # W: max docs a within-cell window task sorts
 
 
 def ds_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor(F.col("doc_id") / _MANIFEST_CELL_DOCS).alias("cell"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    w_cell = (
+        Window.partitionBy("source", "cell")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    sharded = docs.withColumn(
+    local = docs.withColumn(
+        "cum_in_cell", F.coalesce(F.sum("n_chars").over(w_cell), F.lit(0))
+    )
+    cell_tot = docs.groupBy("source", "cell").agg(
+        F.sum("n_chars").alias("cell_bytes")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cell_off = cell_tot.select(
+        "source",
+        "cell",
+        F.coalesce(F.sum("cell_bytes").over(w_src), F.lit(0)).alias(
+            "cell_prefix"
+        ),
+    )
+    sharded = local.join(cell_off, ["source", "cell"]).withColumn(
         "shard_idx",
         F.floor(
-            F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+            (F.col("cell_prefix") + F.col("cum_in_cell"))
             / F.lit(_SHARD_TARGET_BYTES)
         ),
     )
@@ -2049,9 +2087,22 @@ _register(
 # on any engine, any partitioning, any rerun — the reproducibility
 # contract hash_bucket exists for, applied per group). This is the
 # anti-domination rule of web-corpus curation: no source may swamp
-# the mixture regardless of its raw size. One hash exchange on
-# source + per-group top-K via rank; ties impossible because the
-# priority tiebreaks on the unique doc_id itself.
+# the mixture regardless of its raw size.
+#
+# late-r8 plan shape: the old form ranked EVERY row per source and fed
+# all ranks into one aggregate — `source` is a data attribute (a
+# 20-source corpus puts n/20 rows in each rank-window task forever),
+# and because over-cap rows were consumed too, Spark could not prune
+# the sort (WindowGroupLimit only fires when a rank<=k filter
+# IMMEDIATELY follows the window). Split into two branches instead:
+# the kept side filters rank <= CAP right after the window, so the
+# Partial WindowGroupLimit truncates every map partition to CAP rows
+# BEFORE the shuffle (the per-source task then sorts <= CAP x maps
+# rows, never the source); the totals side is a plain
+# map-side-combinable aggregate with no window at all. Dropped counts
+# are the complement (n_docs - n_kept). Both branches and the final
+# join are hash-partitioned by source, so the join adds no exchange.
+# Value-identical (same oracle SQL pins it at every scale).
 # ---------------------------------------------------------------------------
 
 _SOURCE_CAP = 15
@@ -2063,21 +2114,26 @@ def ds_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     pri = knuth_priority(F.col("doc_id"))
     w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
-    ranked = docs.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.groupBy("source")
+    kept = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+        .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count_if(F.col("rk") <= _SOURCE_CAP).alias("n_kept"),
-            F.count_if(F.col("rk") > _SOURCE_CAP).alias("n_dropped"),
-            F.sum(
-                F.when(F.col("rk") <= _SOURCE_CAP, F.col("n_chars")).otherwise(
-                    0
-                )
-            ).alias("kept_chars"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
         )
+    )
+    return totals.join(kept, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "kept_chars",
     )
 
 

@@ -975,13 +975,27 @@ def test_dq_skew_report_two_exchanges(spark):
     assert n_exchanges <= 2, f"skew report grew shuffles: {n_exchanges}"
 
 
-def test_ds_shard_manifest_single_exchange(spark):
-    """The packing window and the manifest groupBy share the source
-    partitioning — one exchange total."""
+def test_ds_shard_manifest_bounded_windows(spark):
+    """late-r8 shape: the per-source byte prefix is two-phase (cells),
+    so NO window partitions by bare source over corpus rows — the only
+    corpus-row window keys on (source, cell), whose partitions hold
+    <= _MANIFEST_CELL_DOCS rows; the per-source window runs over the
+    cell TABLE (n/W rows). Exchange budget: 4 — the corpus rows move
+    ONCE (the (source, cell) window exchange); the cell-totals branch
+    is map-side combined before its (source, cell) exchange, the cell
+    prefix re-keys the cell table by source, and the final manifest
+    aggregate is partial-combined before (source, shard_idx)."""
     plan = plan_of(spark, "ds_shard_manifest")
     body = plan.split("===== Subqueries =====")[0]
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", body))
-    assert n_exchanges == 1, f"manifest must reuse the window exchange: {n_exchanges}"
+    assert n_exchanges == 4, f"exchange budget drifted: {n_exchanges}"
+    # every Window node must key on (source, cell) — a bare-source
+    # window over doc rows would reintroduce the n/sources straggler
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", body):
+        assert "cell" in spec or "source" not in spec, spec
+    assert re.search(
+        r"hashpartitioning\(source#\d+, cell#\d+L", body
+    ), "corpus window must be keyed (source, cell)"
 
 
 def test_bench_queries_construct_without_jobs(spark):

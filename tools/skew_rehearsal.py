@@ -50,6 +50,15 @@ THREE_POINT = {
     "dd_cc_banded",
     "dd_semantic_clusters_banded",
     "sim_knn_graph_banded",
+    # late-r8 extension: the families first measured in r8 at 1x/10x
+    # get their third point too (same rationale as r6 item 3 — two
+    # points can't separate log-linear from quadratic-small-constant).
+    # st_incremental_dedup stays two-point: 0.90x at 10x is
+    # trigger-overhead-bound, a third point measures the trigger.
+    "mm_phash_full_corpus",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "dd_containment_capped",
 }
 ENTRIES = [
     "dd_ngram_jaccard_capped",
