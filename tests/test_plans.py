@@ -998,6 +998,18 @@ def test_ds_shard_manifest_bounded_windows(spark):
     ), "corpus window must be keyed (source, cell)"
 
 
+def test_ds_source_cap_windowgrouplimit(spark):
+    """late-r8 shape: the kept branch's rank<=cap filter must plan as
+    Partial+Final WindowGroupLimit (map partitions truncated to cap
+    rows BEFORE the shuffle) — the property that bounds the per-source
+    task. A refactor that consumes over-cap ranks again (the old
+    one-branch form) silently loses the pruning; this pins it."""
+    plan = plan_of(spark, "ds_source_cap")
+    assert len(re.findall(r"\bWindowGroupLimit\b", plan)) >= 2, plan[:2000]
+    # and the totals branch must NOT rank at all — exactly one Window
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
 def test_bench_queries_construct_without_jobs(spark):
     """bench.py times execution only (the noop write), which is only
     honest if CONSTRUCTING a benched frame runs zero Spark jobs — a
