@@ -1171,8 +1171,11 @@ _register(
 # ordering gets |SRP_PROJS| independent chances to land within the
 # band of another, so recall compounds ≈ 1−(1−r₁)^P while candidate
 # volume stays O(n·band·P) — linear in n. Measured at band=16
-# (BASELINE.md r8): recall@3 0.30 → 0.76 at sf0.1 with P=4
-# (P=8 reads 0.94 — sim_band_tuning_report carries the full curve).
+# (BASELINE.md r8): recall@3 0.30 → 0.76 at sf0.1 with P=4; late-r8
+# widened the default to P=8 on the tuning report's evidence —
+# 0.9413 at 1.33x the P=4 candidate volume (projections overlap, the
+# pair dedup collapses re-finds; sim_band_tuning_report carries the
+# full curve).
 # Pairs are normalized to (least, greatest) and deduped across
 # projections — one exchange keyed on the pair, no hot key.
 # Identical vectors tie on EVERY projection, so a duplicate hub
@@ -1185,8 +1188,13 @@ _register(
 SRP_BAND = 16
 # Ordering coordinates for the banded union — disjoint from the
 # SRP_DIMS sign coordinates (1, 9, 17, 25) so the ordering within a
-# bucket is not degenerate on a sign boundary.
-SRP_PROJS = [2, 18, 34, 50]
+# bucket is not degenerate on a sign boundary. late-r8: widened from
+# 4 to 8 orderings on the tuning report's own evidence — recall@3 at
+# sf0.1 0.7572 -> 0.9413 for only 1.33x the candidate volume (82.9k
+# -> 110.6k pairs: projections overlap, so the P-th ordering adds
+# mostly pairs the first P-1 missed, and the pair dedup collapses the
+# rest). Volume stays O(n·band·P) — linear in n at fixed (band, P).
+SRP_PROJS = [2, 18, 34, 50, 10, 26, 42, 58]
 
 
 def _srp_banded_occ(
@@ -1203,6 +1211,31 @@ def _srp_banded_occ(
     distance. ``sim_band_tuning_report`` slices this ONE join by
     (dr <= band', pj_idx <= P') to measure every narrower config
     without re-running the generator."""
+    return _attach_cos(
+        spark,
+        sf_dir,
+        _srp_banded_idpairs(spark, sf_dir, band, projs),
+        ndigits,
+    )
+
+
+def _srp_banded_idpairs(
+    spark: SparkSession,
+    sf_dir: str,
+    band: int,
+    projs: list,
+) -> DataFrame:
+    """Banded candidate occurrences as BARE ID PAIRS
+    (v1, v2, pj_idx, dr) — the vectors do NOT ride the band join.
+    late-r8 shuffle-bytes fix: the old plan exploded each left row
+    ×band WITH its 64-double vector attached, so the join shuffled
+    n·P·band vector copies (~4 GB at the 30x rehearsal point — the
+    measured super-linear wall-time step was local spill, not
+    volume, which is pinned linear: 3.09x/3.20x pairs for 3x rows).
+    Ids are ~15x narrower; cosines are attached afterwards by two
+    id-keyed joins against the embeddings table (broadcast at test
+    SFs, plain shuffle joins at scale — each moves the corpus once
+    instead of band·P times)."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id",
         to_double_array(F.col("embedding")).alias("v"),
@@ -1239,7 +1272,7 @@ def _srp_banded_occ(
     ranked = ranked_in_groups(
         proj.withColumn(
             "pv", F.element_at(F.col("v"), F.col("pj"))
-        ).select("vec_id", "v", "bucket", "pj_idx", "pv"),
+        ).select("vec_id", "bucket", "pj_idx", "pv"),
         ["bucket", "pj_idx"],
         ["pv", "vec_id"],
     )
@@ -1248,7 +1281,6 @@ def _srp_banded_occ(
     # banded generator.
     left = ranked.select(
         F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
         "bucket",
         "pj_idx",
         F.col("r").alias("ra"),
@@ -1264,19 +1296,58 @@ def _srp_banded_occ(
     )
     right = ranked.select(
         F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
         "bucket",
         "pj_idx",
         F.col("r").alias("r2"),
     )
-    return left.join(right, ["bucket", "pj_idx", "r2"]).select(
+    # shuffle_hash: SMJ would sort BOTH sides — the exploded left is
+    # n·P·band rows, a pure-overhead external sort at scale since no
+    # downstream op reuses the order (measured at the 30x rehearsal
+    # point: the SMJ sorts, not candidate volume, drove the
+    # super-linear wall step). Build side = one hash partition of the
+    # un-exploded right (n·P rows / partitions), bounded.
+    return left.join(
+        right.hint("shuffle_hash"), ["bucket", "pj_idx", "r2"]
+    ).select(
         F.least("id_a", "id_b").alias("v1"),
         F.greatest("id_a", "id_b").alias("v2"),
-        F.round(
-            cosine_similarity(F.col("va"), F.col("vb")), ndigits
-        ).alias("cos"),
         "pj_idx",
         (F.col("r2") - F.col("ra")).alias("dr"),
+    )
+
+
+def _attach_cos(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, ndigits: int
+) -> DataFrame:
+    """Attach ``cos`` to (v1, v2, ...) id pairs via two id-keyed
+    embedding joins. Operation order inside cosine_similarity is
+    identical to the old vector-riding form (elementwise products
+    summed in index order; norms commute), so the rounded value is
+    bit-equal — the python-model pin checks exact values."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    va = emb.select(
+        F.col("vec_id").alias("v1"),
+        to_double_array(F.col("embedding")).alias("va"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("v2"),
+        to_double_array(F.col("embedding")).alias("vb"),
+    )
+    # shuffle_hash (not SMJ): sorting the pair table twice buys
+    # nothing; the build side is one hash partition of the embeddings
+    # table — corpus/partitions rows, never the pair table. The hint
+    # takes precedence over size-based broadcast, which is the point:
+    # the choice must stay valid when embeddings do NOT fit a
+    # broadcast, and the forgone small-SF broadcast costs only an
+    # exchange of the skinny id-pair table.
+    return (
+        pairs.join(va.hint("shuffle_hash"), "v1")
+        .join(vb.hint("shuffle_hash"), "v2")
+        .withColumn(
+            "cos",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), ndigits),
+        )
+        .drop("va", "vb")
     )
 
 
@@ -1294,13 +1365,18 @@ def _srp_banded_cand(
     cos is orientation-independent bit-exact (elementwise products
     summed in index order; norm product commutes), so the same pair
     reached through different projections yields the same rounded
-    cos and DISTINCT collapses it."""
+    cos — here the pair dedup runs on the BARE id pairs (16 bytes)
+    BEFORE the cosine joins, so re-finds across projections never
+    reach the vector-join stage at all."""
     projs = SRP_PROJS if projs is None else projs
-    return (
-        _srp_banded_occ(spark, sf_dir, band, ndigits, projs)
-        .select("v1", "v2", "cos")
-        .distinct()
-    )
+    return _attach_cos(
+        spark,
+        sf_dir,
+        _srp_banded_idpairs(spark, sf_dir, band, projs)
+        .select("v1", "v2")
+        .distinct(),
+        ndigits,
+    ).select("v1", "v2", "cos")
 
 
 def _srp_banded_cand_sql(
@@ -1562,12 +1638,13 @@ _register(
 # single 1-D projection ordering correlates weakly — the r7
 # single-projection generator measured 0.82 at sf0.01 (buckets ≈
 # band) falling to 0.30 at sf0.1 (buckets ≫ band). The r8
-# multi-projection union (P=|SRP_PROJS|=4 orderings, same band)
+# multi-projection union (P=|SRP_PROJS| orderings, same band)
 # compounds per-ordering recall ≈ 1−(1−r₁)^P at linear candidate
-# volume: measured 0.999 at sf0.01 and 0.76 at sf0.1 (BASELINE.md
-# r8; P=8 reads 0.94 — the band/P curve lives in
+# volume: P=4 measured 0.999 at sf0.01 and 0.76 at sf0.1
+# (BASELINE.md r8); the late-r8 default P=8 reads 0.9413 at sf0.1
+# for 1.33x the candidate volume — the band/P curve lives in
 # sim_band_tuning_report, which is to SRP banding what
-# dd_lsh_tuning_report is to the MinHash band count). The quantity
+# dd_lsh_tuning_report is to the MinHash band count. The quantity
 # banding is DEPLOYED for — near-duplicate/hub edges, whose
 # endpoints tie on EVERY projection and so sit at adjacent ranks —
 # survives at recall 1.0 by construction (property-pinned hub
@@ -1660,31 +1737,34 @@ _register(
 # P = all projections) emits occurrences tagged (pj_idx, dr); each
 # narrower config is a FILTER over that join's output
 # (pj_idx ≤ P, dr ≤ band) — a broadcast theta-join against the
-# 9-row config table, then per-config pair dedup, top-k window and
-# one hit-join against the exact graph. Measuring 9 configs costs
-# one generator pass, not nine.
+# 12-row config table, then per-config pair dedup, top-k window and
+# one hit-join against the exact graph. Measuring 12 configs costs
+# one generator pass, not twelve.
 # ---------------------------------------------------------------------------
 
 _TUNE_BANDS = [4, 16, 64]
-_TUNE_NPROJS = [1, 2, 4]
+_TUNE_NPROJS = [1, 2, 4, 8]
 
 
 def sim_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    occ = _srp_banded_occ(
-        spark, sf_dir, max(_TUNE_BANDS), 6, SRP_PROJS
-    )
+    occ = _srp_banded_idpairs(spark, sf_dir, max(_TUNE_BANDS), SRP_PROJS)
     cfg = spark.createDataFrame(
         [(b, p) for b in _TUNE_BANDS for p in _TUNE_NPROJS],
         "band int, n_projs int",
     )
-    pairs = (
+    # per-config pair dedup on BARE ids, cosines attached once after —
+    # re-finds across projections never reach the vector joins
+    pairs = _attach_cos(
+        spark,
+        sf_dir,
         occ.join(
             broadcast(cfg),
             (F.col("pj_idx") <= F.col("n_projs"))
             & (F.col("dr") <= F.col("band")),
         )
-        .select("band", "n_projs", "v1", "v2", "cos")
-        .distinct()
+        .select("band", "n_projs", "v1", "v2")
+        .distinct(),
+        6,
     )
     n_cand = pairs.groupBy("band", "n_projs").agg(
         F.count(F.lit(1)).alias("n_cand")
