@@ -130,8 +130,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-8 window: (a) 5 entries whose CODE changed this round —
 # sim_knn_graph_banded + dd_semantic_clusters_banded +
 # sim_knn_banded_recall (the shared banded SRP generator is now a
-# MULTI-PROJECTION union: 4 orderings at fixed band, recall@3 at
-# sf0.1 0.30 -> 0.76 at linear candidate volume; r7 verdict item 1),
+# MULTI-PROJECTION union at fixed band (4 orderings at the r8 cert;
+# widened to 8 late-r8 on the tuning report's curve — recall@3 at
+# sf0.1 0.30 -> 0.76 -> 0.9413 at linear candidate volume, with the
+# band join restructured onto bare id pairs + shuffle-hash cosine
+# joins; r7 verdict item 1),
 # dd_bloom_incremental_fp (fixture cache key now salted with the
 # fingerprint formula; r7 ADVICE), mm_phash_neardups (grouped plan:
 # identical hashes collapse BEFORE the banded Hamming join, so the
