@@ -721,9 +721,17 @@ def simhash_banded_pairs(
     # sequence(a, b) DESCENDS when a > b — gate on r < bn so the last
     # bucket member yields NULL (explode drops it) instead of a
     # backwards range.
+    #
+    # late-r8 shuffle-bytes fix (mirrors the SRP generator): the band
+    # join moves BARE doc ids — the 64-char signature used to ride
+    # the ×band exploded left side (band·chunks = 128 copies per doc
+    # through the shuffle). Signatures are re-attached afterwards
+    # from the already-persisted ranked relation (one row per doc via
+    # the chunk-0 slice — no dd_simhash recompute), and all joins are
+    # shuffle-hash: SMJ would sort the exploded side for an ordering
+    # nothing downstream reuses.
     left = ranked.select(
         F.col("doc_id").alias("d1"),
-        F.col("simhash").alias("s1"),
         "chunk",
         "chunk_val",
         F.explode(
@@ -738,15 +746,26 @@ def simhash_banded_pairs(
     )
     right = ranked.select(
         F.col("doc_id").alias("d2"),
-        F.col("simhash").alias("s2"),
         "chunk",
         "chunk_val",
         F.col("r").alias("r2"),
     )
-    cand = (
-        left.join(right, ["chunk", "chunk_val", "r2"])
-        .select("d1", "d2", "s1", "s2")
+    pairs = (
+        left.join(right.hint("shuffle_hash"), ["chunk", "chunk_val", "r2"])
+        .select("d1", "d2")
         .distinct()
+    )
+    sigs = ranked.filter(F.col("chunk") == 0).select("doc_id", "simhash")
+    cand = pairs.join(
+        sigs.select(
+            F.col("doc_id").alias("d1"), F.col("simhash").alias("s1")
+        ).hint("shuffle_hash"),
+        "d1",
+    ).join(
+        sigs.select(
+            F.col("doc_id").alias("d2"), F.col("simhash").alias("s2")
+        ).hint("shuffle_hash"),
+        "d2",
     )
     hamming = F.expr(
         "aggregate(sequence(1, 64), 0, (acc, i) -> acc + IF(substring(s1, i, 1) = substring(s2, i, 1), 0, 1))"
