@@ -57,6 +57,29 @@ from pyspark.sql.window import Window
 
 _LOCAL_BITS = 33  # monotonically_increasing_id: pid·2^33 + row index
 _DEFAULT_SPLITS = 32
+_INTERNAL_COLS = ("_pid", "_loc", "_off", "_start")
+
+# Every ranged relation persisted by ranked_in_groups, so the cache
+# can be released once the consuming action has run. The persist is
+# REQUIRED for correctness (shared range boundaries between the rank
+# and counts branches — see the module docstring); without an explicit
+# release the entries live for the session and rely on storage-level
+# LRU eviction (MEMORY_AND_DISK default ⇒ correct either way, just
+# memory pressure). Long-lived sessions (the bench harness, a
+# notebook) should call release_ranked_cache() between queries.
+_PERSISTED: list = []
+
+
+def release_ranked_cache() -> int:
+    """Unpersist every ranged relation cached by prior
+    ``ranked_in_groups`` calls; returns how many were released. Safe
+    to call between actions — a later re-execution of a consumer plan
+    simply recomputes (both branches re-read the SAME re-persisted
+    relation, so boundary consistency is preserved per call)."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
 
 
 def ranked_in_groups(
@@ -72,9 +95,36 @@ def ranked_in_groups(
     be tie-free within a group) + ``size_col`` (group row count).
     Bit-identical to ``row_number()/count() OVER (PARTITION BY
     group_cols ORDER BY order_cols)`` with partition sizes bounded by
-    the range split instead of the group."""
+    the range split instead of the group.
+
+    Contract (asserted where cheap, documented where not):
+
+    - ``df`` must not already contain the internal working columns
+      (``_pid``/``_loc``/``_off``/``_start``) and ``rank_col``/
+      ``size_col`` must not collide with existing columns — asserted
+      at entry (a collision would otherwise surface as an
+      ambiguous-column error or a silently wrong join).
+    - The broadcast offsets table is ``n_splits × |groups|`` rows of
+      bare keys + 3 longs. Callers must keep that product
+      broadcast-sized (≲ tens of millions of rows): current callers
+      are bounded by construction (simhash: 4·2^16 buckets, SRP:
+      2^4·P orderings — ≤ a few hundred thousand rows at 32 splits).
+      A caller with corpus-cardinality groups should NOT use this
+      helper — at that cardinality groups are small and the plain
+      window is already parallel.
+    - The ranged relation is persisted for boundary consistency and
+      registered in ``_PERSISTED``; call ``release_ranked_cache()``
+      after the consuming action in long-lived sessions.
+    """
+    for c in _INTERNAL_COLS + (rank_col, size_col):
+        if c in df.columns:
+            raise ValueError(
+                f"ranked_in_groups: input column {c!r} collides with an "
+                "internal/output column; rename it first"
+            )
     sort_cols = [*group_cols, *order_cols]
     ranged = df.repartitionByRange(n_splits, *sort_cols).persist()
+    _PERSISTED.append(ranged)
 
     local = (
         ranged.sortWithinPartitions(*sort_cols)

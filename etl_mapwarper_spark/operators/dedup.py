@@ -2293,12 +2293,21 @@ _register(
 
 
 def dd_semantic_clusters_banded(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    band: int | None = None,
+    projs: list | None = None,
 ) -> DataFrame:
+    """``band``/``projs`` default to the module constants and are the
+    recall knob — see sim_knn_graph_banded's docstring for the
+    measured (band, P) ↦ recall curve (sim_band_tuning_report)."""
     from .similarity import SRP_BAND, _srp_banded_cand
 
     pairs = (
-        _srp_banded_cand(spark, sf_dir, SRP_BAND, 4)
+        _srp_banded_cand(
+            spark, sf_dir, SRP_BAND if band is None else band, 4,
+            projs=projs,
+        )
         .filter(F.col("cos") >= _SEM_THRESHOLD)
         .select("v1", "v2")
     )

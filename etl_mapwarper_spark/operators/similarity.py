@@ -1197,28 +1197,6 @@ SRP_BAND = 16
 SRP_PROJS = [2, 18, 34, 50, 10, 26, 42, 58]
 
 
-def _srp_banded_occ(
-    spark: SparkSession,
-    sf_dir: str,
-    band: int,
-    ndigits: int,
-    projs: list,
-) -> DataFrame:
-    """Un-deduped banded candidate OCCURRENCES: one row per
-    (pair, projection) with the pair within rank distance ``band``
-    under that projection's ordering — (v1, v2, cos, pj_idx, dr),
-    v1 < v2, pj_idx the 1-based position in ``projs``, dr the rank
-    distance. ``sim_band_tuning_report`` slices this ONE join by
-    (dr <= band', pj_idx <= P') to measure every narrower config
-    without re-running the generator."""
-    return _attach_cos(
-        spark,
-        sf_dir,
-        _srp_banded_idpairs(spark, sf_dir, band, projs),
-        ndigits,
-    )
-
-
 def _srp_banded_idpairs(
     spark: SparkSession,
     sf_dir: str,
@@ -1233,9 +1211,15 @@ def _srp_banded_idpairs(
     measured super-linear wall-time step was local spill, not
     volume, which is pinned linear: 3.09x/3.20x pairs for 3x rows).
     Ids are ~15x narrower; cosines are attached afterwards by two
-    id-keyed joins against the embeddings table (broadcast at test
-    SFs, plain shuffle joins at scale — each moves the corpus once
-    instead of band·P times)."""
+    id-keyed joins against the embeddings table — always SHUFFLE-HASH
+    by design (the hint in ``_attach_cos`` takes precedence over
+    size-based broadcast, deliberately: the choice must stay valid
+    when embeddings do not fit a broadcast) — each moves the corpus
+    once instead of band·P times.
+
+    ``sim_band_tuning_report`` slices this ONE join's output by
+    (dr <= band', pj_idx <= P') to measure every narrower config
+    without re-running the generator."""
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id",
         to_double_array(F.col("embedding")).alias("v"),
@@ -1413,8 +1397,27 @@ def _srp_banded_cand_sql(
     )"""
 
 
-def sim_knn_graph_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _srp_banded_cand(spark, sf_dir, SRP_BAND, 6)
+def sim_knn_graph_banded(
+    spark: SparkSession,
+    sf_dir: str,
+    band: int = SRP_BAND,
+    projs: list | None = None,
+) -> DataFrame:
+    """Banded-SRP k-NN graph. ``band``/``projs`` are the RECALL KNOB
+    (r8 verdict item): pick a point on the measured
+    ``sim_band_tuning_report`` curve (BASELINE.md r8, sf0.1, recall@3
+    (candidate pairs)) —
+
+        band=16, P=8  → 0.9413 (110.6k)   [default]
+        band=64, P=2  → 0.9743 (117.3k)   [≥0.97 at 4× per-key fan-out]
+        band=64, P=4  → 0.9997 (124.3k)
+
+    Candidate volume is O(n·band·P) and the per-join-key fan-out bound
+    is ``band`` — a 100 TB consumer wanting ≥0.99 recall passes
+    (band=64, projs=SRP_PROJS[:4]) instead of editing module
+    constants. The (band=64, P=2) ≥0.97 point is property-pinned at
+    sf0.1 in tests/test_sketch_properties.py."""
+    cand = _srp_banded_cand(spark, sf_dir, band, 6, projs=projs)
     # Both directions via a narrow explode — a union of (cand,
     # cand-flipped) would DUPLICATE the banded-join subtree in the
     # physical plan and compute every candidate twice (caught in the
@@ -1652,11 +1655,20 @@ _register(
 # ---------------------------------------------------------------------------
 
 
-def sim_knn_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_banded_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    band: int = SRP_BAND,
+    projs: list | None = None,
+) -> DataFrame:
+    """Edge recall of the banded graph vs the exact bucketed graph at
+    a given (band, projs) point — the same recall knob as
+    ``sim_knn_graph_banded`` (see its docstring for the measured
+    curve), so a consumer can VERIFY a chosen operating point."""
     exact = sim_knn_graph(spark, sf_dir).select(
         "src", "dst", F.lit(1).alias("in_e")
     )
-    banded = sim_knn_graph_banded(spark, sf_dir).select(
+    banded = sim_knn_graph_banded(spark, sf_dir, band, projs).select(
         "src", "dst", F.lit(1).alias("in_b")
     )
     j = exact.join(banded, ["src", "dst"], "full_outer")

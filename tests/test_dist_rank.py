@@ -90,3 +90,35 @@ def test_ranked_in_groups_composite_group_and_order(spark):
     for r in got:
         assert r.r == exp[(r.bucket, r.pj_idx, r.vid)], r
         assert r.bn == 30
+
+
+def test_ranked_in_groups_rejects_colliding_columns(spark):
+    """Internal working columns (_pid/_loc/_off/_start) and the output
+    rank/size columns must be absent from the input — a collision
+    would otherwise join ambiguously or silently mis-rank."""
+    df = spark.createDataFrame([("g", 1, 2)], ["g", "k", "_pid"])
+    with pytest.raises(ValueError, match="_pid"):
+        ranked_in_groups(df, ["g"], ["k"])
+    df2 = spark.createDataFrame([("g", 1, 2)], ["g", "k", "bn"])
+    with pytest.raises(ValueError, match="bn"):
+        ranked_in_groups(df2, ["g"], ["k"])
+
+
+def test_release_ranked_cache_unpersists_and_stays_correct(spark):
+    """The per-call persist (required for boundary consistency) is
+    tracked; release_ranked_cache() unpersists all of them, and a
+    released consumer plan still recomputes correctly (both branches
+    re-read the same re-persisted relation per call)."""
+    from etl_mapwarper_spark.functions.dist_rank import (
+        release_ranked_cache,
+    )
+
+    release_ranked_cache()  # drain any prior test's entries
+    rows = [("g", k, 0) for k in range(50)]
+    df = spark.createDataFrame(rows, ["g", "k", "payload"])
+    out = ranked_in_groups(df, ["g"], ["k"], n_splits=5)
+    first = {(r.g, r.k): r.r for r in out.collect()}
+    assert release_ranked_cache() >= 1
+    assert release_ranked_cache() == 0  # idempotent
+    again = {(r.g, r.k): r.r for r in out.collect()}  # recompute path
+    assert again == first

@@ -440,3 +440,23 @@ def test_srp_banded_matches_python_model(spark, tmp_path, seed, band):
     assert set(got) == set(expect)
     for p, c in got.items():
         assert abs(c - expect[p]) <= 1e-6, (p, c, expect[p])
+
+
+def test_banded_recall_knob_high_recall_point():
+    """The recall knob's ≥0.97 operating point (r8 verdict item 4):
+    sim_knn_banded_recall at (band=64, P=2) must reproduce the tuning
+    report's 0.9743 recall@3 at sf0.1 — so a 100 TB consumer selects
+    a recall point via parameters, never by editing SRP_BAND/SRP_PROJS
+    (the measured curve lives in sim_band_tuning_report /
+    BASELINE.md r8)."""
+    from etl_mapwarper_spark.operators.similarity import (
+        SRP_PROJS,
+        sim_knn_banded_recall,
+    )
+    from etl_mapwarper_spark.session import get_spark
+
+    spark = get_spark("tests")
+    row = sim_knn_banded_recall(
+        spark, "/root/testdata/sf0.1", band=64, projs=SRP_PROJS[:2]
+    ).collect()[0]
+    assert row.recall_at_k >= 0.97, row
