@@ -2549,3 +2549,166 @@ _register(
     GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# tx_kneser_ney_fp — the PRODUCTION shape of KN scoring (r8 verdict
+# item 3, the same materialized-artifact treatment sim_ivfpq_search_fp
+# gives the IVF-PQ codebooks and dd_incremental_dedup_fp gives the
+# landed fingerprints): the resolved (bigram, log-prob) table is a
+# TRAINED ARTIFACT — an n-gram LM trains once and scores many batches
+# (exactly how KenLM-filtered pipelines run) — so the steady-state
+# scorer reads it materialized instead of re-deriving the
+# c12/fwd/bwd/N1+ count tables from the raw corpus per run.
+#
+# Floor decomposition of the from-raw twin at sf0.1 (BASELINE.md r9):
+# the full entry pays the corpus bigram explode TWICE (model branch +
+# score branch, 0.227 s each) plus the vocab²-bounded type aggregate
+# and three model joins (0.27 s) — ~0.88 s total. The fp twin's floor
+# is ONE score-side explode (the incoming batch is raw by definition)
+# + a size-gated broadcast join + the per-doc aggregate. At 100 TB
+# the model table is vocab²-bounded (931 rows at sf0.1) while the
+# corpus passes it removes are corpus-sized — the classic
+# train-once/score-many split.
+#
+# The fixture is a deterministic pure-Python (duckdb → parquet)
+# materialization of the SAME interpolated-KN formula the oracle
+# computes, keyed on the corpus file's content identity + the formula
+# text + the discount (stale reuse impossible); write-to-temp +
+# atomic rename. Value-equality against the from-text oracle proves
+# the materialized table IS the KN model.
+# ---------------------------------------------------------------------------
+
+# The resolved-model formula, defined ONCE: the fixture writer embeds
+# it and the cache key hashes it, so editing the model invalidates
+# the cache with it (the landed-fp discipline, dedup.py).
+_KN_LPTAB_SQL_TMPL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM read_parquet('{src}')
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgk AS (
+      SELECT b, string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2
+      FROM bg
+    ),
+    c12 AS (
+      SELECT b, any_value(w1) AS w1, any_value(w2) AS w2, count(*) AS c12
+      FROM bgk GROUP BY b
+    ),
+    fwd AS (
+      SELECT w1, sum(c12) AS cdot, count(*) AS n1fwd FROM c12 GROUP BY 1
+    ),
+    bwd AS (SELECT w2, count(*) AS n1bwd FROM c12 GROUP BY 1),
+    nbi AS (SELECT count(*) AS nbi FROM c12)
+    SELECT c12.b,
+           ln(greatest(c12.c12 - {d}, 0.0) / fwd.cdot
+              + ({d} * fwd.n1fwd / fwd.cdot)
+              * (bwd.n1bwd / nbi.nbi)) AS lp
+    FROM c12 JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN nbi
+    ORDER BY b
+"""
+
+
+def _kn_lptab_table(sf_dir: str) -> str:
+    import os
+
+    from ..functions.fixture_cache import content_key, fixture_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = content_key(
+        os.path.abspath(src),
+        st.st_size,
+        st.st_mtime_ns,
+        _KN_D,
+        _KN_LPTAB_SQL_TMPL,
+    )
+    out = os.path.join(fixture_dir("kn_lptab", key), "kn_lptab.parquet")
+    if os.path.exists(out):
+        return out
+    import duckdb
+
+    tmp = f"{out}.tmp{os.getpid()}"
+    sql = _KN_LPTAB_SQL_TMPL.format(src=src, d=_KN_D)
+    duckdb.sql(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+    os.replace(tmp, out)
+    return out
+
+
+def tx_kneser_ney_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp_path = _kn_lptab_table(sf_dir)
+    # The model table is vocab²-bounded (not corpus-bounded), so the
+    # broadcast is safe by construction at any corpus scale; keys drop
+    # to 8-byte hashes at the scan so no string rides the join.
+    lptab = broadcast(
+        spark.read.schema("b string, lp double")
+        .parquet(lp_path)
+        .select(F.xxhash64("b").alias("bh"), "lp")
+    )
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    inst = _bigram_instances(docs).select("doc_id", "bh")
+    return (
+        inst.join(lptab, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_kn_logprob"),
+        )
+    )
+
+
+_register(
+    "tx_kneser_ney_fp",
+    tx_kneser_ney_fp,
+    # Same logical contract as tx_kneser_ney_logprob — the oracle
+    # recomputes the model from text (DuckDB sees only the catalog
+    # tables); value-equality proves the materialized table IS the
+    # interpolated-KN model.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgk AS (
+      SELECT doc_id, b,
+             string_split(b, ' ')[1] AS w1,
+             string_split(b, ' ')[2] AS w2
+      FROM bg
+    ),
+    c12 AS (
+      SELECT b, any_value(w1) AS w1, any_value(w2) AS w2,
+             count(*) AS c12
+      FROM bgk GROUP BY b
+    ),
+    fwd AS (
+      SELECT w1, sum(c12) AS cdot, count(*) AS n1fwd FROM c12 GROUP BY 1
+    ),
+    bwd AS (
+      SELECT w2, count(*) AS n1bwd FROM c12 GROUP BY 1
+    ),
+    nbi AS (SELECT count(*) AS nbi FROM c12),
+    lptab AS (
+      SELECT c12.b,
+             ln(greatest(c12.c12 - {_KN_D}, 0.0) / fwd.cdot
+                + ({_KN_D} * fwd.n1fwd / fwd.cdot)
+                * (bwd.n1bwd / nbi.nbi)) AS lp
+      FROM c12 JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN nbi
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(lp), 4) AS avg_kn_logprob
+    FROM bgk JOIN lptab USING (b)
+    GROUP BY doc_id
+    """,
+)
