@@ -125,6 +125,7 @@ TIER2_QUERIES = [
     "sim_ivfpq_search_fp",  # search-only IVF-PQ vs trained fixture (r8)
     "dd_incremental_dedup_fp",  # landed side reads materialized fps (r8)
     "dd_containment_capped",  # df-capped containment vs exact twin (r8)
+    "tx_kneser_ney_fp",  # KN scoring vs materialized model table (r9)
 ]
 # dd_connected_components was measured for tier2 and EXCLUDED: the
 # entry itself is fine (Spark's iterative min-label, 44.7 s at sf0.1)
@@ -132,6 +133,12 @@ TIER2_QUERIES = [
 # triple the whole bench's wall-clock (engine BEATS the oracle 3.9x
 # there; recorded in BASELINE.md round-7). Scaling coverage for the
 # CC family lives in the skew rehearsal (dd_cc_banded, 3-point).
+
+
+# Idle reference for the CPU probe below: the fixed 2M-iteration spin
+# reads ~0.1 s on this host with nothing else running (measured r5,
+# re-confirmed each round's solo benches at 0.10-0.17).
+_PROBE_IDLE_SEC = 0.1
 
 
 def _load_state() -> dict:
@@ -289,6 +296,7 @@ def main() -> None:
     t2_ok = [q for q in TIER2_QUERIES if q in t2_oracle]
     t2_total_ok = round(sum(t2_steady[q] for q in t2_ok), 3)
     t2_oracle_total = round(sum(t2_oracle.values()), 3)
+    load_state_end = _load_state()
     print(
         json.dumps(
             {
@@ -326,9 +334,21 @@ def main() -> None:
                 "methodology": f"noop sink; warmed session; construction-action-free queries (pinned by test) timed over execution only; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
                 "load_state": {
                     "start": load_state_start,
-                    "end": _load_state(),
+                    "end": load_state_end,
                     "note": "cpu_probe_sec ~0.1 idle; inflation means concurrent load was present during this bench",
                 },
+                # Machine-readable upper-bound marker (r8 verdict item
+                # 7): true when either CPU probe exceeded 1.5x the 0.1s
+                # idle reference — numbers from a degraded run are an
+                # UPPER BOUND on the engine's solo time, not a
+                # regression signal.
+                "degraded": bool(
+                    max(
+                        load_state_start["cpu_probe_sec"],
+                        load_state_end["cpu_probe_sec"],
+                    )
+                    > 1.5 * _PROBE_IDLE_SEC
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
