@@ -59,6 +59,11 @@ THREE_POINT = {
     "sim_ivf_topk",
     "sim_ivfpq_topk",
     "dd_containment_capped",
+    # r9: the hub stream-stream join is trigger-overhead-bound at
+    # 1x/10x (wall ~10.7 s flat, 10 micro-batches); the 30x point is
+    # where the hub key's quadratic output (~9x the 10x point) could
+    # outgrow the trigger floor if the per-key join were mis-planned.
+    "st_ss_join_hub",
 }
 ENTRIES = [
     "dd_ngram_jaccard_capped",
@@ -129,6 +134,30 @@ ENTRIES = [
     # dedup owns identical content in the production pipeline).
     "dd_containment",
     "dd_containment_capped",
+    # --- r9 extension (r8 verdict item 5): the never-measured
+    # high-exchange entries. Three rounds, three real quadratics —
+    # the unmeasured high-exchange plans are where a fourth would
+    # live. All four are documents-only, so the hostile corpus
+    # stresses them directly: the hub fp group funnels one
+    # Window.partitionBy("fp") task (ds_quality_ablation), the
+    # boilerplate source concentrates term mass (tx_js_divergence's
+    # source×vocab domain, ds_dsir_importance's raw-count table),
+    # and the %50 bench slice includes hub docs so the contamination
+    # join runs hot.
+    "ds_quality_ablation",
+    "tx_js_divergence",
+    "ds_dsir_importance",
+    "tx_ndcg_eval",
+    # the stream-stream interval join under a hub key arriving ACROSS
+    # micro-batches (rehearsal-only callable, see main()): one user
+    # owns n/50 events, clicks and purchases interleaved over the
+    # whole timeline, replayed file-by-file (maxFilesPerTrigger=1) so
+    # the hub key's join state accumulates and evicts across batches.
+    # The TRUE output is rate²·interval for the hub key (every click
+    # × every purchase within the hour), so the number to read is
+    # pairs/sec staying roughly flat (output-bound), plus wall-time
+    # never exceeding output growth.
+    "st_ss_join_hub",
 ]
 SEED = 20260815
 
@@ -222,6 +251,91 @@ def generate_embeddings(n_docs: int, out_dir: str) -> str:
     return out_dir
 
 
+def generate_events(n_docs: int, out_dir: str) -> str:
+    """Skewed events mirroring sf0.1's docs:events ratio (5000:100k,
+    i.e. 20×) and schema, with a HUB USER owning n/50 of all events —
+    a bot account clicking and purchasing continuously. Written as a
+    DIRECTORY of 10 time-sliced part files (file i = timeline slice
+    i) so a maxFilesPerTrigger=1 replay delivers the hub key across
+    10 micro-batches in event-time order, the realistic worst case
+    for stream-stream join state: the hub's clicks must be HELD until
+    the purchase-side watermark passes them, across batch boundaries,
+    while matches for the hot key fan out quadratically (rate² ·
+    interval — the true answer, not a plan defect)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_ev = 20 * n_docs
+    rng = np.random.RandomState(SEED + 2)
+    hub_n = n_ev // 50
+    user = np.concatenate(
+        [
+            np.zeros(hub_n, dtype=np.int64),  # hub user_id 0
+            rng.randint(1, n_docs // 3 + 2, size=n_ev - hub_n),
+        ]
+    )
+    etypes = np.array(["click", "purchase", "view", "signup", "error"])
+    etype = etypes[rng.randint(0, 5, size=n_ev)]
+    # 30 days of microsecond timestamps, SORTED — file i is slice i
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(rng.randint(0, span_us, size=n_ev).astype("int64"))
+    # hub events interleave across the whole timeline: assign the hub
+    # rows to evenly-strided positions of the sorted timeline
+    order = np.empty(n_ev, dtype=np.int64)
+    hub_pos = np.linspace(0, n_ev - 1, hub_n).astype(np.int64)
+    rest_pos = np.setdiff1d(np.arange(n_ev), hub_pos)
+    order[hub_pos] = np.arange(hub_n)
+    order[rest_pos] = np.arange(hub_n, n_ev)
+    user = user[order]
+    value = np.round(rng.uniform(0.5, 500.0, size=n_ev), 4)
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    d = os.path.join(out_dir, "events.parquet")
+    os.makedirs(d, exist_ok=True)
+    slices = np.array_split(np.arange(n_ev), 10)
+    for i, idx in enumerate(slices):
+        tab = pa.table(
+            {
+                "event_id": pa.array(idx, pa.int64()),
+                "ts": pa.array(
+                    (base + ts[idx]).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(user[idx], pa.int64()),
+                "event_type": pa.array(etype[idx].tolist(), pa.string()),
+                "value": pa.array(value[idx], pa.float64()),
+                "props": pa.array(["{}"] * len(idx), pa.string()),
+            }
+        )
+        pq.write_table(tab, os.path.join(d, f"part-{i:04d}.parquet"))
+    return d
+
+
+def _st_ss_join_hub(spark, sf_dir: str):
+    """Rehearsal-only: stream_stream_interval_join replayed ONE FILE
+    PER MICRO-BATCH over the hub events directory (the registered
+    st_stream_stream_join entry replays availableNow in as few
+    batches as the source allows; this forces the 10-batch shape the
+    r8 verdict asked to measure)."""
+    from pyspark.sql import functions as F
+
+    from etl_mapwarper_spark.sources.tables import SCHEMAS
+    from etl_mapwarper_spark.streaming import ops
+    from etl_mapwarper_spark.streaming.runner import run_to_memory
+
+    def read(etype):
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(sf_dir, "events.parquet"))
+            .filter(F.col("event_type") == etype)
+        )
+
+    return run_to_memory(
+        ops.stream_stream_interval_join(read("click"), read("purchase")),
+        output_mode="append",
+    ).select("l_event", "r_event", "r_value")
+
+
 def main() -> None:
     for name, n in SCALES.items():
         d = os.path.join(ROOT, name)
@@ -231,6 +345,9 @@ def main() -> None:
         if not os.path.exists(os.path.join(d, "embeddings.parquet")):
             generate_embeddings(n, d)
             print(json.dumps({"generated_embeddings": d}))
+        if not os.path.exists(os.path.join(d, "events.parquet")):
+            generate_events(n, d)
+            print(json.dumps({"generated_events": d}))
     if sys.argv[1:] == ["gen"]:
         return
     entries = ENTRIES
@@ -251,6 +368,7 @@ def main() -> None:
     qs["mm_phash_full_corpus"] = lambda s, d: mm_phash_neardups(
         s, d, limit=1 << 60
     )
+    qs["st_ss_join_hub"] = _st_ss_join_hub
     spark = get_spark("rehearsal", sf_dir=os.path.join(ROOT, "10x"))
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id) AS s").write.mode(
