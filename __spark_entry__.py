@@ -178,7 +178,92 @@ def entry(spark: SparkSession) -> DataFrame:
 # code-changed, taking the q18/tx_top_bigrams canary slots. Family
 # rows now: q=5, dd=10, tx=4, sim=5, mw=4, src=5, st=4, mm=3, pd=2,
 # pipe=2, ds=4, dq=2 — every family >= 2.
-_PRIORITY = [
+#
+# Round-9 window (r8 verdict item 2: rotate stalest-first — 64
+# entries were last driver-checked in r1-r3, 28 of them in r1):
+# (a) 8 entries whose CODE changed this round — the three banded-SRP
+# consumers took explicit (band, projs) recall-knob parameters
+# (sim_knn_graph_banded, sim_knn_banded_recall,
+# dd_semantic_clusters_banded), and ranked_in_groups
+# (functions/dist_rank.py) gained an input-column collision guard +
+# tracked persist registry, which executes inside ALL EIGHT banded
+# consumers — the five not already holding knob slots re-window:
+# sim_band_tuning_report, dd_simhash_pairs_banded, dd_cc_banded,
+# dd_pagerank_centrality, dd_triangle_count.
+# (b) 1 NEW entry — tx_kneser_ney_fp (KN scoring against the
+# materialized model table; r8 verdict item 3).
+# (c) 41 canaries: family minimums (>= 2 rows per family counting
+# (a)+(b)+(c)) are filled with each family's STALEST entries first —
+# tx_top_bigrams + tx_tokens_udtf (r2), mw_kinks (r2) +
+# mw_tile_coords (r5), st_user_totals + st_stream_stream_join (r3),
+# mm_png_roundtrip + mm_resize_avgpool (r3), src_rest_errors +
+# src_rest_short_page (r3), ds_dedup_aware_split +
+# ds_length_histogram (r4), dq_observed_metrics + dq_skew_report
+# (r6), pipe_relations (r6) + pipe_layer_objects (r7),
+# pd_weighted_avg + pd_zscore (r8; the family's only two entries) —
+# then the remaining 23 slots go to the r1 q block (never re-checked
+# since round 1), keeping the bench members q48/q51 and dropping
+# q43/q44/q45/q46/q47 to r10 alongside the r2 q trio (q20/q21/q36)
+# and dd_simhash_pairs — the r10 rotation finishes the r1-r3 tail.
+_R9_PRIORITY = [
+    # --- (a) code changed r9 ---
+    "sim_knn_graph_banded",
+    "sim_knn_banded_recall",
+    "dd_semantic_clusters_banded",
+    "sim_band_tuning_report",
+    "dd_simhash_pairs_banded",
+    "dd_cc_banded",
+    "dd_pagerank_centrality",
+    "dd_triangle_count",
+    # --- (b) new r9, never driver-checked ---
+    "tx_kneser_ney_fp",
+    # --- (c) canaries: family minimums, stalest entry first ---
+    "tx_top_bigrams",
+    "tx_tokens_udtf",
+    "mw_kinks",
+    "mw_tile_coords",
+    "st_user_totals",
+    "st_stream_stream_join",
+    "mm_png_roundtrip",
+    "mm_resize_avgpool",
+    "src_rest_errors",
+    "src_rest_short_page",
+    "ds_dedup_aware_split",
+    "ds_length_histogram",
+    "dq_observed_metrics",
+    "dq_skew_report",
+    "pipe_relations",
+    "pipe_layer_objects",
+    "pd_weighted_avg",
+    "pd_zscore",
+    # --- (c) the r1 q block, checked r1 and never since ---
+    "q18_orders_by_month",
+    "q23_value_band_pairs",
+    "q24_top_orders",
+    "q25_acctbal_bands",
+    "q26_nation_balance_full_outer",
+    "q27_grouping_sets",
+    "q28_price_ranks",
+    "q30_pivot_status",
+    "q31_unpivot_part_metrics",
+    "q32_salted_skew_join",
+    "q33_above_brand_avg",
+    "q34_exists_discounted",
+    "q37_conditional_agg",
+    "q38_moving_avg_7d",
+    "q39_ntile_deciles",
+    "q40_date_spine_gapfill",
+    "q41_priority_intersect_all",
+    "q42_priority_except_all",
+    "q71_posexplode_ordinality",
+    "q48_snapshot_merge",
+    "q49_first_last_orders",
+    "q50_right_join_suppliers",
+    "q51_multi_distinct",
+]
+# Round-8 window, kept for the ledger trail (superseded by
+# _R9_PRIORITY above, which _merge consumes).
+_R8_PRIORITY = [
     # --- (a) code changed r8 ---
     "sim_knn_graph_banded",
     "dd_semantic_clusters_banded",
@@ -255,7 +340,7 @@ def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _registries():
         merged.update(getattr(mod, attr))
-    head = {k: merged[k] for k in _PRIORITY if k in merged}
+    head = {k: merged[k] for k in _R9_PRIORITY if k in merged}
     head.update(merged)
     return head
 

@@ -63,7 +63,15 @@ def main() -> int:
     else:
         names = list(qs)[:50]
 
-    chunk = int(os.environ.get("GATE_CHUNK", "0"))
+    # Full-registry sweeps default to 25-entry chunks (r8: a 50-chunk
+    # sf0.1 all-sweep OOM'd the vanilla 1-GiB JVM at dd_containment in
+    # an accumulated chunk; the entry passes solo and in any fresh
+    # window). The external driver never exceeds one 50-entry window
+    # per session, so chunking is the driver-faithful shape; windows
+    # and explicit entry lists stay unchunked unless GATE_CHUNK says
+    # otherwise.
+    default_chunk = "25" if args == ["all"] else "0"
+    chunk = int(os.environ.get("GATE_CHUNK", default_chunk))
     fails = []
     for idx, name in enumerate(names):
         if chunk and idx and idx % chunk == 0:
