@@ -205,6 +205,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # since round 1), keeping the bench members q48/q51 and dropping
 # q43/q44/q45/q46/q47 to r10 alongside the r2 q trio (q20/q21/q36)
 # and dd_simhash_pairs — the r10 rotation finishes the r1-r3 tail.
+#
+# Late-r9 window-audit fallout (two more code-changed entries): the
+# corpus-fingerprint WINDOW aggregates in ds_quality_ablation and
+# dd_soft_dedup_weights were rewritten — a byte-identical hub at
+# 100 TB fills ONE WindowExec task and window skew has no AQE remedy;
+# the ablation's duplicate flag now rides a groupBy + skew-splittable
+# fp join (and its corpus-derived contaminated set lost its forced
+# broadcast), the soft-dedup report collapses to pure count algebra
+# at the (fp, source)-distinct grain. Both re-gated at 3 scales +
+# rehearsed linear (1.82x for 10x rows). They take the
+# ds_length_histogram (r4) and tx_tokens_udtf (r2) canary slots —
+# family counts stay >= 2: ds = ablation + dedup_aware_split,
+# tx = kneser_ney_fp + top_bigrams.
 _R9_PRIORITY = [
     # --- (a) code changed r9 ---
     "sim_knn_graph_banded",
@@ -215,11 +228,13 @@ _R9_PRIORITY = [
     "dd_cc_banded",
     "dd_pagerank_centrality",
     "dd_triangle_count",
+    # --- (a) code changed late-r9: window-audit rewrites ---
+    "ds_quality_ablation",
+    "dd_soft_dedup_weights",
     # --- (b) new r9, never driver-checked ---
     "tx_kneser_ney_fp",
     # --- (c) canaries: family minimums, stalest entry first ---
     "tx_top_bigrams",
-    "tx_tokens_udtf",
     "mw_kinks",
     "mw_tile_coords",
     "st_user_totals",
@@ -229,7 +244,6 @@ _R9_PRIORITY = [
     "src_rest_errors",
     "src_rest_short_page",
     "ds_dedup_aware_split",
-    "ds_length_histogram",
     "dq_observed_metrics",
     "dq_skew_report",
     "pipe_relations",

@@ -2950,19 +2950,30 @@ _register(
 
 
 def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
     )
-    n_copies = F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    weighted = docs.withColumn("w", F.lit(1.0) / n_copies)
+    # Pure count algebra, NOT count() OVER (PARTITION BY fp) (r9): the
+    # window puts every copy of a fingerprint in ONE WindowExec task —
+    # a byte-identical hub at 100 TB is one task holding the whole
+    # group, and window skew has no AQE remedy. Since the report only
+    # needs Σ 1/n_copies = Σ_groups c/n, the per-row weights never
+    # need materializing: one corpus scan partial-aggregates map-side
+    # to the (fp, source)-distinct grain, so the ONLY corpus-input
+    # exchange carries distinct keys + counts, and every later op
+    # (per-fp totals, fp join, source rollup) is fingerprint-table-
+    # sized. The hub group collapses to one row per scan task.
+    g = docs.groupBy("fp", "source").agg(F.count(F.lit(1)).alias("c"))
+    tot = g.groupBy("fp").agg(F.sum("c").alias("n_copies"))
+    per = g.join(tot, "fp").withColumn(
+        "eff", F.col("c") / F.col("n_copies")
+    )
     return (
-        weighted.groupBy("source")
+        per.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum("w"), 4).alias("effective_docs"),
-            F.round(F.count(F.lit(1)) / F.sum("w"), 4).alias(
+            F.sum("c").alias("n_docs"),
+            F.round(F.sum("eff"), 4).alias("effective_docs"),
+            F.round(F.sum("c") / F.sum("eff"), 4).alias(
                 "dup_inflation"
             ),
         )

@@ -1188,7 +1188,6 @@ _register("ds_dataset_card", ds_dataset_card, _dataset_card_sql())
 
 def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast as _bc
-    from pyspark.sql.window import Window
 
     from ..functions.text import doc_fingerprint, tokens, word_shingles
     from .textops import c4_kept_expr
@@ -1200,9 +1199,18 @@ def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(F.col("text")).alias("fp"),
         tokens(F.col("text")).alias("toks"),
     )
-    wfp = Window.partitionBy("fp")
-    flagged = docs.withColumn(
-        "d_ok", F.min("doc_id").over(wfp) == F.col("doc_id")
+    # Duplicate flag via groupBy + fp-keyed join, NOT min() OVER
+    # (PARTITION BY fp) (r9 rehearsal fallout): the window funnels
+    # each fingerprint group through ONE WindowExec task — a
+    # byte-identical hub at 100 TB is one task sorting the whole
+    # group, and no config fixes window skew. The aggregate gets
+    # map-side combine and the fp join is AQE-skew-splittable; the
+    # shingle explode for the contamination branch runs NARROW off
+    # the scan so the token arrays never ride the fp exchange.
+    slim = docs.drop("toks")
+    fp_min = slim.groupBy("fp").agg(F.min("doc_id").alias("_fp_min"))
+    flagged = slim.join(fp_min, "fp").withColumn(
+        "d_ok", F.col("_fp_min") == F.col("doc_id")
     )
     bench_h = (
         load_table(spark, sf_dir, "documents")
@@ -1211,8 +1219,15 @@ def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.xxhash64("s").alias("h"))
         .distinct()
     )
+    # bench_h broadcasts by CONTRACT (a benchmark suite is a fixed
+    # small artifact; the %50 slice only stands in for it in test
+    # data). `contaminated` is CORPUS-derived — contaminated training
+    # doc_ids — so it must NOT be hint-broadcast (the r9 fix: the old
+    # plan forced a broadcast that grows with the corpus and OOMs the
+    # driver at scale; ds_contamination_report always had it right).
+    # AQE still broadcasts it at runtime while it fits.
     contaminated = (
-        flagged.select(
+        docs.select(
             "doc_id", F.explode(word_shingles(F.col("toks"), 5)).alias("s")
         )
         .select("doc_id", F.xxhash64("s").alias("h"))
@@ -1222,8 +1237,8 @@ def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("contam", F.lit(True))
     )
     ann = (
-        flagged.drop("toks")
-        .join(_bc(contaminated), "doc_id", "left")
+        flagged.drop("_fp_min")
+        .join(contaminated, "doc_id", "left")
         .withColumn("c_ok", F.col("contam").isNull())
     )
 

@@ -145,6 +145,10 @@ ENTRIES = [
     # and the %50 bench slice includes hub docs so the contamination
     # join runs hot.
     "ds_quality_ablation",
+    # r9 window-audit fallout: the corpus fp count rides a groupBy +
+    # AQE-skew-splittable join instead of a count-over-window (the
+    # hub fingerprint group would otherwise fill one WindowExec task)
+    "dd_soft_dedup_weights",
     "tx_js_divergence",
     "ds_dsir_importance",
     "tx_ndcg_eval",
