@@ -64,6 +64,12 @@ THREE_POINT = {
     # where the hub key's quadratic output (~9x the 10x point) could
     # outgrow the trigger floor if the per-key join were mis-planned.
     "st_ss_join_hub",
+    # r9: the two entries whose corpus-fp windows were rewritten to
+    # structural bounds — the 30x hub (3000-copy fingerprint group)
+    # is exactly the input whose window form would have ceilinged on
+    # one task, so the fixed plans carry the third point.
+    "ds_quality_ablation",
+    "dd_soft_dedup_weights",
 }
 ENTRIES = [
     "dd_ngram_jaccard_capped",
