@@ -218,6 +218,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # ds_length_histogram (r4) and tx_tokens_udtf (r2) canary slots —
 # family counts stay >= 2: ds = ablation + dedup_aware_split,
 # tx = kneser_ney_fp + top_bigrams.
+#
+# Late-r9 BROADCAST AUDIT fallout (every broadcast()/hint site in the
+# engine classified — the systematic pass after the ablation's forced
+# corpus-broadcast was found ad hoc; classification in BASELINE.md).
+# Three more registered entries code-changed: tx_js_divergence (the
+# source x vocab domain cross-join now broadcasts the SOURCE side —
+# bounded by catalog contract — and streams the vocabulary, which
+# grows with the corpus), st_stream_static_join (the customer side
+# now goes through the size-gated dim_broadcast instead of an
+# unconditional hint inside the streaming op), and
+# q64_small_qty_revenue (the part-cardinality avg-qty aggregate loses
+# its forced broadcast — unhinted, AQE broadcasts it at small SFs and
+# shuffles at scale). tx_kneser_ney_fp's model-table broadcast gained
+# the same size gate as its from-raw twin (it already holds the (b)
+# slot). All re-gated at 3 scales; js_divergence re-rehearsed 0.84x
+# for 10x rows. They take the st_user_totals (r3, same-staleness st
+# swap), q49_first_last_orders and q50_right_join_suppliers (r1)
+# canary slots — st stays 2 rows, q goes 23 -> 21 canaries + 1
+# code-changed.
 _R9_PRIORITY = [
     # --- (a) code changed r9 ---
     "sim_knn_graph_banded",
@@ -231,13 +250,16 @@ _R9_PRIORITY = [
     # --- (a) code changed late-r9: window-audit rewrites ---
     "ds_quality_ablation",
     "dd_soft_dedup_weights",
+    # --- (a) code changed late-r9: broadcast-audit fixes ---
+    "tx_js_divergence",
+    "st_stream_static_join",
+    "q64_small_qty_revenue",
     # --- (b) new r9, never driver-checked ---
     "tx_kneser_ney_fp",
     # --- (c) canaries: family minimums, stalest entry first ---
     "tx_top_bigrams",
     "mw_kinks",
     "mw_tile_coords",
-    "st_user_totals",
     "st_stream_stream_join",
     "mm_png_roundtrip",
     "mm_resize_avgpool",
@@ -271,8 +293,6 @@ _R9_PRIORITY = [
     "q42_priority_except_all",
     "q71_posexplode_ordinality",
     "q48_snapshot_merge",
-    "q49_first_last_orders",
-    "q50_right_join_suppliers",
     "q51_multi_distinct",
 ]
 # Round-8 window, kept for the ledger trail (superseded by

@@ -226,9 +226,15 @@ def q64_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.avg("l_quantity").alias("avg_qty")
     )
+    # per_part is a PART-CARDINALITY aggregate (avg qty per partkey
+    # over all of lineitem) — force-broadcasting it is an executor OOM
+    # at a TPC-H scale factor where part has billions of rows (r9
+    # broadcast audit). Unhinted, AQE broadcasts it at small SFs and
+    # shuffles on l_partkey at scale — the canonical decorrelated-Q17
+    # join shape.
     small = (
         li.join(dim_broadcast(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part), "l_partkey")
+        .join(per_part, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return small.agg(

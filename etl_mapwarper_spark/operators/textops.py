@@ -1535,8 +1535,12 @@ def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp_tot = corp.agg(F.sum("cc").alias("n"))
     # full (source × vocabulary) domain so absent terms contribute
     # their q-side mass (p=0 ⇒ q·ln2/2 per term) — the domain is
-    # vocabulary-proportional, never corpus-row-proportional
-    domain = src_tot.crossJoin(F.broadcast(corp))
+    # vocabulary-proportional, never corpus-row-proportional.
+    # Broadcast the SOURCE side, stream the vocabulary (r9 broadcast
+    # audit): source count is a catalog attribute (bounded by
+    # contract), while the vocabulary grows with the corpus — the old
+    # orientation force-broadcast the whole term table.
+    domain = corp.crossJoin(F.broadcast(src_tot))
     joined = (
         domain.join(per_src, ["source", "term"], "left")
         .crossJoin(F.broadcast(corp_tot))
@@ -2642,15 +2646,23 @@ def _kn_lptab_table(sf_dir: str) -> str:
 
 
 def tx_kneser_ney_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import _input_bytes
+
     lp_path = _kn_lptab_table(sf_dir)
-    # The model table is vocab²-bounded (not corpus-bounded), so the
-    # broadcast is safe by construction at any corpus scale; keys drop
-    # to 8-byte hashes at the scan so no string rides the join.
-    lptab = broadcast(
+    # SIZE-GATED broadcast (r9 broadcast audit): the model table is
+    # distinct-bigram-TYPE-bounded, which grows with the corpus (a
+    # web-scale bigram vocabulary is billions of types) — the same
+    # gate the from-raw twin applies, measured here directly on the
+    # fixture parquet. Past the gate AQE decides and the score join
+    # shuffles on the 8-byte hash key; keys drop to xxhash64 at the
+    # scan so no string rides the join either way.
+    lptab = (
         spark.read.schema("b string, lp double")
         .parquet(lp_path)
         .select(F.xxhash64("b").alias("bh"), "lp")
     )
+    if _input_bytes(lp_path) <= _BLM_BCAST_MAX_INPUT:
+        lptab = broadcast(lptab)
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     inst = _bigram_instances(docs).select("doc_id", "bh")
     return (

@@ -165,16 +165,21 @@ def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a dimension
     table, then window-aggregate per segment.
 
-    The static side is broadcast to every task of every micro-batch —
+    The static side broadcasts to every task of every micro-batch —
     no stream-side shuffle for the join, the canonical shape for
     dimension enrichment at ingest time. (A stream-stream join would
     instead need watermarks on both sides and range conditions.)
-    """
-    from pyspark.sql.functions import broadcast
 
+    r9 broadcast audit: the hint is the CALLER's decision, not this
+    op's — a catalog dimension should come through ``dim_broadcast``
+    (size-gated; see st_stream_static_join), because an unconditional
+    hint here would force-broadcast whatever table the caller passes,
+    and `customer` grows with the dataset. Ungated, Spark still
+    broadcasts a small static side on its own size estimate.
+    """
     return (
         events.withWatermark("ts", "1 hour")
-        .join(broadcast(customers), events.user_id == customers.c_custkey)
+        .join(customers, events.user_id == customers.c_custkey)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -165,11 +165,19 @@ _register(
 
 
 def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.tables import load_table
+    from ..sources.tables import dim_broadcast, load_table
 
     ev = read_events_stream(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
+    # size-gated dimension broadcast (r9 broadcast audit): customer is
+    # a catalog table that grows with the dataset; past the gate, AQE/
+    # the stream planner pick the join side from runtime stats instead
+    # of an unconditional hint
+    cust = dim_broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        sf_dir,
+        "customer",
     )
     return run_to_memory(
         ops.stream_static_enrich(ev, cust), output_mode="complete"
