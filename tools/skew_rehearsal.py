@@ -70,6 +70,12 @@ THREE_POINT = {
     # one task, so the fixed plans carry the third point.
     "ds_quality_ablation",
     "dd_soft_dedup_weights",
+    # r9 closing: third points for the rest of the item-5 batch set
+    # (two points can't separate log-linear from quadratic-small-
+    # constant; same rationale as every promotion above).
+    "tx_js_divergence",
+    "ds_dsir_importance",
+    "tx_ndcg_eval",
 }
 ENTRIES = [
     "dd_ngram_jaccard_capped",
