@@ -1096,3 +1096,37 @@ def test_registry_queries_construct_without_jobs(spark):
     assert not offenders, (
         f"driver actions during steady-state construction: {offenders}"
     )
+
+
+def test_no_unconditional_catalog_broadcast_in_source():
+    """Source lint for the r9 broadcast audit's standing rule: catalog
+    tables must reach joins through the size-gated ``dim_broadcast``,
+    never a raw ``broadcast(load_table(...))`` — a forced hint
+    overrides every size check Spark has and is an executor OOM at a
+    scale factor where the table no longer fits. (Corpus-DERIVED
+    relations are reviewed per site — BASELINE.md carries the
+    classification — but the catalog-table form is mechanically
+    checkable, so it is pinned here.)"""
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_mapwarper_spark",
+    )
+    offenders = []
+    pat = re.compile(r"(?<!dim_)broadcast\(\s*load_table\(")
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                src = f.read()
+            for m in pat.finditer(src):
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{path}:{line}")
+    assert not offenders, (
+        "raw broadcast(load_table(...)) found — route catalog tables "
+        f"through dim_broadcast: {offenders}"
+    )
