@@ -2950,8 +2950,17 @@ _register(
 
 
 def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fp is coalesced to a sentinel (no md5 digest is "<null>") so the
+    # inner fp join below keeps NULL-text rows as ONE group — exactly
+    # the oracle's count() OVER (PARTITION BY fp) semantics, where a
+    # window partitions NULLs together but an equi-join would silently
+    # drop them (r9 advice item).
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
-        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+        "doc_id",
+        "source",
+        F.coalesce(
+            doc_fingerprint(F.col("text")), F.lit("<null>")
+        ).alias("fp"),
     )
     # Pure count algebra, NOT count() OVER (PARTITION BY fp) (r9): the
     # window puts every copy of a fingerprint in ONE WindowExec task —

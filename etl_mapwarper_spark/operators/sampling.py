@@ -1194,9 +1194,21 @@ def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id",
-        token_count(F.col("text")).alias("dl"),
+        # NULL-guarded: size(split(NULL)) is -1 under this build's
+        # legacy sizeOfNull, which would SUBTRACT from the token sums;
+        # the oracle's len(string_split(NULL)) is NULL (sum skips it).
+        F.when(
+            F.col("text").isNotNull(), token_count(F.col("text"))
+        ).alias("dl"),
         c4_kept_expr(F.col("text")).alias("q_ok"),
-        doc_fingerprint(F.col("text")).alias("fp"),
+        # Sentinel-coalesced fp: the duplicate flag rides an inner fp
+        # join (below), and an equi-join on a NULL fp would silently
+        # drop NULL-text rows that the oracle's min() OVER
+        # (PARTITION BY fp) keeps as one group. No md5 digest is
+        # "<null>", so the sentinel cannot collide (r9 advice item).
+        F.coalesce(
+            doc_fingerprint(F.col("text")), F.lit("<null>")
+        ).alias("fp"),
         tokens(F.col("text")).alias("toks"),
     )
     # Duplicate flag via groupBy + fp-keyed join, NOT min() OVER

@@ -244,3 +244,55 @@ def test_banded_pairs_subset_and_band_semantics(spark, tmp_path):
                     if h <= 3:
                         expect.add((a, b))
     assert set(narrow) == expect
+
+
+def test_null_text_fp_join_matches_window_oracle(spark, tmp_path):
+    """NULL-text rows must survive the fp-keyed groupBy+join rewrites
+    (r9 advice item): a window PARTITION BY fp groups NULL fps into one
+    partition, but an inner equi-join on fp drops them. Both rewritten
+    entries coalesce fp to a "<null>" sentinel at creation; this pins
+    value parity against the window-form DuckDB oracle on a corpus
+    that actually contains NULL text."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from etl_mapwarper_spark.operators.dedup import dd_soft_dedup_weights
+    from etl_mapwarper_spark.operators.sampling import ds_quality_ablation
+    from tests.oracle_utils import assert_frames_match
+
+    rows = []
+    # two sources; dup groups, uniques, and THREE null-text rows split
+    # across sources (they must form ONE weight group, not vanish)
+    for i in range(6):
+        rows.append((i, "common boilerplate text alpha beta", "web"))
+    for i in range(6, 10):
+        rows.append((i, f"unique document number {i} gamma delta", "web"))
+    for i in range(10, 13):
+        rows.append((i, None, "books" if i % 2 else "web"))
+    for i in range(13, 16):
+        rows.append((i, "books dup page epsilon zeta eta theta", "books"))
+    sf_dir = str(tmp_path / "nulldocs")
+    spark.createDataFrame(
+        [(d, t, "en", s, len(t) if t else None) for d, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    oracle = entrymod.oracle_sql()
+
+    sdf = dd_soft_dedup_weights(spark, sf_dir).toPandas()
+    odf = con.execute(oracle["dd_soft_dedup_weights"]).df()
+    assert_frames_match(sdf, odf, "dd_soft_dedup_weights/null-text")
+
+    # ablation: at minimum every NULL-text row must survive into the
+    # 'raw' ablation count (the join-drop failure mode)
+    adf = ds_quality_ablation(spark, sf_dir).toPandas()
+    raw = adf[adf["ablation"] == "raw"]["n_docs"].iloc[0]
+    assert int(raw) == len(rows)
+    aodf = con.execute(oracle["ds_quality_ablation"]).df()
+    assert_frames_match(adf, aodf, "ds_quality_ablation/null-text")
+    con.close()
