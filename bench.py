@@ -35,6 +35,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from etl_mapwarper_spark.functions.dist_rank import (  # noqa: E402
+    release_ranked_cache,
+)
 from etl_mapwarper_spark.session import DEFAULT_SF_DIR, get_spark  # noqa: E402
 
 # Headline set: relational core (scan-agg, multi-join, window, as-of),
@@ -237,6 +240,13 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         steady[name] = round(min(runs), 3)
+        # Drop the ranged relations ranked_in_groups persisted for
+        # this entry's runs — without this the bench session
+        # accumulates one persisted relation per banded entry and
+        # leans on LRU eviction (r9 advice item). Released BETWEEN
+        # entries, not between runs, so steady-state timing semantics
+        # are unchanged.
+        release_ranked_cache()
         if con is not None and name in osql:
             try:
                 oruns = []
@@ -283,6 +293,7 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         t2_steady[name] = round(min(runs), 3)
+        release_ranked_cache()
         if con is not None and name in osql:
             try:
                 oruns = []
@@ -338,16 +349,22 @@ def main() -> None:
                     "note": "cpu_probe_sec ~0.1 idle; inflation means concurrent load was present during this bench",
                 },
                 # Machine-readable upper-bound marker (r8 verdict item
-                # 7): true when either CPU probe exceeded 1.5x the 0.1s
-                # idle reference — numbers from a degraded run are an
-                # UPPER BOUND on the engine's solo time, not a
-                # regression signal.
+                # 7; thresholds revised r10): true when either CPU
+                # probe exceeded 2x the 0.1s idle reference (the 1.5x
+                # threshold sat INSIDE the observed idle band of
+                # 0.10-0.17 s, so a genuinely idle host could flag) OR
+                # the 1-minute load average at start exceeded 2 (the
+                # r9 driver bench ran at loadavg 8.67 yet reported
+                # degraded=false because only the probe was checked).
+                # Numbers from a degraded run are an UPPER BOUND on
+                # the engine's solo time, not a regression signal.
                 "degraded": bool(
                     max(
                         load_state_start["cpu_probe_sec"],
                         load_state_end["cpu_probe_sec"],
                     )
-                    > 1.5 * _PROBE_IDLE_SEC
+                    > 2.0 * _PROBE_IDLE_SEC
+                    or (load_state_start["loadavg_1m"] or 0) > 2.0
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

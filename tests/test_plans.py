@@ -1115,7 +1115,14 @@ def test_no_unconditional_catalog_broadcast_in_source():
         "etl_mapwarper_spark",
     )
     offenders = []
-    pat = re.compile(r"(?<!dim_)broadcast\(\s*load_table\(")
+    # ALIAS-AWARE (r9 advice item): the codebase's common import is
+    # `from pyspark.sql.functions import broadcast as _bc`, so the
+    # lint resolves every alias the file binds to the broadcast hint
+    # (plus the bare name and the F.-qualified form) instead of only
+    # matching the literal `broadcast(`.
+    import_pat = re.compile(
+        r"from\s+pyspark\.sql\.functions\s+import\s+([^\n(]+|\([^)]*\))"
+    )
     for dirpath, _dirs, files in os.walk(root):
         for fn in files:
             if not fn.endswith(".py"):
@@ -1123,6 +1130,16 @@ def test_no_unconditional_catalog_broadcast_in_source():
             path = os.path.join(dirpath, fn)
             with open(path) as f:
                 src = f.read()
+            aliases = {"broadcast", r"F\.broadcast"}
+            for im in import_pat.finditer(src):
+                for item in im.group(1).strip("()").split(","):
+                    parts = item.strip().split()
+                    if parts and parts[0] == "broadcast":
+                        aliases.add(re.escape(parts[-1]))
+            pat = re.compile(
+                r"(?<![\w.])(?:" + "|".join(sorted(aliases))
+                + r")\(\s*load_table\("
+            )
             for m in pat.finditer(src):
                 line = src[: m.start()].count("\n") + 1
                 offenders.append(f"{path}:{line}")
@@ -1130,3 +1147,102 @@ def test_no_unconditional_catalog_broadcast_in_source():
         "raw broadcast(load_table(...)) found — route catalog tables "
         f"through dim_broadcast: {offenders}"
     )
+
+
+def test_retry_determinism_unique_order_lint():
+    """Source lint for the r9 verdict's retry-determinism item: the
+    engine's two nondeterministic-primitive idioms are correct ONLY
+    under a caller contract that previously lived in docstrings —
+
+    - ``ranked_in_groups(df, group_cols, order_cols)`` assigns ranks
+      from in-partition physical order after a sort by group+order
+      cols; if the ordering has ties within a group, a task RETRY can
+      replay rows in a different order and silently permute ranks.
+      Every call site must therefore end ``order_cols`` with a key
+      that is unique by data contract (doc_id / vec_id — the engine's
+      entity keys), making the total order tie-free.
+    - raw ``monotonically_increasing_id`` local-rank sites must sit in
+      a function that (a) sorts by a unique contract key via
+      ``sortWithinPartitions`` and (b) persists the ranged relation so
+      the counts and rank branches share ONE physical bucketing
+      (the late-r6 reservoir-seed consistency fix).
+
+    A new call site that can't satisfy the mechanical check fails here
+    and forces the author to prove uniqueness (extend UNIQUE_KEYS only
+    with a column unique by catalog/data contract)."""
+    import ast
+    import os
+
+    UNIQUE_KEYS = {"doc_id", "vec_id"}
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_mapwarper_spark",
+    )
+    problems = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                src = f.read()
+            tree = ast.parse(src, filename=path)
+            # helper module: the idiom lives INSIDE ranked_in_groups,
+            # whose tie-free contract is enforced at its call sites
+            is_helper = fn == "dist_rank.py"
+            # map: every node -> enclosing function source segment
+            for func in [
+                n for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]:
+                fsrc = ast.get_source_segment(src, func) or ""
+                for node in ast.walk(func):
+                    if not isinstance(node, ast.Call):
+                        continue
+                    name = (
+                        node.func.id
+                        if isinstance(node.func, ast.Name)
+                        else node.func.attr
+                        if isinstance(node.func, ast.Attribute)
+                        else None
+                    )
+                    if name == "ranked_in_groups":
+                        order = None
+                        if len(node.args) >= 3:
+                            order = node.args[2]
+                        for kw in node.keywords:
+                            if kw.arg == "order_cols":
+                                order = kw.value
+                        ok = (
+                            isinstance(order, (ast.List, ast.Tuple))
+                            and order.elts
+                            and isinstance(order.elts[-1], ast.Constant)
+                            and order.elts[-1].value in UNIQUE_KEYS
+                        )
+                        if not ok:
+                            problems.append(
+                                f"{path}:{node.lineno} ranked_in_groups "
+                                "order_cols must END with a unique "
+                                f"contract key {sorted(UNIQUE_KEYS)} "
+                                "(literal list) so the total order is "
+                                "tie-free under task retry"
+                            )
+                    elif (
+                        name == "monotonically_increasing_id"
+                        and not is_helper
+                        and func.name != "release_ranked_cache"
+                    ):
+                        sorts_unique = any(
+                            f'sortWithinPartitions("{k}"' in fsrc
+                            for k in UNIQUE_KEYS
+                        )
+                        persisted = ".persist()" in fsrc
+                        if not (sorts_unique and persisted):
+                            problems.append(
+                                f"{path}:{node.lineno} raw "
+                                "monotonically_increasing_id outside "
+                                "dist_rank must follow "
+                                "sortWithinPartitions(<unique key>) on "
+                                "a .persist()ed ranged relation"
+                            )
+    assert not problems, "\n".join(problems)

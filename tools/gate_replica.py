@@ -107,6 +107,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             fails.append(name)
             print(json.dumps({name: {"err": repr(e)[:300]}}), flush=True)
+        finally:
+            # Release the ranged relations ranked_in_groups persisted
+            # for this entry — the accumulated-state OOM that
+            # motivated GATE_CHUNK was exactly this class of leak in
+            # the vanilla 1-GiB JVM (r9 advice item). Per-entry
+            # release also guarantees the list is empty before the
+            # chunk-boundary spark.stop() above, so no stale handles
+            # into a stopped session survive.
+            from etl_mapwarper_spark.functions.dist_rank import (
+                release_ranked_cache,
+            )
+
+            release_ranked_cache()
     print("FAILS:", fails)
     return 1 if fails else 0
 

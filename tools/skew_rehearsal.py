@@ -374,6 +374,9 @@ def main() -> None:
             sys.exit(f"unknown entries: {sorted(unknown)}")
         entries = [e for e in ENTRIES if e in sys.argv[1:]]
 
+    from etl_mapwarper_spark.functions.dist_rank import (
+        release_ranked_cache,
+    )
     from etl_mapwarper_spark.operators.multimodal import mm_phash_neardups
     from etl_mapwarper_spark.session import get_spark
 
@@ -420,6 +423,10 @@ def main() -> None:
             # Entries that persist() internally (ds_global_row_ids)
             # would otherwise accumulate cached data across the
             # repeated constructions — drop it before the next run.
+            # release_ranked_cache additionally empties the tracked
+            # handle list in dist_rank (clearCache unpersists the
+            # data but the references would keep accumulating).
+            release_ranked_cache()
             spark.catalog.clearCache()
             print(
                 json.dumps(
