@@ -42,6 +42,37 @@ def word_shingles(toks: Column, n: int) -> Column:
     return F.array_distinct(word_shingles_all(toks, n))
 
 
+def hashed_word_shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-grams as xxhash64 LONGS, hashed straight from
+    the token tuple — no concatenated shingle string is ever
+    materialized.
+
+    Value contract vs ``xxhash64(word_shingles(...))``: tokens are
+    space-free (single-space split), so the n-tuple and the
+    space-joined string are bijective — grouping/joining on this hash
+    is equivalent to grouping on the string shingle up to 64-bit hash
+    collisions, the same caveat the string-hash form already carries.
+    Multi-argument ``xxhash64`` chains the running hash as the seed of
+    the next field, so ("ab","c") and ("a","bc") do NOT collide the
+    way raw byte concatenation would.
+
+    Why it exists (r10 floor work on dd_containment_capped): the
+    shingle SCAN — explode + hash of every n-gram — dominated the
+    entry's wall-clock, and building per-doc arrays of ~n_tokens
+    strings just to hash them measured 2× slower than hashing the
+    zipped token slices directly (0.72 s vs 1.45 s for the sf0.1
+    corpus pass). Use this wherever the shingle's only job is to be a
+    join/dedup key; keep ``word_shingles`` where the string itself is
+    needed (decontamination reports, winnowing output)."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, length) for j in range(n)])
+    return F.array_distinct(
+        F.transform(
+            zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)])
+        )
+    )
+
+
 def word_shingles_all(toks: Column, n: int) -> Column:
     """ALL positional word n-grams, duplicates preserved.
 

@@ -1475,15 +1475,27 @@ _CT_DF_CAP = 10
 def dd_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as _W
 
+    from ..functions.text import hashed_word_shingles
+
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # r10 floor fix: the shingle scan dominated this entry's
+    # wall-clock (0.66-0.72 s of a ~1.1 s total at sf0.1 — more than
+    # the ENTIRE DuckDB oracle). hashed_word_shingles hashes the
+    # zipped token slices directly instead of materializing per-doc
+    # string arrays and re-hashing them: the corpus pass halves
+    # (1.45 s → 0.72 s) and the full entry drops 1.11 → 0.94 s solo.
+    # n (the containment denominator) is the distinct-hash count ==
+    # distinct-shingle count (tokens are space-free, so triple ↔
+    # string is bijective; collisions are the same 2⁻⁶⁴ caveat the
+    # old xxhash64-of-string join already carried).
     sh = (
         docs.select(
-            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
+            "doc_id",
+            hashed_word_shingles(tokens(F.col("text")), 3).alias("hs"),
         )
         .select(
-            "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+            "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
         )
-        .select("doc_id", "n", F.xxhash64("s").alias("h"))
     )
     sh = sh.repartition(spark.sparkContext.defaultParallelism, "h")
     sh = (
