@@ -1415,8 +1415,9 @@ def sim_knn_graph_banded(
     Candidate volume is O(n·band·P) and the per-join-key fan-out bound
     is ``band`` — a 100 TB consumer wanting ≥0.99 recall passes
     (band=64, projs=SRP_PROJS[:4]) instead of editing module
-    constants. The (band=64, P=2) ≥0.97 point is property-pinned at
-    sf0.1 in tests/test_sketch_properties.py."""
+    constants. The (band=64, P=2) ≥0.97 and (band=64, P=4) ≥0.99
+    points are both property-pinned at sf0.1 in
+    tests/test_sketch_properties.py."""
     cand = _srp_banded_cand(spark, sf_dir, band, 6, projs=projs)
     # Both directions via a narrow explode — a union of (cand,
     # cand-flipped) would DUPLICATE the banded-join subtree in the

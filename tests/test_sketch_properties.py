@@ -460,3 +460,23 @@ def test_banded_recall_knob_high_recall_point():
         spark, "/root/testdata/sf0.1", band=64, projs=SRP_PROJS[:2]
     ).collect()[0]
     assert row.recall_at_k >= 0.97, row
+
+
+def test_banded_recall_knob_very_high_recall_point():
+    """The recall knob's ≥0.99 operating point (r9 verdict item 5,
+    pinned r10): sim_knn_banded_recall at (band=64, P=4) must
+    reproduce the tuning report's 0.9997 recall@3 at sf0.1 — the
+    config the sim_knn_graph_banded docstring tells a 100 TB consumer
+    to pass when ≥0.99 is required, at a measured candidate-volume
+    price of 124.3k pairs vs 117.3k at the ≥0.97 point (P=2)."""
+    from etl_mapwarper_spark.operators.similarity import (
+        SRP_PROJS,
+        sim_knn_banded_recall,
+    )
+    from etl_mapwarper_spark.session import get_spark
+
+    spark = get_spark("tests")
+    row = sim_knn_banded_recall(
+        spark, "/root/testdata/sf0.1", band=64, projs=SRP_PROJS[:4]
+    ).collect()[0]
+    assert row.recall_at_k >= 0.99, row

@@ -76,6 +76,17 @@ THREE_POINT = {
     "tx_js_divergence",
     "ds_dsir_importance",
     "tx_ndcg_eval",
+    # r10 (verdict item 3): the df-window idiom's measured points.
+    # NOTE the verdict named "dd_shingle_df_profile's df window", but
+    # that entry has NO window — it is distinct + groupBy(h) +
+    # groupBy(df), all map-side combinable. The corpus-scan df WINDOW
+    # (count() OVER (PARTITION BY h), classified data-contract in
+    # BASELINE.md) lives in dd_ngram_jaccard_capped and
+    # dd_containment_capped; all three get the third point so the
+    # classification rests on hostile-hub measurements, not the
+    # local A/B alone.
+    "dd_shingle_df_profile",
+    "dd_ngram_jaccard_capped",
 }
 ENTRIES = [
     "dd_ngram_jaccard_capped",
@@ -146,6 +157,10 @@ ENTRIES = [
     # dedup owns identical content in the production pipeline).
     "dd_containment",
     "dd_containment_capped",
+    # --- r10 (verdict item 3): the df-profile report and the df-window
+    # flagbearer — see the THREE_POINT note on where the window
+    # actually lives.
+    "dd_shingle_df_profile",
     # --- r9 extension (r8 verdict item 5): the never-measured
     # high-exchange entries. Three rounds, three real quadratics —
     # the unmeasured high-exchange plans are where a fourth would
