@@ -237,6 +237,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # swap), q49_first_last_orders and q50_right_join_suppliers (r1)
 # canary slots — st stays 2 rows, q goes 23 -> 21 canaries + 1
 # code-changed.
+# Round-10 window (r9 verdict item 1: finish the evidence-currency
+# rotation — seat ALL 36 entries last driver-checked in r1-r3, the
+# explicit done-criterion "no registry entry last-checked before r4"):
+# (a) 3 entries whose CODE changed this round — dd_soft_dedup_weights
+# + ds_quality_ablation (the NULL-text fp fix: fingerprint coalesced
+# to a sentinel so the r9 groupBy+join rewrites keep NULL-text rows
+# exactly like the oracle's window form; plus the ablation's
+# NULL-guarded token count) and dd_containment_capped (hash-direct
+# shingles: the scan half of its floor — see the r10 BASELINE.md
+# ledger entry). All three re-gated oracle-green at 3 scales;
+# containment re-rehearsed 3-point sub-linear.
+# (b) the complete 36-entry r1-r3 staleness tail: the 7 r1 q's the r9
+# window could not seat (q43-q47/q49/q50), the r2 tail (q20/q21/q36,
+# dd_simhash_pairs, tx_tokens_udtf), st_user_totals (r3, displaced by
+# the r9 broadcast-audit swap), and the 24-entry r3 q52-q76 block.
+# (c) 11 family-minimum fills, stalest entry first per family.
+# DOCUMENTED DEVIATION from the standing >=2-per-family rule: 36 tail
+# + 3 code-changed + >=2 everywhere needs 55 slots; the tail closure
+# is the verdict's numbered done-criterion, so the seven families
+# whose rows are all >=r4-current (mw r6, mm r4, src r4, dq r7,
+# pipe r7, pd r9) hold ONE row each this round, and the freed slots
+# seat the tail completely. sim gets the spare 50th slot (its two
+# stalest r4 rows). Family counts: q=33, dd=3, ds/tx/st/sim=2,
+# mw/mm/src/dq/pipe/pd=1.
+_R10_PRIORITY = [
+    # --- (a) code changed r10 ---
+    "dd_soft_dedup_weights",
+    "ds_quality_ablation",
+    "dd_containment_capped",
+    # --- (b) the r1 q block (checked r1, never since) ---
+    "q43_stats_moments",
+    "q44_nation_listagg",
+    "q45_price_histogram",
+    "q46_region_priority_matrix",
+    "q47_supplier_rank_dist",
+    "q49_first_last_orders",
+    "q50_right_join_suppliers",
+    # --- (b) the r2 tail ---
+    "q20_hourly_events",
+    "q21_user_sessions",
+    "q36_status_sets",
+    "dd_simhash_pairs",
+    "tx_tokens_udtf",
+    # --- (b) the r3 q52-q76 block + st_user_totals ---
+    "q52_decimal_exact",
+    "q53_click_purchase_funnel",
+    "q54_cohort_retention",
+    "q55_nullsafe_join",
+    "q56_union_distinct",
+    "q57_rollup_grouping_id",
+    "q58_regexp_extract_words",
+    "q59_quarter_hour_buckets",
+    "q60_revenue_share",
+    "q61_rolling_wau",
+    "q62_waiting_suppliers",
+    "q63_min_cost_supplier",
+    "q65_big_orders",
+    "q66_top_supplier",
+    "q67_scd2_intervals",
+    "q68_cdc_diff",
+    "q69_mode_median",
+    "q70_bool_bit_aggs",
+    "q72_zorder_layout",
+    "q73_lateral_topk",
+    "q74_variant_props",
+    "q75_recursive_chains",
+    "q76_percentiles_twophase",
+    "st_user_totals",
+    # --- (c) family fills, stalest first ---
+    "tx_bpe_train_merges",
+    "st_cms_topk",
+    "ds_length_histogram",
+    "mw_gcp_transform_tps",
+    "sim_bucket_balance",
+    "sim_l2_bruteforce_topk",
+    "mm_audio_vad",
+    "src_bucketed_join",
+    "dq_expectations",
+    "pipe_rest_end_to_end",
+    "pd_weighted_avg",
+]
+# Round-9 window, kept for the ledger trail (superseded by
+# _R10_PRIORITY above, which _merge consumes).
 _R9_PRIORITY = [
     # --- (a) code changed r9 ---
     "sim_knn_graph_banded",
@@ -374,7 +457,7 @@ def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _registries():
         merged.update(getattr(mod, attr))
-    head = {k: merged[k] for k in _R9_PRIORITY if k in merged}
+    head = {k: merged[k] for k in _R10_PRIORITY if k in merged}
     head.update(merged)
     return head
 
