@@ -1246,3 +1246,131 @@ def test_retry_determinism_unique_order_lint():
                                 "a .persist()ed ranged relation"
                             )
     assert not problems, "\n".join(problems)
+
+
+def test_first_agg_sites_are_reviewed_deterministic():
+    """Retry-determinism audit, part 2 (r10): ``F.first`` /
+    ``F.any_value`` in an aggregation returns whichever row a task
+    happens to see first — under task retry or AQE re-planning the
+    winning row can change, silently changing results, UNLESS the
+    aggregated value is functionally dependent on the group key.
+    Every current site was reviewed and is deterministic:
+
+    - q76_percentiles_twophase: pivot over (l_returnflag, tag) groups
+      ALREADY reduced to one row each by the upstream groupBy —
+      first() over a singleton group.
+    - tx_bm25_topk: first("dl") grouped by (doc_id, term); dl is a
+      per-doc constant → FD on doc_id.
+    - dd_shingle_df_profile: first("df") grouped BY df — the key
+      itself.
+    - mm_phash_cluster_profile: first("cluster_size") grouped BY
+      cluster_size — the key itself.
+    - q87_mad_robust_stats: first("med") grouped by l_returnflag; med
+      was join-attached ON l_returnflag → FD on the key.
+
+    (Oracle-side ``any_value(w1)`` sites group by b = the hash OF
+    (w1, w2) — FD modulo the same 2⁻⁶⁴ collision caveat the hash join
+    keys already carry.) A NEW site fails this lint until it is
+    reviewed and added to the allowlist with its FD argument above."""
+    import ast
+    import os
+
+    ALLOWED = {
+        ("relational_ext.py", "q76_percentiles_twophase"),
+        ("textops.py", "tx_bm25_topk"),
+        ("dedup.py", "dd_shingle_df_profile"),
+        ("multimodal.py", "mm_phash_cluster_profile"),
+        ("analytics.py", "q87_mad_robust_stats"),
+    }
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_mapwarper_spark",
+    )
+    unreviewed = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for func in [
+                n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+            ]:
+                for node in ast.walk(func):
+                    if (
+                        isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr in ("first", "any_value")
+                        and isinstance(node.func.value, ast.Name)
+                        and node.func.value.id == "F"
+                        and (fn, func.name) not in ALLOWED
+                    ):
+                        unreviewed.append(
+                            f"{path}:{node.lineno} in {func.name}"
+                        )
+    assert not unreviewed, (
+        "unreviewed F.first/F.any_value aggregation site(s) — verify "
+        "the value is functionally dependent on the group key, then "
+        f"add to the allowlist with the argument: {unreviewed}"
+    )
+
+
+def test_persist_sites_are_classified():
+    """Executor-storage audit (r10, the window/broadcast-audit lens
+    applied to the third global resource): every .persist()/.cache()/
+    .localCheckpoint() site in the engine must be classified in
+    BASELINE.md's r10 persist table — size class (corpus-sized
+    spill-safe / type-bounded / config-bounded / fixture-sized) and
+    why removing it breaks correctness or re-runs a corpus pass. A new
+    site fails here until it is reviewed and added to BOTH the
+    BASELINE.md table and this allowlist."""
+    import ast
+    import os
+
+    ALLOWED = {
+        ("dist_rank.py", "ranked_in_groups"),
+        ("sampling.py", "ds_global_row_ids"),
+        ("dedup.py", "dd_ngram_jaccard"),
+        ("dedup.py", "dd_minhash_lsh"),
+        ("dedup.py", "dd_bbit_minhash_lsh"),
+        ("dedup.py", "_cc_checkpoint"),
+        ("dedup.py", "dd_pagerank_centrality"),
+        ("dedup.py", "dd_triangle_count"),
+        ("similarity.py", "sim_ivfpq_topk"),
+        ("textops.py", "tx_bpe_fertility"),
+        ("textops.py", "tx_logreg_train_steps"),
+        ("mapwarper.py", "_fixture_df"),
+        ("paginated_rest.py", "scan_until_short_page"),
+    }
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_mapwarper_spark",
+    )
+    unclassified = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for func in [
+                n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+            ]:
+                for node in ast.walk(func):
+                    if (
+                        isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr
+                        in ("persist", "cache", "localCheckpoint")
+                        and (fn, func.name) not in ALLOWED
+                    ):
+                        unclassified.append(
+                            f"{path}:{node.lineno} in {func.name}"
+                        )
+    assert not unclassified, (
+        "unclassified persist/cache/localCheckpoint site(s) — classify "
+        "in BASELINE.md's r10 persist table, then allowlist: "
+        f"{unclassified}"
+    )
