@@ -32,6 +32,11 @@ class PlanAudit:
     n_broadcast_joins: int = 0
     n_shuffle_joins: int = 0  # SortMergeJoin / ShuffledHashJoin
     n_sorts: int = 0
+    # Sort nodes with the global flag set — a full range-exchange sort
+    # of the input relation. Only acceptable on BOUNDED relations
+    # (aggregate outputs, lateral top-k); a corpus-sized global sort
+    # is a 100 TB red flag (r10 audit: 2/256 plans, both bounded).
+    n_global_sorts: int = 0
     has_row_python: bool = False  # BatchEvalPython (the banned node)
     arrow_python_nodes: list[str] = field(default_factory=list)
     pushed_filters: list[str] = field(default_factory=list)
@@ -71,6 +76,13 @@ def audit(df: DataFrame) -> PlanAudit:
         1 for n in nodes if n in ("SortMergeJoin", "ShuffledHashJoin")
     )
     a.n_sorts = nodes.count("Sort")
+    a.n_global_sorts = len(
+        re.findall(
+            r"\(\d+\) Sort(?:\s*\[[^\]]*\])?\s*\n"
+            r"Input[^\n]*\nArguments: \[[^\]]*\], true, \d+",
+            plan,
+        )
+    )
     a.has_row_python = "BatchEvalPython" in nodes
     a.arrow_python_nodes = [n for n in nodes if n in _ARROW_NODES]
     a.pushed_filters = [

@@ -27,12 +27,24 @@ import sys
 def _vanilla_session():
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[32]")
+    b = (
+        SparkSession.builder.master(
+            os.environ.get("GATE_MASTER", "local[32]")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # Parallelism-invariance sweeps (r10): results must not depend on
+    # the shuffle-partition count — a dependence means some operator
+    # leaks physical layout (partition ids, per-partition order) into
+    # values, the same defect class the retry-determinism lint pins
+    # statically. Unset = the driver-faithful vanilla default.
+    shp = os.environ.get("GATE_SHUFFLE_PARTITIONS")
+    if shp:
+        b = b.config("spark.sql.shuffle.partitions", shp).config(
+            "spark.default.parallelism", shp
+        )
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
