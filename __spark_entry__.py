@@ -258,14 +258,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # is the verdict's numbered done-criterion, so the seven families
 # whose rows are all >=r4-current (mw r6, mm r4, src r4, dq r7,
 # pipe r7, pd r9) hold ONE row each this round, and the freed slots
-# seat the tail completely. sim gets the spare 50th slot (its two
-# stalest r4 rows). Family counts: q=33, dd=3, ds/tx/st/sim=2,
-# mw/mm/src/dq/pipe/pd=1.
+# seat the tail completely. Family counts: q=33, dd=4, ds/tx/st=2,
+# mw/sim/mm/src/dq/pipe/pd=1.
+# Late-r10 fourth code change: dd_shingle_df_profile dropped its
+# corpus-sized distinct exchange (a semantic no-op — word_shingles
+# already array_distincts per doc, so (doc_id, h) rows are unique by
+# construction) and moved to hash-direct shingles; it takes the spare
+# sim fill slot (sim_l2_bruteforce_topk, r4 — sim keeps
+# sim_bucket_balance and stays ≥1 under the documented deviation).
+# Re-gated at 3 scales; 3-point rehearsal re-run on the new plan.
 _R10_PRIORITY = [
     # --- (a) code changed r10 ---
     "dd_soft_dedup_weights",
     "ds_quality_ablation",
     "dd_containment_capped",
+    "dd_shingle_df_profile",
     # --- (b) the r1 q block (checked r1, never since) ---
     "q43_stats_moments",
     "q44_nation_listagg",
@@ -311,7 +318,6 @@ _R10_PRIORITY = [
     "ds_length_histogram",
     "mw_gcp_transform_tps",
     "sim_bucket_balance",
-    "sim_l2_bruteforce_topk",
     "mm_audio_vad",
     "src_bucketed_join",
     "dq_expectations",

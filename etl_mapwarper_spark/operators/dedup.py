@@ -2372,10 +2372,26 @@ _register(
 
 
 def dd_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    from ..functions.text import hashed_word_shingles
+
+    # r10: two plan changes, values identical. (1) The old
+    # `sh.distinct()` was a full corpus-sized exchange on (doc_id, h)
+    # — and a semantic NO-OP, because word_shingles/
+    # hashed_word_shingles already array_distinct per document, so
+    # (doc_id, h) rows are unique by construction. Dropping it leaves
+    # groupBy(h) as the only corpus-input exchange, and that one
+    # map-side combines to distinct keys before shuffling. (2) The
+    # scan hashes token triples directly (hashed_word_shingles — see
+    # dd_containment_capped, same round) instead of materializing
+    # shingle strings and re-hashing them.
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            hashed_word_shingles(tokens(F.col("text")), 3)
+        ).alias("h"),
     )
-    df_per_key = sh.distinct().groupBy("h").agg(
+    df_per_key = sh.groupBy("h").agg(
         F.count(F.lit(1)).alias("df")
     )
     return df_per_key.groupBy("df").agg(
