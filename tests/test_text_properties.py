@@ -382,3 +382,50 @@ def test_capped_containment_drops_hub(spark, tmp_path):
     # every ordered hub pair is a containment-1.0 row in the exact set
     assert exact_pairs >= hub_n * (hub_n - 1)
     assert dd_containment_capped(spark, sf_dir).count() == 0
+
+
+@settings(max_examples=20, deadline=None)
+@given(TEXTS)
+def test_hashed_shingles_equivalent_to_string_shingles(spark, texts):
+    """hashed_word_shingles (r10) must be a faithful stand-in for
+    xxhash64-of-word_shingles as a grouping/join key: same per-doc
+    COUNT (it is the containment denominator) and the same
+    equality-classes across documents (two docs share a hashed
+    shingle iff they share the string shingle). Tokens are space-free
+    so triple ↔ string is bijective; this pins that the hash-direct
+    construction preserves it on arbitrary generated corpora,
+    including empty tokens from repeated spaces."""
+    from etl_mapwarper_spark.functions.text import hashed_word_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    s = df.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
+    ).collect()
+    h = df.select(
+        "doc_id",
+        F.explode(hashed_word_shingles(tokens(F.col("text")), 3)).alias(
+            "h"
+        ),
+    ).collect()
+    by_doc_s: dict = {}
+    by_doc_h: dict = {}
+    for r in s:
+        by_doc_s.setdefault(r.doc_id, []).append(r.sh)
+    for r in h:
+        by_doc_h.setdefault(r.doc_id, []).append(r.h)
+    assert set(by_doc_s) == set(by_doc_h)
+    # equality classes: build the string->hash mapping across ALL
+    # docs; it must be a bijection, and per-doc multisets must map
+    # exactly (same counts, same co-occurrence structure)
+    mapping: dict = {}
+    inverse: dict = {}
+    for d in by_doc_s:
+        assert len(by_doc_s[d]) == len(by_doc_h[d]), d
+        # shingle order is positional in both forms (array_distinct
+        # keeps first-occurrence order), so zip aligns them
+        for sh, hv in zip(by_doc_s[d], by_doc_h[d]):
+            assert mapping.setdefault(sh, hv) == hv, (d, sh)
+            assert inverse.setdefault(hv, sh) == sh, (d, hv)
