@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, tokens, word_shingles
+from ..functions.text import (
+    doc_fingerprint,
+    hashed_word_shingles,
+    tokens,
+    word_shingles,
+)
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..sources.tables import load_table
 
@@ -183,13 +188,19 @@ def dd_ngram_jaccard(
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     if df_cap is None:
+        # r11: hash the zipped token slices directly instead of
+        # materializing per-doc string-shingle arrays and re-hashing
+        # them (the r10 dd_containment_capped measurement: the string
+        # detour doubles the scan). The prefix filter only needs SOME
+        # consistent total order over hash keys — array_sort over the
+        # hash-direct values is as valid an order as over
+        # xxhash64-of-string — and the verify stage's array_intersect
+        # is order/value-agnostic up to the same 2^-64 collision
+        # caveat the old form carried.
         arrs = docs.select(
             "doc_id",
             F.array_sort(
-                F.transform(
-                    word_shingles(tokens(F.col("text")), 3),
-                    lambda s: F.xxhash64(s),
-                )
+                hashed_word_shingles(tokens(F.col("text")), 3)
             ).alias("hs"),
         # n as LONG: every prune product below (n·10000, (n1+n2)·7999,
         # ubound·17999) must run in 64-bit — F.size() is int32 and a
@@ -310,14 +321,17 @@ def dd_ngram_jaccard(
             .select("d1", "d2", "jacc")
         )
         return verified
+    # r11: hash-direct shingles (see the exact path above) — the
+    # index carries the same (doc_id, n, 8-byte h) rows, minus the
+    # string-materialize-then-rehash scan tax.
     sh = (
         docs.select(
-            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shs")
+            "doc_id",
+            hashed_word_shingles(tokens(F.col("text")), 3).alias("hs"),
         )
         .select(
-            "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+            "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
         )
-        .select("doc_id", "n", F.xxhash64("s").alias("h"))
     )
     # Pair expansion is the CPU-heavy stage; partition the index by its
     # join key at full core width so the self-join runs co-partitioned

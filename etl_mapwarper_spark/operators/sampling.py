@@ -391,13 +391,21 @@ _DECON_MOD = 50  # doc_id % MOD == 0 -> benchmark side
 def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    from ..functions.text import tokens, word_shingles
+    from ..functions.text import hashed_word_shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # r11: hash-direct shingles — the hash is this entry's only join/
+    # count key, so the string shingle array is never materialized
+    # (r10 dd_containment_capped measurement: the string detour
+    # doubles the corpus scan). Same bijectivity/collision contract
+    # as xxhash64-of-string, pinned for n=5 in
+    # tests/test_text_properties.py.
     sh = docs.select(
         "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), _DECON_N)).alias("s"),
-    ).select("doc_id", F.xxhash64("s").alias("h"))
+        F.explode(
+            hashed_word_shingles(tokens(F.col("text")), _DECON_N)
+        ).alias("h"),
+    )
     is_bench = F.col("doc_id") % _DECON_MOD == 0
     bench = sh.filter(is_bench)
     corpus = sh.filter(~is_bench)
@@ -405,9 +413,9 @@ def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(is_bench)
         .select(
             "doc_id",
-            F.size(word_shingles(tokens(F.col("text")), _DECON_N)).alias(
-                "n_shingles"
-            ),
+            F.size(
+                hashed_word_shingles(tokens(F.col("text")), _DECON_N)
+            ).alias("n_shingles"),
         )
         # docs shorter than the shingle width have nothing to check —
         # excluded on both sides (the oracle's sh CTE drops them too)
@@ -924,7 +932,11 @@ def ds_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast as _bc
     from pyspark.sql.window import Window
 
-    from ..functions.text import doc_fingerprint, tokens, word_shingles
+    from ..functions.text import (
+        doc_fingerprint,
+        hashed_word_shingles,
+        tokens,
+    )
     from .textops import c4_kept_expr
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
@@ -951,17 +963,22 @@ def ds_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 3. decontamination: bench 5-gram hashes (eval-suite-sized →
     # broadcast), LEFT ANTI on any shared shingle hash
+    # r11: hash-direct shingles on BOTH join sides — the 5-gram hash
+    # is only an anti-join key here, so no string shingle is ever
+    # built (r10 measurement: the string detour doubles the scan).
     bench_h = (
         docs.filter(is_bench)
         .select(
-            F.explode(word_shingles(tokens(F.col("text")), 5)).alias("s")
+            F.explode(
+                hashed_word_shingles(tokens(F.col("text")), 5)
+            ).alias("h")
         )
-        .select(F.xxhash64("s").alias("h"))
         .distinct()
     )
     doc_h = deduped.select(
-        "doc_id", F.explode(word_shingles(F.col("toks"), 5)).alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
+        "doc_id",
+        F.explode(hashed_word_shingles(F.col("toks"), 5)).alias("h"),
+    )
     contaminated = doc_h.join(_bc(bench_h), "h").select("doc_id").distinct()
     # The contaminated-id side is bench-overlap-sized in practice but
     # CORPUS-sized under adversarial bench/corpus overlap, so it gets
@@ -1189,7 +1206,11 @@ _register("ds_dataset_card", ds_dataset_card, _dataset_card_sql())
 def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast as _bc
 
-    from ..functions.text import doc_fingerprint, tokens, word_shingles
+    from ..functions.text import (
+        doc_fingerprint,
+        hashed_word_shingles,
+        tokens,
+    )
     from .textops import c4_kept_expr
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True).select(
@@ -1224,11 +1245,16 @@ def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = slim.join(fp_min, "fp").withColumn(
         "d_ok", F.col("_fp_min") == F.col("doc_id")
     )
+    # r11: hash-direct shingles on both contamination-join sides (the
+    # hash is only an equi-join key; see ds_decontaminate).
     bench_h = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode(word_shingles(tokens(F.col("text")), 5)).alias("s"))
-        .select(F.xxhash64("s").alias("h"))
+        .select(
+            F.explode(
+                hashed_word_shingles(tokens(F.col("text")), 5)
+            ).alias("h")
+        )
         .distinct()
     )
     # bench_h broadcasts by CONTRACT (a benchmark suite is a fixed
@@ -1240,9 +1266,9 @@ def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE still broadcasts it at runtime while it fits.
     contaminated = (
         docs.select(
-            "doc_id", F.explode(word_shingles(F.col("toks"), 5)).alias("s")
+            "doc_id",
+            F.explode(hashed_word_shingles(F.col("toks"), 5)).alias("h"),
         )
-        .select("doc_id", F.xxhash64("s").alias("h"))
         .join(_bc(bench_h), "h")
         .select("doc_id")
         .distinct()
@@ -1809,15 +1835,18 @@ _register(
 def ds_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    from ..functions.text import token_count, tokens, word_shingles
+    from ..functions.text import hashed_word_shingles, token_count, tokens
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     is_bench = F.col("doc_id") % _DECON_MOD == 0
+    # r11: hash-direct shingles (join key only; see ds_decontaminate).
     sh = docs.select(
         "doc_id",
         is_bench.alias("is_bench"),
-        F.explode(word_shingles(tokens(F.col("text")), _DECON_N)).alias("s"),
-    ).select("doc_id", "is_bench", F.xxhash64("s").alias("h"))
+        F.explode(
+            hashed_word_shingles(tokens(F.col("text")), _DECON_N)
+        ).alias("h"),
+    )
     bench_h = sh.filter(F.col("is_bench")).select("h").distinct()
     contaminated = (
         sh.filter(~F.col("is_bench"))

@@ -76,13 +76,20 @@ def audit(df: DataFrame) -> PlanAudit:
         1 for n in nodes if n in ("SortMergeJoin", "ShuffledHashJoin")
     )
     a.n_sorts = nodes.count("Sort")
-    a.n_global_sorts = len(
-        re.findall(
-            r"\(\d+\) Sort(?:\s*\[[^\]]*\])?\s*\n"
-            r"Input[^\n]*\nArguments: \[[^\]]*\], true, \d+",
-            plan,
-        )
-    )
+    # Sort's detail block is "Arguments: [<ordering>], <global>, <int>".
+    # Parse the flag from the RIGHT (rsplit) instead of a bracket
+    # regex: an ordering expression containing ']' (struct field
+    # access, a lambda) would stop a [^\]]* match early and silently
+    # undercount global sorts (r10 advice).
+    n_global = 0
+    for m in re.finditer(
+        r"\(\d+\) Sort(?:\s*\[[^\]]*\])?\s*\nInput[^\n]*\nArguments: (.+)",
+        plan,
+    ):
+        parts = m.group(1).rstrip().rsplit(", ", 2)
+        if len(parts) == 3 and parts[1] == "true" and parts[2].isdigit():
+            n_global += 1
+    a.n_global_sorts = n_global
     a.has_row_python = "BatchEvalPython" in nodes
     a.arrow_python_nodes = [n for n in nodes if n in _ARROW_NODES]
     a.pushed_filters = [

@@ -385,16 +385,18 @@ def test_capped_containment_drops_hub(spark, tmp_path):
 
 
 @settings(max_examples=20, deadline=None)
-@given(TEXTS)
-def test_hashed_shingles_equivalent_to_string_shingles(spark, texts):
+@given(TEXTS, st.sampled_from([3, 5]))
+def test_hashed_shingles_equivalent_to_string_shingles(spark, texts, n):
     """hashed_word_shingles (r10) must be a faithful stand-in for
     xxhash64-of-word_shingles as a grouping/join key: same per-doc
     COUNT (it is the containment denominator) and the same
     equality-classes across documents (two docs share a hashed
     shingle iff they share the string shingle). Tokens are space-free
-    so triple ↔ string is bijective; this pins that the hash-direct
+    so n-tuple ↔ string is bijective; this pins that the hash-direct
     construction preserves it on arbitrary generated corpora,
-    including empty tokens from repeated spaces."""
+    including empty tokens from repeated spaces. n ranges over the
+    widths in production use: 3 (dd_* Jaccard/containment families)
+    and 5 (_DECON_N — the r11 decontamination sites)."""
     from etl_mapwarper_spark.functions.text import hashed_word_shingles
 
     df = spark.createDataFrame(
@@ -402,11 +404,11 @@ def test_hashed_shingles_equivalent_to_string_shingles(spark, texts):
     )
     s = df.select(
         "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
+        F.explode(word_shingles(tokens(F.col("text")), n)).alias("sh"),
     ).collect()
     h = df.select(
         "doc_id",
-        F.explode(hashed_word_shingles(tokens(F.col("text")), 3)).alias(
+        F.explode(hashed_word_shingles(tokens(F.col("text")), n)).alias(
             "h"
         ),
     ).collect()

@@ -78,8 +78,9 @@ THREE_POINT = {
     "tx_ndcg_eval",
     # r10 (verdict item 3): the df-window idiom's measured points.
     # NOTE the verdict named "dd_shingle_df_profile's df window", but
-    # that entry has NO window — it is distinct + groupBy(h) +
-    # groupBy(df), all map-side combinable. The corpus-scan df WINDOW
+    # that entry has NO window — it is groupBy(h) + groupBy(df) (the
+    # corpus-sized distinct was removed as a no-op in r10), all
+    # map-side combinable. The corpus-scan df WINDOW
     # (count() OVER (PARTITION BY h), classified data-contract in
     # BASELINE.md) lives in dd_ngram_jaccard_capped and
     # dd_containment_capped; all three get the third point so the
