@@ -267,6 +267,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim fill slot (sim_l2_bruteforce_topk, r4 — sim keeps
 # sim_bucket_balance and stays ≥1 under the documented deviation).
 # Re-gated at 3 scales; 3-point rehearsal re-run on the new plan.
+# Round-11 window (r10 verdict items 1+2): (a) the SIX entries whose
+# code changed this round — the hash-direct shingle propagation
+# (dd_ngram_jaccard + dd_ngram_jaccard_capped's index paths,
+# ds_decontaminate, ds_llm_pipeline's decon stage, ds_quality_ablation's
+# contamination set, ds_contamination_report) — all re-gated
+# oracle-green at 3 scales. (b) the complete 31-entry r4 staleness
+# block (the verdict's named rotation outlook: dd_chunk_dedup …
+# tx_zipf_fit), restoring "no entry last-checked before r5".
+# (c) the full >=2-per-family rule RESTORED (the r10 deviation was a
+# documented one-round squeeze): mw/st/dq/pipe/pd get their two
+# stalest rows each. (d) three free canary slots to the stalest r5
+# entries: ds_dsir_importance (also this round's recompute-vs-persist
+# A/B subject — shape unchanged, evidence refreshed), q22 + q35.
+# Family counts: q=7, dd=8, ds=9, tx=7, sim=3, mm=3, src=3,
+# mw/st/dq/pipe/pd=2.
+_R11_PRIORITY = [
+    # --- (a) code changed r11: hash-direct shingles ---
+    "dd_ngram_jaccard",
+    "dd_ngram_jaccard_capped",
+    "ds_decontaminate",
+    "ds_llm_pipeline",
+    "ds_quality_ablation",
+    "ds_contamination_report",
+    # --- (b) the 31-entry r4 block ---
+    "dd_chunk_dedup",
+    "dd_containment",
+    "dd_dedup_apply",
+    "dd_levenshtein_blocked",
+    "dd_lsh_tuning_report",
+    "dd_source_overlap_matrix",
+    "ds_pack_efficiency",
+    "ds_priority_sample",
+    "ds_rag_index_stats",
+    "ds_temperature_mixture",
+    "mm_image_entropy",
+    "mm_image_stats",
+    "mm_shot_detect",
+    "q05_region_revenue",
+    "q29_approx_distinct",
+    "q81_gap_fill_locf",
+    "q82_three_step_funnel",
+    "q84_interval_overlap_join",
+    "sim_l2_bruteforce_topk",
+    "sim_mips_topk",
+    "sim_pq_topk",
+    "src_ndjson_malformed",
+    "src_partitioned_pruning",
+    "src_union_by_name",
+    "tx_entropy",
+    "tx_hashed_linear_score",
+    "tx_heavy_hitters_cms",
+    "tx_pmi_collocations",
+    "tx_udtf_analyze",
+    "tx_unigram_logprob",
+    "tx_zipf_fit",
+    # --- (c) family minimums, stalest first per family ---
+    "mw_map_objects",
+    "mw_bbox_contains_join",
+    "st_rest_incremental",
+    "st_dq_gate",
+    "dq_key_integrity",
+    "dq_column_profile",
+    "pipe_logs",
+    "pipe_map_objects",
+    "pd_zscore",
+    "pd_weighted_avg",
+    # --- (d) free canary slots, stalest r5 entries ---
+    "ds_dsir_importance",
+    "q22_asof_last_order",
+    "q35_price_percentiles",
+]
+# Round-10 window, kept for the ledger trail (superseded by
+# _R11_PRIORITY above, which _merge consumes).
 _R10_PRIORITY = [
     # --- (a) code changed r10 ---
     "dd_soft_dedup_weights",
@@ -463,7 +536,7 @@ def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _registries():
         merged.update(getattr(mod, attr))
-    head = {k: merged[k] for k in _R10_PRIORITY if k in merged}
+    head = {k: merged[k] for k in _R11_PRIORITY if k in merged}
     head.update(merged)
     return head
 
