@@ -282,6 +282,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # A/B subject — shape unchanged, evidence refreshed), q22 + q35.
 # Family counts: q=7, dd=8, ds=9, tx=7, sim=3, mm=3, src=3,
 # mw/st/dq/pipe/pd=2.
+# Late-r11 scan-count audit fallout (the new standing lens — FileScan
+# count per table per plan): ds_quality_ablation's per-ablation-row
+# agg+union re-derived the whole annotated pipeline per branch (14
+# documents scans in ONE plan — 14 corpus passes at 100 TB); it now
+# computes one conditional aggregate and unpivots (14 → 4 scans;
+# already seated in (a), no slot cost). q85_chi2_independence paid its
+# contingency aggregate 6x (one per marginal/total/domain consumer);
+# the cells-bounded obs relation is now persisted (6 → 1 scans,
+# classified in the BASELINE.md persist table). q85 takes the
+# q35_price_percentiles free-canary slot (q stays 7 rows).
 _R11_PRIORITY = [
     # --- (a) code changed r11: hash-direct shingles ---
     "dd_ngram_jaccard",
@@ -336,7 +346,9 @@ _R11_PRIORITY = [
     # --- (d) free canary slots, stalest r5 entries ---
     "ds_dsir_importance",
     "q22_asof_last_order",
-    "q35_price_percentiles",
+    # late-r11 swap: code-changed scan-count fix displaces the q35
+    # free canary (see the comment block above)
+    "q85_chi2_independence",
 ]
 # Round-10 window, kept for the ledger trail (superseded by
 # _R11_PRIORITY above, which _merge consumes).

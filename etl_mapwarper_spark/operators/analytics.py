@@ -983,7 +983,18 @@ _register(
 
 def q85_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # Persisted so the docstring's claim is true in the PHYSICAL plan
+    # too (r11 scan-count audit): obs feeds five consumers (marginals,
+    # total, the domain left-join, dof counts), and without the cache
+    # each consumer re-ran the corpus aggregate — 6 documents scans in
+    # one plan. The cached relation is the contingency table itself,
+    # |lang| x |source| cells — category-bounded by contract, tiny at
+    # any SF.
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
     row_tot = obs.groupBy("lang").agg(F.sum("o").alias("lt"))
     col_tot = obs.groupBy("source").agg(F.sum("o").alias("st"))
     n = obs.agg(F.sum("o").alias("n"))

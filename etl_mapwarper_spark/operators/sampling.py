@@ -1280,26 +1280,48 @@ def ds_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_ok", F.col("contam").isNull())
     )
 
-    def row(name, cond):
-        return ann.agg(
-            F.lit(name).alias("ablation"),
-            F.count_if(cond).alias("n_docs"),
-            F.sum(F.when(cond, F.col("dl")).otherwise(0)).alias("n_tokens"),
-            F.round(
-                F.sum(F.when(cond, F.col("dl")).otherwise(0))
-                / F.sum("dl"),
-                4,
-            ).alias("token_frac"),
+    # ONE conditional aggregate for ALL ablation rows, then a struct
+    # unpivot (r11 scan-count audit): the old per-row agg + union
+    # re-derived the entire annotated pipeline per branch — 14 scans
+    # of `documents` in one plan, i.e. 14 full corpus passes at
+    # 100 TB. This form pays the annotation exactly once; the unpivot
+    # explodes a 1-row aggregate, which is free.
+    ablations = [
+        ("raw", F.lit(True)),
+        ("quality_only", F.col("q_ok")),
+        ("dedup_only", F.col("d_ok")),
+        ("decontam_only", F.col("c_ok")),
+        (
+            "all_filters",
+            F.col("q_ok") & F.col("d_ok") & F.col("c_ok"),
+        ),
+    ]
+    measures = [F.sum("dl").alias("_nt_all")]
+    for name, cond in ablations:
+        measures.append(F.count_if(cond).alias(f"_nd_{name}"))
+        measures.append(
+            F.sum(F.when(cond, F.col("dl")).otherwise(0)).alias(
+                f"_nt_{name}"
+            )
         )
-
-    all_ok = F.col("q_ok") & F.col("d_ok") & F.col("c_ok")
-    return (
-        row("raw", F.lit(True))
-        .union(row("quality_only", F.col("q_ok")))
-        .union(row("dedup_only", F.col("d_ok")))
-        .union(row("decontam_only", F.col("c_ok")))
-        .union(row("all_filters", all_ok))
-    )
+    wide = ann.agg(*measures)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("ablation"),
+                        F.col(f"_nd_{name}").alias("n_docs"),
+                        F.col(f"_nt_{name}").alias("n_tokens"),
+                        F.round(
+                            F.col(f"_nt_{name}") / F.col("_nt_all"), 4
+                        ).alias("token_frac"),
+                    )
+                    for name, _ in ablations
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 def _ablation_sql() -> str:

@@ -37,6 +37,12 @@ class PlanAudit:
     # (aggregate outputs, lateral top-k); a corpus-sized global sort
     # is a 100 TB red flag (r10 audit: 2/256 plans, both bounded).
     n_global_sorts: int = 0
+    # FileScan count per source table (parquet file stem → number of
+    # Scan nodes reading it). Each scan of a corpus-scale table is a
+    # full corpus pass at 100 TB: >1 is the recompute-over-materialize
+    # trade and must be deliberate (r11 audit: ds_quality_ablation's
+    # per-ablation-row agg+union paid 14 documents scans in one plan).
+    table_scans: dict = field(default_factory=dict)
     has_row_python: bool = False  # BatchEvalPython (the banned node)
     arrow_python_nodes: list[str] = field(default_factory=list)
     pushed_filters: list[str] = field(default_factory=list)
@@ -90,6 +96,10 @@ def audit(df: DataFrame) -> PlanAudit:
         if len(parts) == 3 and parts[1] == "true" and parts[2].isdigit():
             n_global += 1
     a.n_global_sorts = n_global
+    scans: dict = {}
+    for t in re.findall(r"Location: \S+ \[[^\]]*?/(\w+)\.parquet", plan):
+        scans[t] = scans.get(t, 0) + 1
+    a.table_scans = scans
     a.has_row_python = "BatchEvalPython" in nodes
     a.arrow_python_nodes = [n for n in nodes if n in _ARROW_NODES]
     a.pushed_filters = [

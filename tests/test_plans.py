@@ -1366,6 +1366,7 @@ def test_persist_sites_are_classified():
         ("dedup.py", "_cc_checkpoint"),
         ("dedup.py", "dd_pagerank_centrality"),
         ("dedup.py", "dd_triangle_count"),
+        ("analytics.py", "q85_chi2_independence"),
         ("similarity.py", "sim_ivfpq_topk"),
         ("textops.py", "tx_bpe_fertility"),
         ("textops.py", "tx_logreg_train_steps"),
@@ -1403,3 +1404,35 @@ def test_persist_sites_are_classified():
         "in BASELINE.md's r10 persist table, then allowlist: "
         f"{unclassified}"
     )
+
+
+def test_scan_count_audit_and_fixed_entries_stay_fixed(spark):
+    """Scan-count audit (r11 lens): ``PlanAudit.table_scans`` counts
+    FileScan nodes per source table — each repeat of a corpus-scale
+    table is one extra full corpus pass at 100 TB. The two entries
+    the r11 audit FIXED must not regress:
+
+    - ds_quality_ablation: the per-ablation-row agg + union re-derived
+      the whole annotated pipeline per branch (14 documents scans in
+      ONE plan); the single conditional aggregate + struct unpivot
+      pays the annotation once. The remaining scans are the flagged/
+      fp_min self-join pair and the two contamination branches.
+    - q85_chi2_independence: the contingency aggregate ran once per
+      marginal/total/domain consumer (6 scans); the persisted
+      cells-bounded obs relation collapses every consumer onto ONE
+      corpus pass.
+
+    Bounds are <= because AQE/session settings can merge scans, never
+    add them. The full-registry snapshot lives in PLAN_AUDIT.md's
+    'table rescans' column; the >=3 plans are classified in
+    BASELINE.md (r11 scan-count audit table)."""
+    from etl_mapwarper_spark.operators.analytics import (
+        q85_chi2_independence,
+    )
+    from etl_mapwarper_spark.operators.sampling import ds_quality_ablation
+    from etl_mapwarper_spark.plans.audit import audit
+
+    a = audit(ds_quality_ablation(spark, SF_DIR))
+    assert a.table_scans.get("documents", 0) <= 4, a.table_scans
+    b = audit(q85_chi2_independence(spark, SF_DIR))
+    assert b.table_scans.get("documents", 0) == 1, b.table_scans
