@@ -44,6 +44,15 @@ def _vanilla_session():
         b = b.config("spark.sql.shuffle.partitions", shp).config(
             "spark.default.parallelism", shp
         )
+    # AQE-off invariance sweeps (r11): results must not depend on
+    # adaptive runtime re-planning either — AQE coalesces partitions,
+    # converts joins to broadcast, and splits skewed partitions
+    # mid-query, so a value difference with AQE off means some
+    # operator leaks the physical plan choice into values. Unset =
+    # the driver-faithful vanilla default (AQE on).
+    aqe = os.environ.get("GATE_AQE")
+    if aqe:
+        b = b.config("spark.sql.adaptive.enabled", aqe)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
