@@ -390,11 +390,17 @@ def main() -> None:
                         load_state_end["cpu_probe_sec"],
                     )
                     > 2.0 * _PROBE_IDLE_SEC
-                    # loadavg checked at BOTH ends like the probe — a
-                    # host that becomes contended mid-bench after a
-                    # quiet start must flag too (r10 advice).
+                    # loadavg is a START-side signal only. The r10
+                    # advice suggested checking it at both ends for
+                    # symmetry with the probe; measured r11: the bench
+                    # itself saturates all cores for minutes, so
+                    # loadavg_1m at the END reads the bench's own
+                    # self-load (10.7 on a host whose end probe was an
+                    # idle 0.146 s) — every honest solo run would
+                    # flag. Mid-bench contention onset is covered by
+                    # the END probe (single-thread slowdown), which
+                    # self-load no longer inflates by probe time.
                     or (load_state_start["loadavg_1m"] or 0) > 2.0
-                    or (load_state_end["loadavg_1m"] or 0) > 2.0
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
