@@ -180,6 +180,13 @@ ENTRIES = [
     "tx_js_divergence",
     "ds_dsir_importance",
     "tx_ndcg_eval",
+    # r11: the hash-direct-shingle decontamination pair. The hostile
+    # corpus stresses their broadcast 5-gram join from the HOT side
+    # (hub + boilerplate shingles repeat corpus-wide, so the bench-key
+    # join fan-out concentrates on few hashes) — the number to read
+    # is wall-time staying near-linear in rows.
+    "ds_decontaminate",
+    "ds_contamination_report",
     # the stream-stream interval join under a hub key arriving ACROSS
     # micro-batches (rehearsal-only callable, see main()): one user
     # owns n/50 events, clicks and purchases interleaved over the
