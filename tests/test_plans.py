@@ -1436,3 +1436,25 @@ def test_scan_count_audit_and_fixed_entries_stay_fixed(spark):
     assert a.table_scans.get("documents", 0) <= 4, a.table_scans
     b = audit(q85_chi2_independence(spark, SF_DIR))
     assert b.table_scans.get("documents", 0) == 1, b.table_scans
+
+
+def test_bench_tier2_split_membership():
+    """The r11 tier2 split (production-path vs labeled-twin ratios)
+    is only meaningful if the membership sets stay coherent: every
+    twin must be a tier2 member, every tier2/headline name must be a
+    registered query, and the twin set must stay exactly the
+    docstring-labeled ground-truth entries (a production entry
+    drifting into the twin set would hide its regressions from the
+    round-over-round production ratio)."""
+    import bench as benchmod
+
+    queries = entrymod.queries()
+    assert benchmod.TIER2_TWINS <= set(benchmod.TIER2_QUERIES)
+    for name in benchmod.BENCH_QUERIES + benchmod.TIER2_QUERIES:
+        assert name in queries, name
+    assert benchmod.TIER2_TWINS == {
+        "dd_containment",
+        "dd_embedding_neardup",
+        "sim_ivfpq_topk",
+        "tx_kneser_ney_logprob",
+    }
