@@ -203,7 +203,12 @@ _register(
 
 def ds_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    src_num = F.regexp_extract("source", "(\\d+)", 1).cast("int")
+    # try_cast, not cast: on a digit-less source name regexp_extract
+    # yields '' and the ANSI cast would abort the whole job (the r11
+    # adversarial sweep's only engine-killing input). NULL falls
+    # through every when() to weight 0, so the malformed source is
+    # dropped from the mixture instead of killing a 100 TB run.
+    src_num = F.regexp_extract("source", "(\\d+)", 1).try_cast("int")
     w_whole = F.when(src_num % 3 == 0, F.lit(2)).when(
         src_num % 3 == 1, F.lit(1)
     ).otherwise(F.lit(0))
@@ -231,9 +236,10 @@ _register(
     f"""
     WITH w AS (
       SELECT source, doc_id,
-             (CASE regexp_extract(source, '(\\d+)', 1)::INT % 3
+             (CASE TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
                 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
-             + (CASE WHEN regexp_extract(source, '(\\d+)', 1)::INT % 3 = 2
+             + (CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                          % 3 = 2
                       AND {_BUCKET_SQL} < 25 THEN 1 ELSE 0 END) AS n_copies
       FROM documents
     ),
@@ -289,7 +295,9 @@ def ds_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.doc_id", "s.source", "s.n_chars")
     )
     split = split_label(F.col("doc_id"))
-    src_num = F.regexp_extract("source", "(\\d+)", 1).cast("int")
+    # try_cast: digit-less source NULLs the weight (row dropped), the
+    # same robustness contract as ds_mixture_weights above.
+    src_num = F.regexp_extract("source", "(\\d+)", 1).try_cast("int")
     n_copies = (
         F.when(src_num % 3 == 0, F.lit(2))
         .when(src_num % 3 == 1, F.lit(1))
@@ -342,9 +350,10 @@ def _curation_sql() -> str:
              CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
                   WHEN {_BUCKET_SQL} < 90 THEN 'valid'
                   ELSE 'test' END AS split,
-             (CASE regexp_extract(source, '(\\d+)', 1)::INT % 3
+             (CASE TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3
                 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
-             + (CASE WHEN regexp_extract(source, '(\\d+)', 1)::INT % 3 = 2
+             + (CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                          % 3 = 2
                       AND {_BUCKET_SQL} < 25 THEN 1 ELSE 0 END) AS n_copies
       FROM deduped
     ),

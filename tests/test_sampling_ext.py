@@ -296,3 +296,59 @@ def test_null_text_fp_join_matches_window_oracle(spark, tmp_path):
     aodf = con.execute(oracle["ds_quality_ablation"]).df()
     assert_frames_match(adf, aodf, "ds_quality_ablation/null-text")
     con.close()
+
+
+def test_digitless_source_try_cast(spark, tmp_path):
+    """A digit-less source name must NULL its mixture weight (row
+    dropped), not abort the job (r11 adversarial sweep: the ANSI cast
+    of regexp_extract('') killed both engines identically — semantic
+    parity held, but one malformed source value aborting a 100 TB run
+    is the wrong production trade; r12 fix = try_cast both sides).
+    Pins value parity vs the DuckDB oracle on a corpus that mixes
+    numbered and digit-less sources."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from etl_mapwarper_spark.operators.sampling import (
+        ds_corpus_curation,
+        ds_mixture_weights,
+    )
+    from tests.oracle_utils import assert_frames_match
+
+    # texts pass the C4 predicate (>=20 tokens, 2 stopwords, low
+    # punct) so curation's quality stage keeps them; sources cycle
+    # through numbered names AND digit-less ones (the killing input)
+    def text(i):
+        words = " ".join(f"token{i}word{j}" for j in range(20))
+        return f"the quick corpus and document {words}"
+
+    sources = ["web1", "books22", "cc", "web", "crawl3", ""]
+    rows = [
+        (i, text(i), "en", sources[i % len(sources)], 120 + i)
+        for i in range(36)
+    ]
+    sf_dir = str(tmp_path / "digitless")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    oracle = entrymod.oracle_sql()
+
+    mdf = ds_mixture_weights(spark, sf_dir).toPandas()
+    modf = con.execute(oracle["ds_mixture_weights"]).df()
+    assert_frames_match(mdf, modf, "ds_mixture_weights/digitless")
+    # digit-less sources get weight 0 → absent from the mixture
+    assert not set(mdf["source"]) & {"cc", "web", ""}
+    assert {"web1", "books22", "crawl3"} <= set(mdf["source"])
+
+    cdf = ds_corpus_curation(spark, sf_dir).toPandas()
+    codf = con.execute(oracle["ds_corpus_curation"]).df()
+    assert_frames_match(cdf, codf, "ds_corpus_curation/digitless")
+    assert not set(cdf["source"]) & {"cc", "web", ""}
+    con.close()
