@@ -43,6 +43,10 @@ class PlanAudit:
     # trade and must be deliberate (r11 audit: ds_quality_ablation's
     # per-ablation-row agg+union paid 14 documents scans in one plan).
     table_scans: dict = field(default_factory=dict)
+    # total '(n) Scan parquet' nodes — the cross-check for the
+    # Location-line parse above; table_scans includes an '<unparsed>'
+    # bucket whenever the Location regex accounts for fewer scans
+    n_scan_nodes: int = 0
     has_row_python: bool = False  # BatchEvalPython (the banned node)
     arrow_python_nodes: list[str] = field(default_factory=list)
     pushed_filters: list[str] = field(default_factory=list)
@@ -99,7 +103,19 @@ def audit(df: DataFrame) -> PlanAudit:
     scans: dict = {}
     for t in re.findall(r"Location: \S+ \[[^\]]*?/(\w+)\.parquet", plan):
         scans[t] = scans.get(t, 0) + 1
+    # Cross-check against the scan NODE count: the Location regex
+    # depends on one rendering of the detail line (Spark truncates
+    # long Location lines, formats drift across versions), so if it
+    # parses fewer tables than there are Scan nodes the lens would
+    # silently undercount and its regression tests pass vacuously
+    # (r11 advice item). Surface the shortfall as an explicit
+    # '<unparsed>' bucket so audits and PLAN_AUDIT.md show it.
+    n_scan_nodes = len(re.findall(r"\(\d+\) Scan parquet\b", plan))
+    shortfall = n_scan_nodes - sum(scans.values())
+    if shortfall > 0:
+        scans["<unparsed>"] = shortfall
     a.table_scans = scans
+    a.n_scan_nodes = n_scan_nodes
     a.has_row_python = "BatchEvalPython" in nodes
     a.arrow_python_nodes = [n for n in nodes if n in _ARROW_NODES]
     a.pushed_filters = [

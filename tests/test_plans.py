@@ -1437,6 +1437,21 @@ def test_scan_count_audit_and_fixed_entries_stay_fixed(spark):
     b = audit(q85_chi2_independence(spark, SF_DIR))
     assert b.table_scans.get("documents", 0) == 1, b.table_scans
 
+    # the lens must not be vacuous (r11 advice item): the Location
+    # regex is rendering-dependent, so audit() cross-checks it against
+    # the scan-NODE count and buckets any shortfall under '<unparsed>'.
+    # In THIS environment the parse must be complete — a shortfall
+    # here means the Location rendering changed and the regex needs
+    # updating, not that the plans got cheaper.
+    for t, aud in (("ds_quality_ablation", a), ("q85", b)):
+        assert aud.n_scan_nodes > 0, t
+        assert "<unparsed>" not in aud.table_scans, (t, aud.table_scans)
+        assert sum(aud.table_scans.values()) == aud.n_scan_nodes, (
+            t,
+            aud.table_scans,
+            aud.n_scan_nodes,
+        )
+
 
 def test_bench_tier2_split_membership():
     """The r11 tier2 split (production-path vs labeled-twin ratios)

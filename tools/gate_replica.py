@@ -8,6 +8,12 @@ Usage:
   python tools/gate_replica.py all        # every registry entry
   python tools/gate_replica.py name1 ...  # specific entries
 
+Invariance knobs (each an env var; unset = driver-faithful vanilla):
+``GATE_SHUFFLE_PARTITIONS`` + ``GATE_MASTER`` (parallelism sweep,
+r10), ``GATE_AQE=false`` (adaptive-re-planning sweep, r11),
+``GATE_MAX_PARTITION_BYTES=65536`` (input-split sweep, r12 — values
+must not depend on how file scans split into read tasks).
+
 ``GATE_CHUNK=N`` restarts the vanilla session every N entries. The
 external driver never runs more than one 50-entry window per session,
 so a chunked sweep is the driver-faithful shape for the FULL registry;
@@ -52,7 +58,41 @@ def _vanilla_session():
     # the driver-faithful vanilla default (AQE on).
     aqe = os.environ.get("GATE_AQE")
     if aqe:
-        b = b.config("spark.sql.adaptive.enabled", aqe)
+        # normalize up front: an unrecognized value would otherwise
+        # fail deep inside session build with an opaque
+        # IllegalArgumentException (r11 advice item)
+        norm = {
+            "true": "true", "1": "true", "on": "true", "yes": "true",
+            "false": "false", "0": "false", "off": "false", "no": "false",
+        }.get(aqe.strip().lower())
+        if norm is None:
+            raise SystemExit(
+                f"GATE_AQE={aqe!r} not understood; use true/false "
+                "(also accepted: 1/0, on/off, yes/no)"
+            )
+        b = b.config("spark.sql.adaptive.enabled", norm)
+    # Input-split invariance sweeps (r12): results must not depend on
+    # how file scans are split into read tasks either —
+    # maxPartitionBytes forced tiny (e.g. 65536) multiplies the number
+    # of scan partitions, so a value difference means some operator
+    # leaks read-task boundaries (per-partition order, partition ids)
+    # into values. The read-side complement to the shuffle-partition
+    # sweep. Unset = the driver-faithful vanilla default (128 MiB).
+    mpb = os.environ.get("GATE_MAX_PARTITION_BYTES")
+    if mpb:
+        if not mpb.isdigit() or int(mpb) <= 0:
+            raise SystemExit(
+                f"GATE_MAX_PARTITION_BYTES={mpb!r} not understood; "
+                "use a positive byte count, e.g. 65536"
+            )
+        b = b.config("spark.sql.files.maxPartitionBytes", mpb).config(
+            # openCostInBytes pads each file's size when packing
+            # splits into tasks; at its 4 MiB default it would swamp a
+            # tiny maxPartitionBytes and the sweep would not actually
+            # multiply scan partitions on small test files
+            "spark.sql.files.openCostInBytes",
+            "0",
+        )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
