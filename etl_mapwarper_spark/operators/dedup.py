@@ -70,6 +70,17 @@ def _register(name, fn, sql=None):
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded STRING 3-shingles per doc.
+
+    Deliberately strings, not hashes: the two consumers
+    (dd_minhash_lsh, dd_bbit_minhash_lsh) build md5 seed-prefixed
+    minhash signatures that must be reproducible in the DuckDB
+    oracle, and DuckDB has no xxhash64 — so the hash-direct fast path
+    (``hashed_word_shingles``, 2× faster where the shingle is only a
+    join/dedup key) cannot be used here. A parity-harness constraint,
+    not missed headroom; see BASELINE.md "MinHash string-shingle
+    boundary" (r12).
+    """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id",
