@@ -292,6 +292,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # the cells-bounded obs relation is now persisted (6 → 1 scans,
 # classified in the BASELINE.md persist table). q85 takes the
 # q35_price_percentiles free-canary slot (q stays 7 rows).
+# Round-12 window (r11 verdict items 1+2): (a) the TWO entries whose
+# code changed this round — ds_mixture_weights + ds_corpus_curation
+# (try_cast on the regexp_extract source-id sites, both Spark and
+# oracle sides: a digit-less source NULLs its weight instead of
+# aborting the job — the r11 adversarial sweep's only engine-killing
+# input). Both re-gated oracle-green at 3 scales AND on the hostile
+# corpus, where they were the sweep's two identical-error rows.
+# (b) the complete 20-entry r5 staleness block (the verdict's named
+# rotation outlook; it projected 24, the recomputed ledger says 20),
+# restoring "no entry last-checked before r6".
+# (c) full >=2-per-family rule: mw/st/dq/pipe/pd/mm get their two
+# stalest rows each (pd has exactly two entries total, both r11 —
+# unavoidable minimum-staleness rows).
+# (d) 17 free canary slots to the stalest r6 entries (13 r6 rows
+# remain for r13: q89/q92, six sim_, three src_, two tx_, and
+# st_incremental_dedup's family peers stay covered).
+# Family counts: q=13, dd=5, ds=7, tx=5, sim=4, mm=4,
+# src/mw/st/dq/pipe/pd=2.
+_R12_PRIORITY = [
+    # --- (a) code changed r12: try_cast source-id robustness ---
+    "ds_mixture_weights",
+    "ds_corpus_curation",
+    # --- (b) the 20-entry r5 block ---
+    "dd_bbit_minhash_lsh",
+    "dd_minhash_lsh",
+    "dd_substring_span_pairs",
+    "ds_split_manifest",
+    "mm_audio_zcr",
+    "q35_price_percentiles",
+    "q90_asof_forward",
+    "q91_sql_interface",
+    "q93_asof_nearest",
+    "sim_int8_quantize_report",
+    "sim_ivfpq_recall",
+    "sim_ivfpq_topk",
+    "sim_knn_graph",
+    "src_pyds_write_roundtrip",
+    "src_xml_roundtrip",
+    "tx_bigram_logprob",
+    "tx_bpe_fertility",
+    "tx_kneser_ney_logprob",
+    "tx_logreg_train_steps",
+    "tx_pii_redact",
+    # --- (c) family minimums, stalest first per family ---
+    "mw_gcp_errors",
+    "mw_gcp_transform",
+    "st_incremental_dedup",
+    "st_dedup_watermark",
+    "dq_freshness_report",
+    "dq_observed_metrics",
+    "pipe_layer_objects",
+    "pipe_relations",
+    "pd_weighted_avg",
+    "pd_zscore",
+    "mm_audio_autocorr",
+    # --- (d) free canary slots, stalest r6 entries ---
+    "dd_cdc_chunks",
+    "dd_incremental_dedup",
+    "ds_epoch_shuffle",
+    "ds_global_row_ids",
+    "ds_pack_sequences",
+    "ds_token_budget_planner",
+    "mm_av_sync_check",
+    "mm_jpeg_roundtrip",
+    "q01_pricing_summary",
+    "q77_notin_null_semantics",
+    "q78_map_type_aggs",
+    "q79_try_functions",
+    "q80_calendar_arith",
+    "q83_explode_outer_semantics",
+    "q86_skyline",
+    "q87_mad_robust_stats",
+    "q88_argmax_aggregate",
+]
+# Round-11 window, kept for the ledger trail (superseded by
+# _R12_PRIORITY above, which _merge consumes).
 _R11_PRIORITY = [
     # --- (a) code changed r11: hash-direct shingles ---
     "dd_ngram_jaccard",
@@ -548,7 +624,7 @@ def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _registries():
         merged.update(getattr(mod, attr))
-    head = {k: merged[k] for k in _R11_PRIORITY if k in merged}
+    head = {k: merged[k] for k in _R12_PRIORITY if k in merged}
     head.update(merged)
     return head
 
