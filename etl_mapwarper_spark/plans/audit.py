@@ -101,8 +101,18 @@ def audit(df: DataFrame) -> PlanAudit:
             n_global += 1
     a.n_global_sorts = n_global
     scans: dict = {}
-    for t in re.findall(r"Location: \S+ \[[^\]]*?/(\w+)\.parquet", plan):
-        scans[t] = scans.get(t, 0) + 1
+    for loc in re.findall(r"Location: \S+ \[([^\]\n]*)", plan):
+        # canonical testdata tables render as .../<stem>.parquet;
+        # derived inputs (bucketed warehouse tables, compacted dirs)
+        # have no .parquet suffix — fall back to the last path
+        # segment so a distinct input scanned once is never lumped
+        # into a pseudo-rescan bucket
+        m = re.search(r"/(\w+)\.parquet", loc) or re.search(
+            r"/([\w.-]+)/?$", loc
+        )
+        if m:
+            t = m.group(1)
+            scans[t] = scans.get(t, 0) + 1
     # Cross-check against the scan NODE count: the Location regex
     # depends on one rendering of the detail line (Spark truncates
     # long Location lines, formats drift across versions), so if it
