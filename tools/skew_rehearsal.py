@@ -187,6 +187,14 @@ ENTRIES = [
     # is wall-time staying near-linear in rows.
     "ds_decontaminate",
     "ds_contamination_report",
+    # r12: the try_cast source-id pair. The hub + boilerplate sources
+    # are digit-less (src_hub/src_boiler — the r11 adversarial-sweep
+    # killers) while the rest are numbered, so the rehearsal exercises
+    # the malformed path inline with the normal one: digit-less
+    # weights go NULL→0 inside the scan stage and those docs drop out
+    # of the mixture; wall-time should stay scan-bound and linear.
+    "ds_mixture_weights",
+    "ds_corpus_curation",
     # the stream-stream interval join under a hub key arriving ACROSS
     # micro-batches (rehearsal-only callable, see main()): one user
     # owns n/50 events, clicks and purchases interleaved over the
