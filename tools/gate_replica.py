@@ -98,6 +98,40 @@ def _vanilla_session():
     return spark
 
 
+def _relaunch_session(old):
+    """Tear down a (possibly dead) session and launch a genuinely
+    fresh JVM.
+
+    When a chunk JVM dies mid-entry (heap OOM on a heavy entry —
+    the dd_containment class), PySpark keeps the dead gateway cached
+    on SparkContext/SparkSession, so a plain stop()+getOrCreate()
+    dials the corpse and every remaining entry in the sweep fails
+    with ConnectionRefused (r12: two full sf0.1 sweeps lost this
+    way). Clearing the cached gateway/JVM handles makes the next
+    builder call fork a new JVM, so a sweep survives a single
+    entry's JVM death instead of poisoning the tail."""
+    try:
+        old.stop()
+    except Exception:  # noqa: BLE001 — the JVM may already be gone
+        pass
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkContext._active_spark_context = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    return _vanilla_session()
+
+
+def _session_alive(spark) -> bool:
+    try:
+        return spark.sql("SELECT 1").collect()[0][0] == 1
+    except Exception:  # noqa: BLE001 — any failure means dead
+        return False
+
+
 def main() -> int:
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -134,38 +168,54 @@ def main() -> int:
     default_chunk = "25" if args == ["all"] else "0"
     chunk = int(os.environ.get("GATE_CHUNK", default_chunk))
     fails = []
+
+    def run_one(name):
+        """Returns (ok: bool, report: dict-or-'ok'-or-None)."""
+        sp = qs[name](spark, sf).toPandas()
+        if name not in osql:
+            return True, {"rows": len(sp), "oracle": None}
+        od = con.execute(osql[name]).df()
+        cols = sorted(sp.columns)
+        ok_schema = cols == sorted(od.columns)
+        a = sorted(map(repr, sp[cols].itertuples(index=False, name=None)))
+        b = sorted(map(repr, od[cols].itertuples(index=False, name=None)))
+        if ok_schema and len(sp) == len(od) and a == b:
+            return True, "ok"
+        return False, {
+            "rows": [len(sp), len(od)],
+            "schema": ok_schema,
+            "values": a == b,
+        }
+
     for idx, name in enumerate(names):
         if chunk and idx and idx % chunk == 0:
-            spark.stop()
-            spark = _vanilla_session()
+            spark = _relaunch_session(spark)
         try:
-            sp = qs[name](spark, sf).toPandas()
-            if name not in osql:
-                print(json.dumps({name: {"rows": len(sp), "oracle": None}}))
-                continue
-            od = con.execute(osql[name]).df()
-            cols = sorted(sp.columns)
-            ok_schema = cols == sorted(od.columns)
-            a = sorted(map(repr, sp[cols].itertuples(index=False, name=None)))
-            b = sorted(map(repr, od[cols].itertuples(index=False, name=None)))
-            ok = ok_schema and len(sp) == len(od) and a == b
-            if ok:
-                print(json.dumps({name: "ok"}), flush=True)
-            else:
+            ok, report = run_one(name)
+            if not ok:
                 fails.append(name)
-                print(
-                    json.dumps(
-                        {
-                            name: {
-                                "rows": [len(sp), len(od)],
-                                "schema": ok_schema,
-                                "values": a == b,
-                            }
-                        }
-                    ),
-                    flush=True,
-                )
+            print(json.dumps({name: report}), flush=True)
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            # If the failure killed (or found dead) the chunk JVM,
+            # relaunch and retry the entry ONCE on a fresh session:
+            # an entry that merely shared a chunk with a heap-hungry
+            # predecessor is not a failure, and an entry whose own
+            # error reproduces on a fresh JVM is a real one.
+            if not _session_alive(spark):
+                spark = _relaunch_session(spark)
+                try:
+                    ok, report = run_one(name)
+                    if not ok:
+                        fails.append(name)
+                    print(
+                        json.dumps({name: report, f"{name}:note": "retried on fresh JVM"}),
+                        flush=True,
+                    )
+                    continue
+                except Exception as e2:  # noqa: BLE001
+                    if not _session_alive(spark):
+                        spark = _relaunch_session(spark)
+                    e = e2
             fails.append(name)
             print(json.dumps({name: {"err": repr(e)[:300]}}), flush=True)
         finally:
