@@ -34,7 +34,11 @@ from ..functions.text import (
     tokens,
     word_shingles,
 )
-from ..functions.vectors import cosine_similarity, to_double_array
+from ..functions.vectors import (
+    EMB_DIM as _EMB_DIM,
+    cosine_similarity,
+    to_double_array,
+)
 from ..sources.tables import load_table
 
 QUERIES = {}
@@ -867,7 +871,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 4)
+    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v"), _EMB_DIM), 4)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cos", cos)

@@ -24,7 +24,12 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..functions.dist_rank import ranked_in_groups
-from ..functions.vectors import cosine_similarity, to_double_array
+from ..functions.vectors import (
+    EMB_DIM as _EMB_DIM,
+    cosine_similarity,
+    sq_dist,
+    to_double_array,
+)
 from ..sources.tables import load_table
 
 QUERIES = {}
@@ -268,7 +273,6 @@ _register(
 # ---------------------------------------------------------------------------
 
 N_PROBE_CELLS = 2
-_EMB_DIM = 64
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,14 +434,6 @@ _register(
 KMEANS_K = 4
 
 
-def _sq_dist(v, c):
-    return F.aggregate(
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
@@ -448,7 +444,7 @@ def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(cents: DataFrame) -> DataFrame:
         j = emb.crossJoin(broadcast(cents)).withColumn(
-            "d2", _sq_dist(F.col("v"), F.col("c"))
+            "d2", sq_dist(F.col("v"), F.col("c"))
         )
         w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
         return (
@@ -885,7 +881,7 @@ def sim_l2_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = emb.join(
         broadcast(probes), F.col("vec_id") != F.col("probe_id")
-    ).withColumn("d2", F.round(_pq_d2(F.col("pv"), F.col("v")), 6))
+    ).withColumn("d2", F.round(sq_dist(F.col("pv"), F.col("v")), 6))
     w = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
