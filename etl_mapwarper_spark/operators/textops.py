@@ -224,12 +224,14 @@ def tx_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted HOF lambdas), turning tokenization O(tokens²)/doc.
     t = tokens(F.col("text"))
     length = F.greatest(F.size(t) - 1, F.lit(0))
-    bigrams = F.transform(
-        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
-        lambda s: F.concat_ws(" ", s["0"], s["1"]),
-    )
+    # r12: explode the zipped pair structs directly and concat in the
+    # post-explode codegen projection — the interpreted HOF lambda
+    # (one concat_ws string allocation per element, per instance)
+    # disappears; the Generate emits the same number of rows.
+    pairs = F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.explode(pairs).alias("s"))
+        .select(F.concat_ws(" ", F.col("s.0"), F.col("s.1")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
@@ -1001,8 +1003,19 @@ def tx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     top = exact.orderBy(F.desc("n"), F.asc("term")).limit(_CMS_TOP)
+    # The sketch counts INSTANCES per (row, bucket) cell, but every
+    # instance of a term lands in the same d cells — so the cell count
+    # is exactly the sum of the exact per-TYPE counts hashing there.
+    # Deriving the sketch from `exact` (r12, guide §2.3/§2.4) reuses
+    # the type aggregate's exchange (one corpus tokenize+explode pass
+    # instead of two) and pays the d md5 bucket hashes once per
+    # vocabulary TYPE instead of once per corpus instance — at 100 TB
+    # vocab ≪ instances, locally ~4 orders of magnitude less hashing.
+    # Cell values are identical integers; the sketch stays mergeable
+    # (sums of sums).
     sketch = (
-        toks.select(
+        exact.select(
+            "n",
             F.explode(
                 F.array(
                     *[
@@ -1013,10 +1026,10 @@ def tx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(_CMS_D)
                     ]
                 )
-            ).alias("ib")
+            ).alias("ib"),
         )
         .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
     probes = top.select(
         "term",
@@ -1202,20 +1215,32 @@ def _bigram_instances(docs, with_w2: bool = False):
     explode of adjacent-token pairs, keys reduced to 8-byte xxhash64
     immediately so no string ever shuffles. The arrays_zip/slice
     construction is deliberate — see functions/text.py on the
-    interpreted-HOF O(tokens^2) indexing trap this shape avoids."""
+    interpreted-HOF O(tokens^2) indexing trap this shape avoids.
+
+    r12: the zipped token-pair structs explode DIRECTLY (no transform
+    lambda at all) and the keys hash the pair multi-column —
+    ``xxhash64(w1, w2)`` — in the post-explode codegen projection.
+    The previous shape concat_ws'd every pair into a bigram string
+    inside an interpreted HOF lambda, then re-split that string per
+    instance for w1/w2: one string allocation + one hash-of-longer-
+    string + (for consumers of w1h/w2h) a split per corpus bigram
+    instance, all gone. Pair identity is unchanged — tokens contain
+    no spaces, so concat-with-space and the multi-column hash induce
+    the same equivalence classes on pairs (modulo the registry-wide
+    2^-64 hash-collision exposure). Consumers that join these keys
+    against a MATERIALIZED bigram-string artifact must hash the
+    artifact side pair-wise too (tx_kneser_ney_fp splits its
+    vocab²-bounded lp table once)."""
     t = tokens(F.col("text"))
     length = F.greatest(F.size(t) - 1, F.lit(0))
-    bigrams = F.transform(
-        F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
-        lambda s: F.concat_ws(" ", s["0"], s["1"]),
-    )
+    pairs = F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length))
     cols = [
-        F.xxhash64("b").alias("bh"),
-        F.xxhash64(F.split("b", " ")[0]).alias("w1h"),
+        F.xxhash64(F.col("s.0"), F.col("s.1")).alias("bh"),
+        F.xxhash64(F.col("s.0")).alias("w1h"),
     ]
     if with_w2:
-        cols.append(F.xxhash64(F.split("b", " ")[1]).alias("w2h"))
-    return docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        cols.append(F.xxhash64(F.col("s.1")).alias("w2h"))
+    return docs.select("doc_id", F.explode(pairs).alias("s")).select(
         "doc_id", *cols
     )
 
@@ -1248,12 +1273,19 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     t = tokens(F.col("text"))
     length = F.greatest(F.size(t) - 1, F.lit(0))
+    # r12: the tagged structs carry the raw TOKEN references (w2 NULL
+    # for unigram rows) and the interpreted HOF lambdas do no hashing
+    # — both keys are computed AFTER the explode in one codegen
+    # projection. xxhash64 skips NULL columns (the seed passes
+    # through), so the single expression xxhash64(w1, w2) is the
+    # unigram token hash when w2 IS NULL and the pair hash otherwise —
+    # the exact keys _bigram_instances emits on the score side.
     uni_structs = F.transform(
         t,
         lambda w: F.struct(
             F.lit(1).alias("kind"),
-            F.xxhash64(w).alias("h"),
-            F.xxhash64(w).alias("w1h"),
+            w.alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
         ),
     )
     # arrays_zip/slice, not element_at-in-transform — see
@@ -1262,14 +1294,14 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.arrays_zip(F.slice(t, 1, length), F.slice(t, 2, length)),
         lambda s: F.struct(
             F.lit(2).alias("kind"),
-            F.xxhash64(F.concat_ws(" ", s["0"], s["1"])).alias("h"),
-            F.xxhash64(s["0"]).alias("w1h"),
+            s["0"].alias("w1"),
+            s["1"].alias("w2"),
         ),
     )
-    # groupBy(h) ALONE: token strings contain no space and bigram
-    # strings always do, so the two hash key spaces are disjoint
-    # (modulo the same 2^-64 xxhash64 collision exposure every
-    # hash-keyed join in this registry accepts) and one h-keyed
+    # groupBy(h) ALONE: the unigram keys are one-column hashes and the
+    # bigram keys two-column chained hashes, so the two key spaces
+    # collide only with the same 2^-64 xxhash64 exposure every
+    # hash-keyed join in this registry accepts, and one h-keyed
     # aggregate counts both populations. kind is recovered as an
     # AGGREGATE (min over the group) precisely so the kind filters
     # below CANNOT be pushed beneath the aggregate — a pushed
@@ -1281,7 +1313,11 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.explode(F.concat(uni_structs, bi_structs)).alias("i")
         )
-        .select("i.kind", "i.h", "i.w1h")
+        .select(
+            "i.kind",
+            F.xxhash64(F.col("i.w1"), F.col("i.w2")).alias("h"),
+            F.xxhash64(F.col("i.w1")).alias("w1h"),
+        )
         .groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("c"),
@@ -2656,10 +2692,17 @@ def tx_kneser_ney_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture parquet. Past the gate AQE decides and the score join
     # shuffles on the 8-byte hash key; keys drop to xxhash64 at the
     # scan so no string rides the join either way.
+    # The artifact stores the bigram as its STRING form; the instance
+    # stream keys on the multi-column pair hash (r12, see
+    # _bigram_instances), so split the vocab²-bounded artifact once
+    # and hash pair-wise — the corpus-scale side never concatenates.
     lptab = (
         spark.read.schema("b string, lp double")
         .parquet(lp_path)
-        .select(F.xxhash64("b").alias("bh"), "lp")
+        .select(F.split("b", " ").alias("bs"), "lp")
+        .select(
+            F.xxhash64(F.col("bs")[0], F.col("bs")[1]).alias("bh"), "lp"
+        )
     )
     if _input_bytes(lp_path) <= _BLM_BCAST_MAX_INPUT:
         lptab = broadcast(lptab)
