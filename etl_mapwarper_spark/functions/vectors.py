@@ -10,8 +10,7 @@ Two expression shapes per kernel, value-identical:
 - ``dim=None`` (default): higher-order ``zip_with``/``aggregate`` fold.
   Handles any array length, but HOF lambdas are *interpreted* — every
   element pays a lambda invocation, and ``zip_with`` materializes the
-  elementwise product array per row (r12 measured the fold at 2.3× the
-  unrolled form on the quadratic dd_embedding_neardup pair scan).
+  elementwise product array per row.
 - ``dim=k``: the same left-to-right chain unrolled to ``k`` positional
   terms (``lit(0.0) + a[0]*b[0] + a[1]*b[1] + …``) — plain codegen-able
   arithmetic, no lambda machinery, no intermediate array. The addition
@@ -32,7 +31,16 @@ Two expression shapes per kernel, value-identical:
   method-size limit — ~1000 terms in one projection silently drops the
   stage to interpreted mode (measured on the PQ ADC expression, see
   operators/similarity.py::_pq_d2, which stays a fold for exactly that
-  reason).
+  reason);
+- and beware the JIT cliff BELOW the janino limit: an unrolled
+  expression whose whole-stage-codegen method compiles but exceeds
+  HotSpot's per-method JIT size runs in the bytecode interpreter —
+  measured r12 on dd_embedding_neardup's pair stage, where a 64-term
+  unrolled dot WSCG-compiled and ran 5.9× SLOWER than the fold (7.4 s
+  vs 1.26 s); per-site A/B is mandatory before opting into ``dim=``.
+  The current winning split (dd_embedding_neardup): unrolled kernels
+  in small per-row projections (the O(n) norm precompute), the fold
+  for the dot inside the quadratic pair stage.
 
 At 100 TB scale the brute-force path is a crossed join; see
 operators/similarity.py for the LSH-bucketed variant that bounds the

@@ -37,6 +37,8 @@ from ..functions.text import (
 from ..functions.vectors import (
     EMB_DIM as _EMB_DIM,
     cosine_similarity,
+    dot,
+    l2_norm,
     to_double_array,
 )
 from ..sources.tables import load_table
@@ -866,12 +868,29 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it is NOT the production path). The scale path is SRP-bucketed
     candidate generation — dd_semantic_clusters below, sim_srp_lsh /
     sim_knn_graph on the search side."""
+    # Norms are precomputed per VECTOR (O(n), one unrolled 64-term sum
+    # each, _EMB_DIM contract) instead of inline in the pair expression
+    # (O(n²), 128 extra terms per pair); the pair stage keeps only the
+    # dot product. Value-identical: cos = dot/(sqrt(Σa²)·sqrt(Σb²))
+    # runs the exact same double ops in the same order, just with the
+    # per-side sqrt evaluated before the join (r12 bit-identity pin in
+    # tests/test_vector_kernels.py). The pair-stage dot stays the HOF
+    # FOLD on purpose — measured r12, interleaved min-of-5 at sf0.1:
+    # fold 1.26 s; unrolled-dot 7.4 s (its WSCG stage compiles into
+    # one method past HotSpot's JIT size limit and runs un-JITted);
+    # r11 all-inline unrolled 1.63 s + a doomed-compile first run
+    # (janino 64 KB), r11 all-inline fold 3.36 s.
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
+    emb = emb.withColumn("nrm", l2_norm(F.col("v"), _EMB_DIM))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v"), _EMB_DIM), 4)
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cos", cos)

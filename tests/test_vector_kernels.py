@@ -76,3 +76,32 @@ def test_vector_kernel_unroll_parity(spark):
     for r in nout:
         assert r.dot_u is None
         assert r.dot_f is None
+
+
+def test_precomputed_norm_cosine_bit_identity(spark):
+    """dd_embedding_neardup's r12 shape — norms computed in a projection
+    BEFORE the pair stage, cosine = dot/(nrm_a*nrm_b) — must be
+    bit-identical to the inline cosine_similarity form (same ops, same
+    order; only the evaluation site of the per-side sqrt moves)."""
+    rng = random.Random(4321)
+    dim = 64
+    rows = [
+        (
+            [rng.uniform(-3, 3) for _ in range(dim)],
+            [rng.uniform(-3, 3) for _ in range(dim)],
+        )
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    pre = df.withColumn("na", l2_norm(F.col("a"), dim)).withColumn(
+        "nb", l2_norm(F.col("b"), dim)
+    )
+    out = pre.select(
+        (
+            dot(F.col("a"), F.col("b"), dim)
+            / (F.col("na") * F.col("nb"))
+        ).alias("cos_pre"),
+        cosine_similarity(F.col("a"), F.col("b"), dim).alias("cos_inl"),
+    ).collect()
+    for r in out:
+        assert _bits(r.cos_pre) == _bits(r.cos_inl)
