@@ -8,8 +8,11 @@ Methodology (documented in BASELINE.md §bench):
   fully evaluated (a bare .count() would let Catalyst prune the
   projections being measured).
 - The session is warmed first (one trivial job + one trivial
-  pandas_udf job) so no query pays SparkSession/Python-worker
-  bring-up.
+  pandas_udf job, plus the r12 extended JIT warmup over SYNTHETIC
+  generated data — see _warm_session_jit; the benched tables are
+  never touched before timing) so no query pays SparkSession/
+  Python-worker bring-up and early-position queries stop paying the
+  JVM's JIT ramp (a per-position artifact, not a plan property).
 - Each query runs five times on BOTH sides (engine and oracle — same
   treatment, override with $SPARK_GRAFT_BENCH_RUNS); the headline
   per-query number is the MIN (steady-state). The first-run (cold)
@@ -179,6 +182,67 @@ def _load_state() -> dict:
     }
 
 
+def _warm_session_jit(spark) -> None:
+    """Extended JIT warmup on SYNTHETIC generated data — never the
+    benched tables, so nothing here can precompute or cache any
+    benched result (r12, guide §1). Rationale: the first ~10 jobs of
+    a fresh JVM run with Catalyst, janino, the parquet reader and the
+    shuffle machinery still interpreting (HotSpot tiers them up only
+    after thousands of calls), so whichever queries happen to sit
+    early in BENCH_QUERIES pay a position penalty that has nothing to
+    do with their plans: measured r12, q01 reads 0.80 s steady as
+    bench-entry #1 but 0.15-0.37 s later in the same session, and an
+    interleaved A/B of this warmup pulled q01 to 0.19-0.20 s while
+    queries late in the list were unchanged. The mix below exercises
+    the hot code paths shared by the headline set: parquet scan →
+    filter → hash aggregate, broadcast join → window → sort, and
+    explode → shuffle aggregate → join."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tmp = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        base = spark.range(0, 200_000).select(
+            F.col("id"),
+            (F.col("id") % 997).alias("k"),
+            (F.col("id") % 31).alias("g"),
+            F.concat_ws(
+                " ",
+                F.lit("a"),
+                (F.col("id") % 100).cast("string"),
+                F.lit("c"),
+            ).alias("txt"),
+            (F.rand(7) * 100).alias("x"),
+        )
+        base.write.mode("overwrite").parquet(tmp + "/t.parquet")
+        pq = spark.read.parquet(tmp + "/t.parquet")
+        dim = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("kv")
+        )
+        w = Window.partitionBy("g").orderBy("x")
+        for _ in range(12):
+            pq.filter(F.col("x") > 1.0).groupBy("g").agg(
+                F.sum("x"), F.count(F.lit(1)), F.min("k"), F.max("id")
+            ).write.mode("overwrite").format("noop").save()
+            pq.join(F.broadcast(dim), "k").withColumn(
+                "r", F.row_number().over(w)
+            ).filter(F.col("r") <= 3).orderBy("g", "r").write.mode(
+                "overwrite"
+            ).format("noop").save()
+            e = pq.select(
+                "g", F.explode(F.split("txt", " ")).alias("term")
+            )
+            ag = e.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+            ag.join(ag.selectExpr("term", "n AS n2"), "term").groupBy().agg(
+                F.sum("n")
+            ).write.mode("overwrite").format("noop").save()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -197,6 +261,11 @@ def main() -> None:
     spark.range(100).select(ident("id").alias("x")).write.mode(
         "overwrite"
     ).format("noop").save()
+    # Extended JIT warmup (synthetic data only; see docstring). Opt
+    # out with SPARK_GRAFT_BENCH_WARM=min to reproduce pre-r12
+    # methodology.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "") != "min":
+        _warm_session_jit(spark)
 
     import __spark_entry__ as entrymod
 
@@ -368,7 +437,7 @@ def main() -> None:
                     f"{t2_runs}; iterative entries run bounded jobs at "
                     "construction by design",
                 },
-                "methodology": f"noop sink; warmed session; construction-action-free queries (pinned by test) timed over execution only; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
+                "methodology": f"noop sink; warmed session (incl. r12 extended JIT warmup on synthetic data, never the benched tables); construction-action-free queries (pinned by test) timed over execution only; min of {n_runs} runs both sides (cold run reported separately); DuckDB oracle timed back-to-back same process",
                 "load_state": {
                     "start": load_state_start,
                     "end": load_state_end,
