@@ -105,3 +105,21 @@ def test_precomputed_norm_cosine_bit_identity(spark):
     ).collect()
     for r in out:
         assert _bits(r.cos_pre) == _bits(r.cos_inl)
+
+
+def test_l2_norm_sql_bit_identity(spark):
+    """l2_norm_sql (one parsed SQL string) must build the identical
+    unrolled tree as the py4j Column form — bit-identical results."""
+    rng = random.Random(99)
+    rows = [([rng.uniform(-3, 3) for _ in range(64)],) for _ in range(100)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    from etl_mapwarper_spark.functions.vectors import l2_norm_sql
+
+    out = df.select(
+        l2_norm(F.col("v"), 64).alias("py"),
+        l2_norm_sql("v", 64).alias("sq"),
+        l2_norm(F.col("v")).alias("fold"),
+    ).collect()
+    for r in out:
+        assert _bits(r.py) == _bits(r.sq)
+        assert _bits(r.fold) == _bits(r.sq)
