@@ -292,28 +292,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # the cells-bounded obs relation is now persisted (6 → 1 scans,
 # classified in the BASELINE.md persist table). q85 takes the
 # q35_price_percentiles free-canary slot (q stays 7 rows).
-# Round-12 window (r11 verdict items 1+2): (a) the TWO entries whose
-# code changed this round — ds_mixture_weights + ds_corpus_curation
-# (try_cast on the regexp_extract source-id sites, both Spark and
-# oracle sides: a digit-less source NULLs its weight instead of
-# aborting the job — the r11 adversarial sweep's only engine-killing
-# input). Both re-gated oracle-green at 3 scales AND on the hostile
-# corpus, where they were the sweep's two identical-error rows.
+# Round-12 window (r11 verdict items 1+2, extended by the r12
+# optimization sessions): (a) the EIGHT entries whose code changed
+# this round — ds_mixture_weights + ds_corpus_curation (try_cast on
+# the regexp_extract source-id sites, both Spark and oracle sides: a
+# digit-less source NULLs its weight instead of aborting the job —
+# the r11 adversarial sweep's only engine-killing input; both
+# re-gated oracle-green at 3 scales AND on the hostile corpus) plus
+# the six optimization-touched entries (dd_embedding_neardup norm
+# precompute, tx_heavy_hitters_cms sketch-from-types, tx_top_bigrams
+# + tx_kneser_ney_fp pair-wise bigram hashing, sim_kmeans_2iter +
+# sim_l2_bruteforce_topk shared sq_dist kernel; tx_bigram_logprob
+# and tx_kneser_ney_logprob were already seated in block (b)).
 # (b) the complete 20-entry r5 staleness block (the verdict's named
 # rotation outlook; it projected 24, the recomputed ledger says 20),
 # restoring "no entry last-checked before r6".
 # (c) full >=2-per-family rule: mw/st/dq/pipe/pd/mm get their two
 # stalest rows each (pd has exactly two entries total, both r11 —
 # unavoidable minimum-staleness rows).
-# (d) 17 free canary slots to the stalest r6 entries (13 r6 rows
-# remain for r13: q89/q92, six sim_, three src_, two tx_, and
-# st_incremental_dedup's family peers stay covered).
-# Family counts: q=13, dd=5, ds=7, tx=5, sim=4, mm=4,
+# (d) 11 free canary slots to the stalest r6 entries (q77-q86 were
+# released back to the r13 rotation when block (a) grew to eight; 19
+# r6 rows now remain for r13).
+# Family counts: q=7, dd=6, ds=7, tx=8, sim=6, mm=4,
 # src/mw/st/dq/pipe/pd=2.
 _R12_PRIORITY = [
-    # --- (a) code changed r12: try_cast source-id robustness ---
+    # --- (a) code changed r12: try_cast source-id robustness, plus
+    # the r12 optimization sites (norm-precompute neardup, CMS
+    # sketch-from-types, pair-wise bigram hashing, shared sq_dist
+    # kernels) — every entry whose plan or expression tree moved this
+    # round sits in the window per the rotation rule; six of the (d)
+    # free canaries below were released to make room (q77-q86 stay r6
+    # for the r13 rotation) ---
     "ds_mixture_weights",
     "ds_corpus_curation",
+    "dd_embedding_neardup",
+    "tx_heavy_hitters_cms",
+    "tx_top_bigrams",
+    "tx_kneser_ney_fp",
+    "sim_kmeans_2iter",
+    "sim_l2_bruteforce_topk",
     # --- (b) the 20-entry r5 block ---
     "dd_bbit_minhash_lsh",
     "dd_minhash_lsh",
@@ -357,12 +374,6 @@ _R12_PRIORITY = [
     "mm_av_sync_check",
     "mm_jpeg_roundtrip",
     "q01_pricing_summary",
-    "q77_notin_null_semantics",
-    "q78_map_type_aggs",
-    "q79_try_functions",
-    "q80_calendar_arith",
-    "q83_explode_outer_semantics",
-    "q86_skyline",
     "q87_mad_robust_stats",
     "q88_argmax_aggregate",
 ]
