@@ -204,6 +204,7 @@ def _warm_session_jit(spark) -> None:
     from pyspark.sql.window import Window
 
     tmp = tempfile.mkdtemp(prefix="bench_warm_")
+    spark.sparkContext.setJobDescription("bench warmup: synthetic JIT mix")
     try:
         base = spark.range(0, 200_000).select(
             F.col("id"),
@@ -252,6 +253,7 @@ def main() -> None:
     # Warm the session: first job pays scheduler/codegen bring-up, the
     # pandas_udf job forks the Python worker daemon. Neither touches
     # the benched queries.
+    spark.sparkContext.setJobDescription("bench warmup: session bring-up")
     spark.range(1000).selectExpr("sum(id) AS s").write.mode(
         "overwrite"
     ).format("noop").save()
@@ -305,6 +307,10 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = queries[name]
         runs = []
+        # Label the jobs (guide §1.5) so the UI / event log attributes
+        # every stage to its query. setJobDescription is a driver-side
+        # local-property write, called BEFORE the timer starts.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         for _ in range(n_runs):
             # Timed from the noop write: plan construction (py4j
             # expression building, ~0.1 s/query) is excluded so the
@@ -369,6 +375,7 @@ def main() -> None:
     for name in TIER2_QUERIES:
         fn = queries[name]
         runs = []
+        spark.sparkContext.setJobDescription(f"tier2: {name}")
         for _ in range(t2_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -385,6 +392,7 @@ def main() -> None:
                 t2_oracle[name] = round(min(oruns), 3)
             except Exception:
                 pass
+    spark.sparkContext.setJobDescription(None)
     t2_ok = [q for q in TIER2_QUERIES if q in t2_oracle]
     t2_total_ok = round(sum(t2_steady[q] for q in t2_ok), 3)
     t2_oracle_total = round(sum(t2_oracle.values()), 3)
