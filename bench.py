@@ -404,8 +404,7 @@ def main() -> None:
         orc = sum(t2_oracle[q] for q in names)
         return round(eng / orc, 3) if orc else None
     load_state_end = _load_state()
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_queries_wallclock",
                 "value": total,
@@ -482,7 +481,22 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
-    )
+    print(line)
+    # r12 verdict item 2 (harness contract hardening, guide §1): the
+    # one-line stdout JSON is the driver contract, but a truncated
+    # stdout tail nulled the r12 round-over-round comparison, so the
+    # SAME line is also atomic-written (temp + rename) next to this
+    # file as BENCH_LAST.json — byte-identical to the printed line.
+    try:
+        dest = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        )
+        tmp = f"{dest}.tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(line)
+        os.replace(tmp, dest)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":
