@@ -68,3 +68,67 @@ def test_admission_single_join_equals_anti_semi(spark):
         landed.select("fp", F.lit(True).alias("_seen")), "fp", "left"
     ).count()
     assert n_batch == n_flagged, "distinct landed side must not fan out"
+
+
+def test_bloom_confirm_inner_equals_semi(spark):
+    """dd_bloom_incremental (r13) confirms maybes with an inner join
+    against the DISTINCT landed set instead of a left_semi against the
+    raw one (Catalyst pushes semi joins below the Bloom probe — see
+    _bloom_route). On a distinct build side the two are row-identical,
+    and the union-aggregated report must match the join-stitched one."""
+    from etl_mapwarper_spark.operators.dedup import (
+        _INCR_SPLIT,
+        _bloom_route,
+        doc_fingerprint,
+    )
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fp")
+    )
+    landed = docs.filter(F.col("doc_id") < _INCR_SPLIT).select("fp")
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+
+    new = _bloom_route(landed, batch, landed.distinct())
+
+    # the replaced r6-r12 report: semi-join confirm + two groupBys
+    # stitched with a left join
+    rejected = (
+        batch.join(landed, "fp", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rejected"))
+    )
+    totals = batch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch")
+    )
+    old = totals.join(rejected, "source", "left").select(
+        "source",
+        (F.col("n_batch") - F.coalesce("n_rejected", F.lit(0))).alias(
+            "n_admitted"
+        ),
+        F.coalesce("n_rejected", F.lit(0)).alias("n_rejected"),
+        "n_batch",
+    )
+    a = sorted(map(tuple, old.collect()))
+    b = sorted(map(tuple, new.collect()))
+    assert a == b, "union-aggregated Bloom report must match join form"
+
+
+def test_bloom_confirm_sits_above_probe(spark):
+    """The exact confirm join must consume the Bloom probe's output
+    (prune first, confirm the survivors) — the property Catalyst's
+    PushDownLeftSemiAntiJoin silently destroyed in the r6-r12 semi
+    shape by running the confirm on every batch row."""
+    import re
+
+    from tests.test_plans import plan_of
+
+    for name in ("dd_bloom_incremental", "dd_bloom_incremental_fp"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        m_confirm = re.search(r"BroadcastHashJoin Inner", tree)
+        m_probe = re.search(r"BroadcastNestedLoopJoin Cross", tree)
+        assert m_confirm and m_probe, f"{name}: expected joins missing"
+        assert m_confirm.start() < m_probe.start(), (
+            f"{name}: confirm join was pushed below the Bloom probe"
+        )
