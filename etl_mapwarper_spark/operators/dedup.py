@@ -57,6 +57,28 @@ JACCARD_THRESHOLD = 0.8
 _PP_DEN = 10_000
 _PP_NUM = int(round(JACCARD_THRESHOLD * _PP_DEN)) - 1
 
+# SQL form of array_sort(hashed_word_shingles(tokens(text), 3)) for the
+# exact-path record store — ONE parsed string instead of ~40 py4j
+# Column calls (the l2_norm_sql pattern, r12). The lambda variable is
+# named x_1 so the parsed tree matches the Python HOF API's naming;
+# plan identity vs the Column form is pinned in
+# tests/test_r13_rewrites.py.
+_NGRAM_TOKS = "split(text, ' ')"
+_NGRAM_LEN = f"greatest(size({_NGRAM_TOKS}) - 2, 0)"
+_NGRAM_HS_SQL = (
+    "array_sort(array_distinct(transform(arrays_zip("
+    + ", ".join(f"slice({_NGRAM_TOKS}, {j + 1}, {_NGRAM_LEN})" for j in range(3))
+    + "), x_1 -> xxhash64(x_1.`0`, x_1.`1`, x_1.`2`)))) AS hs"
+)
+
+# SQL form of explode(word_shingles(tokens(text), 3)) for _shingles —
+# same pattern, string shingles (the md5-signature parity boundary).
+_SHINGLE_SQL = (
+    "explode(array_distinct(transform(arrays_zip("
+    + ", ".join(f"slice({_NGRAM_TOKS}, {j + 1}, {_NGRAM_LEN})" for j in range(3))
+    + "), x_1 -> concat_ws(' ', x_1.`0`, x_1.`1`, x_1.`2`))))"
+)
+
 # Shared CTE for the oracle side: distinct word 3-gram shingles.
 _SH_CTE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -88,10 +110,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary" (r12).
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    return docs.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle"),
-    )
+    # SQL form of explode(word_shingles(tokens(text), 3)) — one parsed
+    # string instead of ~40 py4j Column calls (r13, the l2_norm_sql
+    # pattern); plan identity vs the Column form is pinned in
+    # tests/test_r13_rewrites.py.
+    return docs.select("doc_id", F.expr(_SHINGLE_SQL).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -214,16 +237,25 @@ def dd_ngram_jaccard(
         # xxhash64-of-string — and the verify stage's array_intersect
         # is order/value-agnostic up to the same 2^-64 collision
         # caveat the old form carried.
-        arrs = docs.select(
-            "doc_id",
-            F.array_sort(
-                hashed_word_shingles(tokens(F.col("text")), 3)
-            ).alias("hs"),
+        #
+        # r13 (l2_norm_sql pattern, guide §4 driver boundary): the
+        # exact path's expression trees are built from parsed SQL
+        # strings instead of py4j Column algebra — one JVM round-trip
+        # per tree instead of one per node. _NGRAM_HS_SQL is the
+        # verbatim SQL form of
+        # array_sort(hashed_word_shingles(tokens(text), 3)); the
+        # normalized physical plan is identical to the Column form
+        # (pinned in tests/test_r13_rewrites.py). Construction
+        # measured 0.43 → 0.19 s at sf0.1 — this entry feeds
+        # dd_lsh_tuning_report, whose tier2 clock times construction.
+        #
         # n as LONG: every prune product below (n·10000, (n1+n2)·7999,
-        # ubound·17999) must run in 64-bit — F.size() is int32 and a
+        # ubound·17999) must run in 64-bit — size() is int32 and a
         # ~120k-shingle document would silently wrap the positional
         # bound negative, dropping a true pair from the exact path.
-        ).select("doc_id", "hs", F.size("hs").cast("long").alias("n"))
+        arrs = docs.select("doc_id", F.expr(_NGRAM_HS_SQL)).select(
+            "doc_id", "hs", F.expr("cast(size(hs) AS bigint) AS n")
+        )
         # The tokenized record store is REUSED three times (prefix
         # explode + both verify sides) — persist it (lazy, no
         # construction job) instead of re-shingling the corpus per
@@ -238,19 +270,9 @@ def dd_ngram_jaccard(
         pfx = arrs.select(
             "doc_id",
             "n",
-            F.posexplode(
-                F.slice(
-                    "hs",
-                    F.lit(1),
-                    (
-                        F.col("n")
-                        - F.expr(
-                            f"({_PP_NUM} * n + {_PP_DEN - 1})"
-                            f" div {_PP_DEN}"
-                        )
-                        + F.lit(1)
-                    ).cast("int"),
-                )
+            F.expr(
+                f"posexplode(slice(hs, 1, cast(n - (({_PP_NUM} * n"
+                f" + {_PP_DEN - 1}) div {_PP_DEN}) + 1 AS int)))"
             ).alias("p", "h"),
         )
         # No manual repartition and no join hint: the candidate join
@@ -276,26 +298,16 @@ def dd_ngram_jaccard(
             pfx.alias("a")
             .join(
                 pfx.alias("b"),
-                (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id"))
-                & (F.col("a.n") * _PP_DEN >= F.col("b.n") * _PP_NUM)
-                & (F.col("b.n") * _PP_DEN >= F.col("a.n") * _PP_NUM)
-                & (
-                    (
-                        F.lit(1)
-                        + F.least(
-                            F.col("a.n") - F.col("a.p"),
-                            F.col("b.n") - F.col("b.p"),
-                        )
-                    )
-                    * F.lit(_PP_DEN + _PP_NUM)
-                    >= (F.col("a.n") + F.col("b.n")) * F.lit(_PP_NUM)
-                )
+                F.expr(
+                    "a.h = b.h AND a.doc_id < b.doc_id"
+                    f" AND a.n * {_PP_DEN} >= b.n * {_PP_NUM}"
+                    f" AND b.n * {_PP_DEN} >= a.n * {_PP_NUM}"
+                    " AND (1 + least(a.n - a.p, b.n - b.p))"
+                    f" * {_PP_DEN + _PP_NUM}"
+                    f" >= (a.n + b.n) * {_PP_NUM}"
+                ),
             )
-            .select(
-                F.col("a.doc_id").alias("d1"),
-                F.col("b.doc_id").alias("d2"),
-            )
+            .selectExpr("a.doc_id AS d1", "b.doc_id AS d2")
             # Distinct BEFORE the verify joins is load-bearing: a pair
             # sharing k prefix hashes appears k times, and k scales
             # with prefix length — two near-identical megabyte
@@ -310,30 +322,13 @@ def dd_ngram_jaccard(
             # AQE-planned join).
             .distinct()
         )
-        a1 = arrs.select(
-            F.col("doc_id").alias("d1"),
-            F.col("hs").alias("hs1"),
-            F.col("n").alias("n1"),
-        )
-        a2 = arrs.select(
-            F.col("doc_id").alias("d2"),
-            F.col("hs").alias("hs2"),
-            F.col("n").alias("n2"),
-        )
+        a1 = arrs.selectExpr("doc_id AS d1", "hs AS hs1", "n AS n1")
+        a2 = arrs.selectExpr("doc_id AS d2", "hs AS hs2", "n AS n2")
         verified = (
             cand.join(a1, "d1")
             .join(a2, "d2")
-            .withColumn(
-                "c", F.size(F.array_intersect("hs1", "hs2"))
-            )
-            .withColumn(
-                "jacc",
-                F.round(
-                    F.col("c")
-                    / (F.col("n1") + F.col("n2") - F.col("c")),
-                    4,
-                ),
-            )
+            .withColumn("c", F.expr("size(array_intersect(hs1, hs2))"))
+            .withColumn("jacc", F.expr("round(c / (n1 + n2 - c), 4)"))
             .filter(F.col("jacc") >= JACCARD_THRESHOLD)
             .select("d1", "d2", "jacc")
         )
@@ -445,59 +440,57 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles(spark, sf_dir)
     per_band = N_SEEDS // N_BANDS
+    # r13 (l2_norm_sql pattern, guide §4 driver boundary): the
+    # signature and band expression trees are parsed from SQL strings —
+    # one py4j round-trip per aggregate / one for the whole band array
+    # instead of one per node. Normalized physical plan identical to
+    # the Column-algebra form (pinned in tests/test_r13_rewrites.py);
+    # construction measured 0.35 → 0.19 s at sf0.1 (this entry feeds
+    # dd_lsh_tuning_report, whose tier2 clock times construction).
     mh_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        F.expr(f"min(md5(concat('{s}|', shingle))) AS mh{s}")
         for s in range(N_SEEDS)
     ]
     per_doc = (
         sh.groupBy("doc_id")
-        .agg(*mh_cols, F.collect_set("shingle").alias("shset"))
+        .agg(*mh_cols, F.expr("collect_set(shingle) AS shset"))
         .persist()
     )
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cols})) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"mh{s}" for s in range(b * per_band, (b + 1) * per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
     bands = per_doc.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{s}")
-                                    for s in range(b * per_band, (b + 1) * per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "doc_id", F.expr(f"explode(array({band_structs})) AS bk")
     ).select("doc_id", "bk.band", "bk.band_key")
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     candidates = (
         ba.join(
             bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.band_key") == F.col("bb.band_key"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            F.expr(
+                "ba.band = bb.band AND ba.band_key = bb.band_key"
+                " AND ba.doc_id < bb.doc_id"
+            ),
         )
-        .select(
-            F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2")
-        )
+        .selectExpr("ba.doc_id AS d1", "bb.doc_id AS d2")
         .distinct()
     )
-    ds1 = per_doc.select(F.col("doc_id").alias("d1"), F.col("shset").alias("set1"))
-    ds2 = per_doc.select(F.col("doc_id").alias("d2"), F.col("shset").alias("set2"))
-    c = F.size(F.array_intersect(F.col("set1"), F.col("set2")))
-    jacc = F.round(c / (F.size("set1") + F.size("set2") - c), 4)
+    ds1 = per_doc.selectExpr("doc_id AS d1", "shset AS set1")
+    ds2 = per_doc.selectExpr("doc_id AS d2", "shset AS set2")
+    c = "size(array_intersect(set1, set2))"
     return (
         candidates.join(ds1, "d1")
         .join(ds2, "d2")
-        .withColumn("jacc", jacc)
+        .withColumn(
+            "jacc",
+            F.expr(f"round({c} / (size(set1) + size(set2) - {c}), 4)"),
+        )
         .filter(F.col("jacc") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jacc")
     )
@@ -2072,30 +2065,22 @@ def dd_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast as _bc
 
     exact = dd_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    approx = dd_minhash_lsh(spark, sf_dir).select(
-        F.col("d1").alias("a1"), F.col("d2").alias("a2")
+    approx = dd_minhash_lsh(spark, sf_dir).selectExpr(
+        "d1 AS a1", "d2 AS a2"
     )
-    hit = (
-        exact.join(
-            _bc(approx),
-            (F.col("d1") == F.col("a1")) & (F.col("d2") == F.col("a2")),
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count_if(F.col("a1").isNotNull()).alias("n_hit"),
-        )
+    hit = exact.join(
+        _bc(approx), F.expr("d1 = a1 AND d2 = a2"), "left"
+    ).agg(
+        F.expr("count(1) AS n_exact"),
+        F.expr("count_if(a1 IS NOT NULL) AS n_hit"),
     )
-    n_approx = approx.agg(F.count(F.lit(1)).alias("n_approx"))
-    return (
-        hit.crossJoin(_bc(n_approx))
-        .select(
-            "n_exact",
-            "n_approx",
-            "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
-            F.round(F.col("n_hit") / F.col("n_approx"), 4).alias("precision"),
-        )
+    n_approx = approx.agg(F.expr("count(1) AS n_approx"))
+    return hit.crossJoin(_bc(n_approx)).selectExpr(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        "round(n_hit / n_exact, 4) AS recall",
+        "round(n_hit / n_approx, 4) AS precision",
     )
 
 
