@@ -115,25 +115,32 @@ def synthetic_media(
 ) -> DataFrame:
     """Media fixture: payload byte i of media m = (m + i) % 256.
 
-    Generated fully JVM-side (hex string → unhex) so the binary
-    ingestion path is exercised without any Python in the lineage.
+    Generated fully JVM-side so the binary ingestion path is exercised
+    without any Python in the lineage. r13: the byte sequence is a
+    rotation of the repeating 0..255 cycle, so the payload is built as
+    ONE ``substring`` of a repeated-cycle binary literal starting at
+    offset m % 256 — byte i = cycle[(m % 256) + i] = (m + i) % 256,
+    byte-identical (pinned in tests/test_r13_rewrites.py) to the
+    r1-r12 per-byte hex-string transform (lpad/lower/hex per byte +
+    array_join + unhex) while evaluating O(1) expressions per row
+    instead of O(n_bytes): at real media sizes the old form built a
+    2·n_bytes-char string through an interpreted per-element lambda.
     """
     n_bytes = W * H * (FRAMES if kind == "video" else 1)
+    reps = (256 + n_bytes + 255) // 256
+    cycle = F.lit(bytes(range(256)) * reps)
     m = F.col("doc_id")
-    payload_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_bytes - 1)),
-            lambda i: F.lpad(F.lower(F.hex((m + i) % 256)), 2, "0"),
-        ),
-        "",
+    payload = F.expr(
+        f"substring(_cycle, cast(doc_id % 256 AS int) + 1, {n_bytes})"
     )
     return (
         load_table(spark, sf_dir, "documents")
         .filter(m < limit)
+        .withColumn("_cycle", cycle)
         .select(
             m.alias("media_id"),
             F.lit(kind).alias("kind"),
-            F.unhex(payload_hex).alias("payload"),
+            payload.alias("payload"),
             F.struct(
                 F.lit(W).alias("width"),
                 F.lit(H).alias("height"),

@@ -346,3 +346,41 @@ def test_sql_batched_constructions_plan_identical(spark):
         "report SQL-batched construction changed the physical plan"
     )
     per_doc.unpersist()
+
+
+def test_synthetic_media_substring_payload_byte_identical(spark):
+    """synthetic_media (r13) builds the (m + i) % 256 payload as one
+    substring of a repeated 0..255 binary literal instead of a per-byte
+    hex-string transform. Every payload byte must be identical to the
+    replaced form for both media kinds."""
+    from etl_mapwarper_spark.operators.multimodal import (
+        FRAMES,
+        H,
+        W,
+        synthetic_media,
+    )
+    from etl_mapwarper_spark.sources.tables import load_table
+
+    for kind in ("image", "video"):
+        n_bytes = W * H * (FRAMES if kind == "video" else 1)
+        m = F.col("doc_id")
+        payload_hex = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bytes - 1)),
+                lambda i: F.lpad(F.lower(F.hex((m + i) % 256)), 2, "0"),
+            ),
+            "",
+        )
+        old = (
+            load_table(spark, SF_DIR, "documents")
+            .filter(m < 200)
+            .select(
+                m.alias("media_id"), F.unhex(payload_hex).alias("payload")
+            )
+        )
+        new = synthetic_media(spark, SF_DIR, kind=kind).select(
+            "media_id", "payload"
+        )
+        a = {r.media_id: bytes(r.payload) for r in old.collect()}
+        b = {r.media_id: bytes(r.payload) for r in new.collect()}
+        assert a == b, f"{kind}: substring payload differs from hex form"
