@@ -315,6 +315,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 rows now remain for r13).
 # Family counts: q=7, dd=6, ds=7, tx=8, sim=6, mm=4,
 # src/mw/st/dq/pipe/pd=2.
+# Round-13 window (optimization round 2): (a) every entry whose plan
+# or expression tree moved this round sits first, per the rotation
+# rule — the four incremental/Bloom admission rewrites (single-join
+# admission; ordered Bloom probe + union-aggregated report), the
+# LSH family whose construction now parses from SQL strings
+# (dd_ngram_jaccard / dd_minhash_lsh / dd_lsh_tuning_report plans
+# pinned identical; dd_bbit_minhash_lsh consumes the rewritten
+# _shingles), and the 14 multimodal consumers of synthetic_media's
+# substring-literal payload (byte-identity pinned). (b) the r6
+# staleness block — 16 of the 19 remaining r6 rows (q80/q83/q86
+# defer to r14; q keeps 5 window rows). (c) family minimums ≥2 for
+# ds/mw/st/dq/pipe/pd, stalest rows first (pd has exactly two
+# entries, both r12 — unavoidable minimum-staleness rows).
+# Family counts: mm=14, dd=8, sim=6, q=5, src=3, tx=2, ds=2, mw=2,
+# st=2, dq=2, pipe=2, pd=2 — exactly 50.
+_R13_PRIORITY = [
+    # --- (a) code changed r13 ---
+    "dd_incremental_dedup",
+    "dd_incremental_dedup_fp",
+    "dd_bloom_incremental",
+    "dd_bloom_incremental_fp",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh",
+    "dd_lsh_tuning_report",
+    "dd_bbit_minhash_lsh",
+    "mm_image_stats",
+    "mm_image_entropy",
+    "mm_shot_detect",
+    "mm_resize_avgpool",
+    "mm_frame_sample",
+    "mm_arrow_hist",
+    "mm_audio_rms",
+    "mm_audio_zcr",
+    "mm_audio_vad",
+    "mm_audio_autocorr",
+    "mm_av_sync_check",
+    "mm_png_roundtrip",
+    "mm_phash_neardups",
+    "mm_phash_cluster_profile",
+    # --- (b) the r6 staleness block (16 of 19) ---
+    "q77_notin_null_semantics",
+    "q78_map_type_aggs",
+    "q79_try_functions",
+    "q89_approx_quantiles",
+    "q92_modern_sql",
+    "sim_bruteforce_topk",
+    "sim_embedding_covariance",
+    "sim_lsh_recall",
+    "sim_norm_report",
+    "sim_pq_recall",
+    "sim_radius_search",
+    "src_compact_roundtrip",
+    "src_dpp_join",
+    "src_webdataset_roundtrip",
+    "tx_ndcg_eval",
+    "tx_tfidf_top_terms",
+    # --- (c) family minimums, stalest first per family ---
+    "ds_hash_sample",
+    "ds_stratified_sample",
+    "mw_geodesic_area",
+    "mw_layer_objects",
+    "st_foreach_batch_merge",
+    "st_session_windows",
+    "dq_skew_report",
+    "dq_expectations",
+    "pipe_rest_end_to_end",
+    "pipe_logs",
+    "pd_weighted_avg",
+    "pd_zscore",
+]
+# Round-12 window, kept for the ledger trail (superseded by
+# _R13_PRIORITY above, which _merge consumes).
 _R12_PRIORITY = [
     # --- (a) code changed r12: try_cast source-id robustness, plus
     # the r12 optimization sites (norm-precompute neardup, CMS
@@ -635,7 +707,7 @@ def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _registries():
         merged.update(getattr(mod, attr))
-    head = {k: merged[k] for k in _R12_PRIORITY if k in merged}
+    head = {k: merged[k] for k in _R13_PRIORITY if k in merged}
     head.update(merged)
     return head
 
